@@ -1,0 +1,111 @@
+"""Spatial join vs brute-force oracle + span-sequence invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.kernels import pip as kpip
+from gdal_spark.kernels import wkb as kwkb
+from gdal_spark.kernels.cells import TileGrid
+from gdal_spark.operators.spatial_join import extract_geo_points, spatial_join
+from gdal_spark.sources import fixtures as fx
+
+N_DOCS = 2000
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    docs_pdf = fx.docs_pandas(N_DOCS)
+    polys_pdf = fx.polygons_pandas()
+    docs = spark.createDataFrame(docs_pdf).cache()
+    polys = spark.createDataFrame(polys_pdf).cache()
+    grid = TileGrid.local(*fx.POLY_BBOX)
+    # brute-force oracle: every (doc, polygon) PIP pair
+    pts = extract_geo_points(docs).select("doc_id", "x", "y").toPandas()
+    want = set()
+    for _, prow in polys_pdf.iterrows():
+        rings = kwkb.polygon_rings(prow["wkb"])
+        inside = kpip.points_in_polygon(
+            pts["x"].to_numpy(), pts["y"].to_numpy(), rings)
+        for did in pts["doc_id"].to_numpy()[inside]:
+            want.add((did, int(prow["fid"])))
+    return docs, polys, grid, pts, want
+
+
+def _got_pairs(joined):
+    return {(r["doc_id"], r["fid"]) for r in joined.select("doc_id", "fid").collect()}
+
+
+def test_join_matches_bruteforce_oracle(data):
+    docs, polys, grid, pts, want = data
+    joined = spatial_join(extract_geo_points(docs), polys, grid, zoom=6)
+    assert _got_pairs(joined) == want
+    assert len(want) > 100  # fixture sanity: plenty of positives
+
+
+def test_salted_shuffle_join_equals_broadcast(data):
+    docs, polys, grid, pts, want = data
+    joined = spatial_join(extract_geo_points(docs), polys, grid, zoom=6,
+                          broadcast=False, salt=4)
+    assert _got_pairs(joined) == want
+
+
+def test_first_match_cardinality(data):
+    docs, polys, grid, pts, want = data
+    joined = spatial_join(extract_geo_points(docs), polys, grid, zoom=6,
+                          first_match=True)
+    got = joined.select("doc_id", "fid").collect()
+    by_doc = {}
+    for r in got:
+        assert r["doc_id"] not in by_doc, "first_match must emit one row per point"
+        by_doc[r["doc_id"]] = r["fid"]
+    # each emitted fid is the minimum matching fid (OGR first-match order)
+    min_fid = {}
+    for did, fid in want:
+        min_fid[did] = min(min_fid.get(did, fid), fid)
+    assert by_doc == min_fid
+
+
+def test_left_join_keeps_unmatched(data):
+    docs, polys, grid, pts, want = data
+    joined = spatial_join(extract_geo_points(docs), polys, grid, zoom=6, how="left")
+    matched_docs = {d for d, _ in want}
+    rows = joined.select("doc_id", "fid").collect()
+    unmatched = {r["doc_id"] for r in rows if r["fid"] is None}
+    assert unmatched == {f"doc-{i:09d}" for i in range(N_DOCS)} - matched_docs
+
+
+def test_span_sequence_invariant(data):
+    """Per-doc (kind, text, media_ref, order) must survive the join
+    byte-for-byte (BASELINE.json input_hint invariant)."""
+    docs, polys, grid, pts, want = data
+    joined = spatial_join(extract_geo_points(docs), polys, grid, zoom=6,
+                          first_match=True)
+    inp = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    out = {r["doc_id"]: r["spans"] for r in joined.select("doc_id", "spans").collect()}
+    assert out, "join produced no rows"
+    for did, spans in out.items():
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
+        ] == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in inp[did]
+        ]
+
+
+def test_zoom_invariance(data):
+    """The coarse-phase zoom must not change the result (only the plan)."""
+    docs, polys, grid, pts, want = data
+    for z in (4, 8):
+        joined = spatial_join(extract_geo_points(docs), polys, grid, zoom=z)
+        assert _got_pairs(joined) == want
+
+
+def test_negatives_outside_bbox_never_match(data):
+    docs, polys, grid, pts, want = data
+    minx, miny, maxx, maxy = fx.POLY_BBOX
+    outside = pts[(pts["x"] > maxx) | (pts["y"] > maxy)]
+    assert len(outside) > 0
+    matched_docs = {d for d, _ in want}
+    assert not (set(outside["doc_id"]) & matched_docs)
