@@ -1,0 +1,77 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver transfer).  The spatial-join throughput (docs/sec over the
+documents table) is reported alongside, since BASELINE.json's metric
+is spatial-join docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pip_join",
+    "knn",
+    "cell_encode",
+    "hilbert_key",
+    "polygon_cover",
+    "tpch_q1",
+    "tpch_q3ish",
+    "events_sessionize",
+]
+
+
+def run(spark, sf_dir, names, queries):
+    times = {}
+    for name in names:
+        if name not in queries:
+            continue
+        t0 = time.time()
+        df = queries[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from gdal_spark.queries import QUERIES
+    from gdal_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen once on the smallest table
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    times = run(spark, sf_dir, names, QUERIES)
+    total = round(sum(times.values()), 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    docs_per_sec = round(n_docs / times["pip_join"], 1) if times.get("pip_join") else None
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cores,
+        "spatial_join_docs_per_sec": docs_per_sec,
+    }))
+
+
+if __name__ == "__main__":
+    main()

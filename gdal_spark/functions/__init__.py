@@ -9,6 +9,7 @@ tests assert bit-equality between the two.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -123,6 +124,28 @@ def hilbert_u32_col(x: Column, y: Column) -> Column:
     i0 = interleave(i0)
     i1 = interleave(i1)
     return _u32(F.shiftleft(i1, 1).bitwiseOR(i0))
+
+
+def hilbert_u32_pandas(x: Column, y: Column) -> Column:
+    """Arrow-vectorized Hilbert key (numpy kernel inside a pandas UDF).
+
+    The Column twin above is pure Catalyst but its expression DAG
+    re-expands into an exponentially large codegen tree (each round
+    references the previous round's four subexpressions 2-3 times),
+    so for bulk encoding the vectorized kernel is the fast path:
+    linear work per Arrow batch, bit-identical output
+    (tests assert equality of the two).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels.hilbert import hilbert_u32
+
+    @pandas_udf("long")
+    def _h(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = hilbert_u32(xs.to_numpy(dtype="uint32"), ys.to_numpy(dtype="uint32"))
+        return pd.Series(out.astype("int64"))
+
+    return _h(x, y)
 
 
 def hilbert_key_col(px: Column, py: Column, minx: float, miny: float,

@@ -1,0 +1,220 @@
+"""Spatial operator battery: cell encode, Hilbert keys, PIP join,
+covering cells, exact kNN — each with a bit-exact DuckDB oracle.
+
+Points derive deterministically from ``documents.doc_id`` (see
+_derive) so the driver's testdata doubles as a geo corpus; the
+polygon side is the deterministic poly.shp-role fixture
+(gdal_spark.sources.fixtures), embedded into the oracle SQL as
+VALUES.  ~9% of derived points fall outside the polygon bbox —
+the negative cases of the reference's two-phase filter
+(ogrlayer.cpp:2253-2325).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register, t
+from . import _derive as dv
+from .. import functions as gf
+from ..operators.knn import knn_join
+from ..operators.spatial_join import spatial_join
+from ..sources import fixtures as fx
+
+Z = dv.CELL_ZOOM        # fine cell id (per-doc addressing)
+Z_JOIN = 6              # coarse join zoom: polygon bbox -> O(10-100) cells
+Z_COVER = 9             # covering-cell demo zoom
+
+
+def _points(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    x, y = dv.point_cols(F.col("doc_id"))
+    return docs.withColumn("x", x).withColumn("y", y)
+
+
+# --------------------------------------------------------------- cell encode
+_tx_sql, _ty_sql = dv.tile_sql(Z, "x", "y")
+
+@register(
+    "cell_encode",
+    sql=f"""
+    WITH pts AS ({dv.points_sql()})
+    SELECT doc_id, {_tx_sql} AS tx, {_ty_sql} AS ty,
+           {dv.pack_sql(Z, _tx_sql, _ty_sql)} AS cell
+    FROM pts
+    ORDER BY doc_id
+    """,
+    desc="H3/S2-role cell encoding on the TileMatrix quadtree "
+         "(tilematrixset.hpp:75-88) — pure Column math, bit-matched in SQL",
+)
+def cell_encode(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    tx, ty = gf.tile_xy_cols(dv.GRID, Z, F.col("x"), F.col("y"))
+    return (
+        pts.withColumn("tx", tx)
+        .withColumn("ty", ty)
+        .withColumn("cell", gf.pack_cell_col(Z, F.col("tx"), F.col("ty")))
+        .select("doc_id", "tx", "ty", "cell")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------- hilbert key
+@register(
+    "hilbert_key",
+    sql=f"""
+    WITH pts AS ({dv.points_sql()}),
+    g AS (
+      SELECT doc_id,
+             GREATEST(0, LEAST(65535, CAST(FLOOR((65535.0 * (x - {dv.MINX!r})) / {dv.W!r}) AS BIGINT))) AS hx,
+             GREATEST(0, LEAST(65535, CAST(FLOOR((65535.0 * (y - {dv.MINY!r})) / {dv.H!r}) AS BIGINT))) AS hy
+      FROM pts
+    ),
+    {dv.hilbert_sql_cte("g")}
+    SELECT g.doc_id, g.hx, g.hy, hfin.hkey
+    FROM g JOIN hfin ON hfin.doc_id = g.doc_id
+    ORDER BY g.doc_id
+    """,
+    desc="32-bit Hilbert key (packedrtree.cpp:74-161) — the engine's "
+         "range-partitioning order, bit-matched against a DuckDB CTE chain",
+)
+def hilbert_key(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    def g(v, mn, ext):
+        raw = F.floor((F.lit(65535.0) * (v - F.lit(mn))) / F.lit(ext))
+        return F.greatest(F.lit(0), F.least(F.lit(65535), raw)).cast("long")
+    pts = pts.withColumn("hx", g(F.col("x"), dv.MINX, dv.W)).withColumn(
+        "hy", g(F.col("y"), dv.MINY, dv.H))
+    return (
+        pts.withColumn("hkey", gf.hilbert_u32_pandas(F.col("hx"), F.col("hy")))
+        .select("doc_id", "hx", "hy", "hkey")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------------ PIP join
+@register(
+    "pip_join",
+    sql=f"""
+    WITH pts AS ({dv.points_sql()}),
+    edges(fid, ex1, ey1, ex2, ey2) AS (VALUES
+      {dv.polygon_edges_values()}
+    ),
+    env(fid, exmin, eymin, exmax, eymax) AS (VALUES
+      {dv.polygon_env_values()}
+    ),
+    attr(fid, eas_id, prfedea) AS (VALUES
+      {dv.polygon_attr_values()}
+    ),
+    cand AS (
+      SELECT p.doc_id, p.x, p.y, v.fid
+      FROM pts p JOIN env v
+        ON p.x >= v.exmin AND p.x <= v.exmax
+       AND p.y >= v.eymin AND p.y <= v.eymax
+    ),
+    crossings AS (
+      SELECT c.doc_id, c.fid,
+        CASE WHEN (((e.ey1 - c.y) > 0 AND (e.ey2 - c.y) <= 0)
+                OR ((e.ey2 - c.y) > 0 AND (e.ey1 - c.y) <= 0))
+              AND (((e.ex1 - c.x) * (e.ey2 - c.y) - (e.ex2 - c.x) * (e.ey1 - c.y))
+                   / ((e.ey2 - c.y) - (e.ey1 - c.y)) > 0)
+        THEN 1 ELSE 0 END AS cr
+      FROM cand c JOIN edges e ON e.fid = c.fid
+    ),
+    inside AS (
+      SELECT doc_id, fid FROM crossings
+      GROUP BY doc_id, fid HAVING SUM(cr) % 2 = 1
+    )
+    SELECT i.doc_id, i.fid, a.eas_id
+    FROM inside i JOIN attr a ON a.fid = i.fid
+    ORDER BY i.doc_id, i.fid
+    """,
+    desc="two-phase cell-indexed spatial join; exact phase bit-matches "
+         "OGRLinearRing::isPointInRing (ogrlinearring.cpp:462-532) in both engines",
+)
+def pip_join(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    polys = spark.createDataFrame(fx.polygons_pandas())
+    out = spatial_join(pts, polys, dv.GRID, zoom=Z_JOIN, how="inner")
+    return out.select("doc_id", "fid", "eas_id").orderBy("doc_id", "fid")
+
+
+# ------------------------------------------------------------ covering cells
+_bx0, _by1 = dv.tile_sql(Z_COVER, "xmin", "ymin")
+_bx1, _by0 = dv.tile_sql(Z_COVER, "xmax", "ymax")
+
+@register(
+    "polygon_cover",
+    sql=f"""
+    WITH b(fid, xmin, ymin, xmax, ymax) AS (VALUES
+      {dv.polygon_bbox_values()}
+    ),
+    tr AS (
+      SELECT fid, {_bx0} AS tx0, {_by0} AS ty0, {_bx1} AS tx1, {_by1} AS ty1
+      FROM b
+    )
+    SELECT fid,
+           (tx1 - tx0 + 1) * (ty1 - ty0 + 1)       AS n_cells,
+           {dv.pack_sql(Z_COVER, "tx0", "ty0")}    AS min_cell,
+           {dv.pack_sql(Z_COVER, "tx1", "ty1")}    AS max_cell
+    FROM tr
+    ORDER BY fid
+    """,
+    desc="polygon -> covering cell set (GetTileIndices, "
+         "gdalalg_raster_tile.cpp:336); explode stays JVM-side via sequence()",
+)
+def polygon_cover(spark, sf_dir):
+    polys = spark.createDataFrame(fx.polygons_pandas())
+    cells = polys.withColumn(
+        "cell",
+        F.explode(gf.covering_cells_col(
+            dv.GRID, Z_COVER, F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))),
+    )
+    return (
+        cells.groupBy("fid")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.min("cell").alias("min_cell"),
+            F.max("cell").alias("max_cell"),
+        )
+        .orderBy("fid")
+    )
+
+
+# ----------------------------------------------------------------- exact kNN
+KNN_K = 5
+KNN_ZOOM = 4
+KNN_QMOD = 53
+
+@register(
+    "knn",
+    sql=f"""
+    WITH pts AS ({dv.points_sql()}),
+    qry AS (SELECT doc_id AS qid, x AS qx, y AS qy FROM pts WHERE doc_id % {KNN_QMOD} = 0),
+    d AS (
+      SELECT q.qid, p.doc_id AS pid,
+             ((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)) AS dist2
+      FROM qry q CROSS JOIN pts p
+    ),
+    r AS (
+      SELECT qid, pid, dist2,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rnk
+      FROM d
+    )
+    SELECT qid, rnk, pid, dist2 FROM r WHERE rnk <= {KNN_K}
+    ORDER BY qid, rnk
+    """,
+    desc="exact kNN via cell-disk ring expansion (radius-growth of "
+         "alg/gdalgrid.cpp:909-920) vs brute-force oracle; (dist2, pid) ties",
+)
+def knn(spark, sf_dir):
+    pts = _points(spark, sf_dir).select(
+        F.col("doc_id").alias("pid"), "x", "y")
+    qry = _points(spark, sf_dir).filter(F.col("doc_id") % KNN_QMOD == 0).select(
+        F.col("doc_id").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"))
+    out = knn_join(pts, qry, dv.GRID, k=KNN_K, zoom=KNN_ZOOM, r0=2)
+    return (
+        out.withColumnRenamed("rank", "rnk")
+        .select("qid", "rnk", "pid", "dist2")
+        .orderBy("qid", "rnk")
+    )
