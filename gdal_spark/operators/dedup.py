@@ -1,0 +1,173 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the dedup family of a web-scale training-data pipeline.
+
+Design for 10^12 docs:
+
+* exact dedup is a hash-groupBy — one shuffle on the digest, partial
+  counts map-side;
+* MinHash banding turns near-dup search into an equi-join on
+  (band_index, band_value) — never an all-pairs comparison; hot
+  bands (boilerplate) can be salted exactly like hot cells in the
+  spatial join;
+* SimHash is an explode + 16 conditional sums — shuffle carries one
+  row per (doc, token), combined map-side;
+* exact Jaccard runs only on band-join candidates.
+
+Everything is Column-expression hashing (md5 / substring folds), so
+both the Spark plan and the DuckDB oracle compute bit-identical
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens_col
+
+N_MINHASH = 8
+N_BANDS = 4          # 2 minhashes per band
+SHINGLE = 3
+SIMHASH_BITS = 16
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups by content digest: (text_md5, n_copies,
+    min_id) for groups with >1 member.  One shuffle, map-side
+    partial aggregation."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingles_col(text):
+    """3-token shingles as strings (positions JVM-side via sequence)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (SHINGLE - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2)
+        ),
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: minhash_i = min(md5(shingle||'#'||i))
+    over the doc's 3-token shingles (string min == hash min; md5 is
+    identical across engines).  Returns (id, m0..m7, band0..band3)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"m{i}")
+        for i in range(N_MINHASH)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    for b in range(N_BANDS):
+        sig = sig.withColumn(
+            f"band{b}", F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")))
+        )
+    return sig
+
+
+def minhash_band_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 LSH band.
+
+    Pairs come from an equi-join on (band_idx, band_value) — the
+    scale path: no all-pairs work, shuffle keyed by band value.
+    Returns (id_a, id_b, shared_bands) with id_a < id_b.
+    """
+    sig = minhash_signature(df, text_col, id_col)
+    bands = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bv"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("b"),
+    ).select("id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(right, ["bi", "bv"], "inner")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.countDistinct("bi").alias("shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash: per token, a 60-bit md5-derived integer; bit j
+    contributes +1/-1; fingerprint sets bit j where the sum is > 0.
+
+    Explode + conditional sums: one shuffle keyed by id, partial
+    aggregation map-side.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", min_shared_bands: int = 1) -> DataFrame:
+    """Exact n-gram Jaccard on MinHash-band candidates only.
+
+    |A ∩ B| via join of the two docs' distinct shingle sets;
+    |A ∪ B| = |A| + |B| - |A ∩ B|.  Returns (id_a, id_b, jaccard).
+    """
+    cand = minhash_band_pairs(df, text_col, id_col).filter(
+        F.col("shared_bands") >= min_shared_bands
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col))).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,1 +1,432 @@
-"""Training-data pipeline ops (filled in batch 3)."""
+"""Training-data pipeline battery: dedup (exact / MinHash+LSH /
+SimHash / n-gram Jaccard), similarity search (brute + LSH-bucketed),
+text analysis, multimodal plumbing — each with a bit-exact DuckDB
+oracle.
+
+Hashing is md5-based in both engines; numeric folds use bounded
+modular or scaled-integer arithmetic so results are order-independent
+and engine-identical (see operators/similarity.py rationale).
+
+The near-dup corpora plant deterministic duplicates (doc_id%10 text
+copies; vec_id%25 precision-truncated vectors) since the synthetic
+testdata has none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register, t
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+
+DIM = 64
+DUP_OFFSET = 1_000_000
+
+_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+_SHINGLES_SQL = """
+    docs3 AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM docs3
+    )
+"""
+
+_SIG_SQL = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5(shingle || '#{i}')) AS m{i}" for i in range(dd.N_MINHASH))
+    + " FROM sh GROUP BY doc_id), "
+    + "sigb AS (SELECT doc_id, "
+    + ", ".join(f"md5(m{2*b} || m{2*b+1}) AS band{b}" for b in range(dd.N_BANDS))
+    + " FROM sig)"
+)
+
+_BANDS_SQL = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS bi, band{b} AS bv FROM sigb"
+        for b in range(dd.N_BANDS)
+    )
+    + ")"
+)
+
+
+def _dup_corpus(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
+    return docs.unionByName(dups)
+
+
+# ------------------------------------------------------------ text analysis
+@register(
+    "text_metrics",
+    sql="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+           ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_tok_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     tok -> tok IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    desc="token/quality metrics — pure Column ops, zero Python in the scan path",
+)
+def text_metrics(spark, sf_dir):
+    df = tx.quality_metrics(t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "n_tokens", "n_uniq_tokens",
+        F.round("avg_tok_len", 6).alias("avg_tok_len"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+_LANG_SCORES = ", ".join(
+    f"""ROUND(CAST(len(list_filter(string_split(text, ' '),
+        tok -> tok IN ({", ".join("'" + w + "'" for w in ws)}))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS score_{lang}"""
+    for lang, ws in tx.LEXICONS.items()
+)
+
+@register(
+    "lang_id",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {_LANG_SCORES} FROM documents)
+    SELECT doc_id, score_en, score_de, score_fr, score_es,
+           CASE WHEN score_es > GREATEST(score_en, score_de, score_fr) THEN 'es'
+                WHEN score_fr > GREATEST(score_en, score_de) THEN 'fr'
+                WHEN score_de > score_en THEN 'de'
+                ELSE 'en' END AS lang_pred
+    FROM s ORDER BY doc_id
+    """,
+    desc="lexicon-hit language ID with deterministic argmax",
+)
+def lang_id(spark, sf_dir):
+    df = tx.lang_scores(t(spark, sf_dir, "documents"))
+    cols = ["doc_id"] + [
+        F.round(f"score_{lang}", 6).alias(f"score_{lang}") for lang in tx.LEXICONS
+    ] + ["lang_pred"]
+    return df.select(*cols).orderBy("doc_id")
+
+
+@register(
+    "fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * {tx.FP_MUL} + b) % {tx.FP_MOD}) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    desc="rolling polynomial document fingerprint — JVM aggregate() fold vs "
+         "DuckDB list_reduce, identical modular arithmetic",
+)
+def fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.fingerprint_col(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------------- dedup
+@register(
+    "dedup_exact",
+    sql=f"""
+    WITH {_CORPUS_SQL}
+    SELECT md5(text) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS min_id
+    FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+    ORDER BY text_md5
+    """,
+    desc="exact dedup: hash-groupBy duplicate groups (map-side partials)",
+)
+def dedup_exact(spark, sf_dir):
+    return dd.exact_dup_groups(_dup_corpus(spark, sf_dir)).orderBy("text_md5")
+
+
+@register(
+    "minhash_signature",
+    sql=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    {_SHINGLES_SQL},
+    {_SIG_SQL}
+    SELECT doc_id, band0, band1, band2, band3 FROM sigb ORDER BY doc_id
+    """,
+    desc="MinHash signatures + LSH bands (string-min md5 = engine-identical)",
+)
+def minhash_signature(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3)
+    sig = dd.minhash_signature(docs)
+    return sig.select("doc_id", "band0", "band1", "band2", "band3").orderBy("doc_id")
+
+
+@register(
+    "minhash_pairs",
+    sql=f"""
+    WITH {_CORPUS_SQL},
+    {_SHINGLES_SQL},
+    {_SIG_SQL},
+    {_BANDS_SQL}
+    SELECT l.id AS id_a, r.id AS id_b, COUNT(DISTINCT l.bi) AS shared_bands
+    FROM bands l JOIN bands r ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id
+    GROUP BY l.id, r.id
+    ORDER BY id_a, id_b
+    """,
+    desc="LSH band-bucket candidate pairs: equi-join on (band, value), "
+         "never all-pairs — the 10^12-doc near-dup path",
+)
+def minhash_pairs(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir).filter(
+        F.size(F.split("text", " ")) >= 3)
+    return dd.minhash_band_pairs(corpus).orderBy("id_a", "id_b")
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(dd.SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(dd.SIMHASH_BITS)
+)
+
+@register(
+    "simhash",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM s ORDER BY doc_id
+    """,
+    desc="16-bit SimHash fingerprint: explode + conditional sums, "
+         "map-side combined",
+)
+def simhash(spark, sf_dir):
+    return dd.simhash(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "ngram_jaccard",
+    sql=f"""
+    WITH {_CORPUS_SQL},
+    {_SHINGLES_SQL},
+    {_SIG_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id
+      GROUP BY l.id, r.id
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    ORDER BY id_a, id_b
+    """,
+    desc="exact n-gram Jaccard on MinHash-band candidates only",
+)
+def ngram_jaccard(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir).filter(
+        F.size(F.split("text", " ")) >= 3)
+    return dd.jaccard_pairs(corpus).orderBy("id_a", "id_b")
+
+
+# -------------------------------------------------------------- similarity
+_SCALED_SQL = """
+    sv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
+      FROM embeddings
+    )
+"""
+
+@register(
+    "ann_topk",
+    sql=f"""
+    WITH {_SCALED_SQL},
+    q AS (SELECT vec_id AS qid, v AS qv FROM sv WHERE vec_id % 100 = 0),
+    d AS (
+      SELECT q.qid, s.vec_id, SUM(q.qv[t.i] * s.v[t.i]) AS dot
+      FROM q, sv s, generate_series(1, {DIM}) t(i)
+      GROUP BY q.qid, s.vec_id
+    ),
+    r AS (
+      SELECT qid, vec_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rnk
+      FROM d
+    )
+    SELECT qid, rnk, vec_id, dot FROM r WHERE rnk <= 10 ORDER BY qid, rnk
+    """,
+    desc="brute-force ANN baseline: scaled-integer dot products "
+         "(exact, order-independent), broadcast query side",
+)
+def ann_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = sim.brute_topk(emb, qs, k=10)
+    return out.select("qid", "rnk", "vec_id", "dot").orderBy("qid", "rnk")
+
+
+_PLANE_DOT = (
+    "SUM((((((t.i - 1) * 2654435761 + u.j * 40503 + 12345) % 1000) - 500)"
+    " * s.v[t.i])) AS d"
+)
+
+@register(
+    "lsh_ann",
+    sql=f"""
+    WITH {_SCALED_SQL},
+    dots AS (
+      SELECT s.vec_id, u.j, {_PLANE_DOT}
+      FROM sv s, generate_series(1, {DIM}) t(i), generate_series(0, {sim.N_PLANES - 1}) u(j)
+      GROUP BY s.vec_id, u.j
+    ),
+    buck AS (
+      SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    svb AS (SELECT sv.vec_id, sv.v, buck.bucket FROM sv JOIN buck USING (vec_id)),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM svb WHERE vec_id % 100 = 0),
+    d AS (
+      SELECT q.qid, s.vec_id, s.bucket, SUM(q.qv[t.i] * s.v[t.i]) AS dot
+      FROM q JOIN svb s ON s.bucket = q.bucket, generate_series(1, {DIM}) t(i)
+      GROUP BY q.qid, s.vec_id, s.bucket
+    ),
+    r AS (
+      SELECT qid, vec_id, bucket, dot,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rnk
+      FROM d
+    )
+    SELECT qid, rnk, vec_id, bucket, dot FROM r WHERE rnk <= 3 ORDER BY qid, rnk
+    """,
+    desc="LSH sign-bucket ANN (IVF-role scale path): candidates from an "
+         "equi-join on the bucket id, deterministic integer hyperplanes",
+)
+def lsh_ann(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = sim.lsh_topk(emb, qs, dim=DIM, k=3)
+    return out.select("qid", "rnk", "vec_id", "bucket", "dot").orderBy("qid", "rnk")
+
+
+@register(
+    "cosine_neardup",
+    sql=f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100 + 0.5) AS DOUBLE) / 100.0)
+             AS embedding
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    sv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
+      FROM base
+    ),
+    n AS (
+      SELECT s.vec_id, s.v, SUM(s.v[t.i] * s.v[t.i]) AS norm2
+      FROM sv s, generate_series(1, {DIM}) t(i) GROUP BY s.vec_id, s.v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(a.v[t.i] * b.v[t.i]) AS dot, a.norm2 AS na, b.norm2 AS nb
+      FROM n a JOIN n b ON a.vec_id < b.vec_id, generate_series(1, {DIM}) t(i)
+      GROUP BY a.vec_id, b.vec_id, a.norm2, b.norm2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)), 6) AS cos
+    FROM pairs
+    WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) > 0.999
+    ORDER BY id_a, id_b
+    """,
+    desc="embedding-cosine near-dup pairs with planted truncated copies; "
+         "scaled-int dot + single sqrt/divide keeps both engines identical",
+)
+def cosine_neardup(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 100 + 0.5).cast("double") / 100.0,
+        ).alias("embedding"),
+    )
+    base = emb.select("vec_id", "embedding").unionByName(planted)
+    return sim.cosine_neardup_pairs(base, threshold=0.999).orderBy("id_a", "id_b")
+
+
+# -------------------------------------------------------------- multimodal
+_LUMA_SQL = " + ".join(
+    f"('0x' || substr(h, {9 + 2*k}, 2))::BIGINT" for k in range(8)
+)
+
+@register(
+    "media_features",
+    sql=f"""
+    WITH m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+    SELECT doc_id,
+           16 AS byte_len,
+           CAST(('0x' || substr(h, 1, 4))::BIGINT % 1920 AS INT) AS width,
+           CAST(('0x' || substr(h, 5, 4))::BIGINT % 1080 AS INT) AS height,
+           CAST({_LUMA_SQL} AS BIGINT) AS luma
+    FROM m ORDER BY doc_id
+    """,
+    desc="multimodal decode plumbing: binary payload column -> features via "
+         "Arrow-batched numpy mapInPandas (codec step is a deterministic stub)",
+)
+def media_features(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.withColumn("payload", mm.synth_payload_col(F.col("doc_id")))
+    return mm.decode_media_stub(docs).orderBy("doc_id")
+
+
+@register(
+    "frame_sample",
+    sql="""
+    WITH d AS (SELECT doc_id, 1 + (doc_id % 120) AS nf FROM documents)
+    SELECT doc_id, unnest(generate_series(0, nf - 1, 30)) AS frame_idx,
+           unnest(generate_series(0, nf - 1, 30)) * 33 AS ts_ms
+    FROM d ORDER BY doc_id, frame_idx
+    """,
+    desc="video frame sampling: JVM-side sequence explode, no Python",
+)
+def frame_sample(spark, sf_dir):
+    return mm.frame_sample(t(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "frame_idx")
