@@ -1,0 +1,202 @@
+"""Raster tile materialization: rasterize -> tiles -> pyramid.
+
+The Spark rendering of ``gdal raster tile`` + ``gdal_rasterize``
+(/root/reference/apps/gdalalg_raster_tile.cpp;
+/root/reference/alg/gdalrasterize.cpp):
+
+* geometries are joined to the tiles they touch via the covering-cell
+  explode (GetTileIndices, gdalalg_raster_tile.cpp:336) — pure
+  Column math, so the fan-out of one geometry to its tiles happens
+  JVM-side and shuffles by tile id, exactly how the reference fans
+  tiles across its worker pool (:3668-3681);
+* per tile, an applyInPandas group burns all intersecting geometries
+  in fid order with the scanline kernels (bit-matching
+  llrasterize.cpp semantics — see kernels.rasterize) and emits the
+  pixel buffer + the GDAL golden checksum (alg/gdalchecksum.cpp);
+* the zoom pyramid is built level-by-level: groupBy parent cell,
+  mosaic 2x2 children, decimate with the reference's overview
+  kernels — nearest picks the top-left source pixel
+  (overview.cpp:120 ``int(0.5 + 2*i)``), integer average is
+  ``(sum + 2) / 4`` (overview.cpp:1375-1380) — matching
+  MosaicDataset feeding the next-lower zoom
+  (gdalalg_raster_tile.cpp:1069-1102).
+
+At 10^12 docs the only shuffle is by tile id; skew (a geometry
+covering many tiles) is bounded by zoom choice, and hot tiles can be
+split per-band like hot cells in the spatial join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import functions as gf
+from ..kernels import checksum as kck
+from ..kernels import rasterize as kr
+from ..kernels import wkb as kwkb
+from ..kernels.cells import TileGrid
+
+TILE_SCHEMA = "z int, tx bigint, ty bigint, band int, px binary, checksum long"
+
+
+def rasterize_tiles(geoms: DataFrame, grid: TileGrid, zoom: int,
+                    burn: float = 1.0, value_col: str | None = None,
+                    merge: str = kr.MERGE_REPLACE, all_touched: bool = False,
+                    dtype: str = "uint8", tile_size: int | None = None) -> DataFrame:
+    """Burn a geometry table into (z, tx, ty) tiles.
+
+    geoms: DF(fid bigint, wkb binary, xmin/ymin/xmax/ymax double
+    [, value_col]).  Burn order inside a tile is fid order (the
+    reference burns features in iteration order).  Returns the tiles
+    DF (TILE_SCHEMA): px is the raw dtype buffer, checksum the GDAL
+    golden checksum of the tile.
+    """
+    ts = tile_size or grid.tile_size
+    cols = ["fid", "wkb"]
+    if value_col:
+        cols.append(value_col)
+    cells = geoms.withColumn(
+        "cell",
+        F.explode(gf.covering_cells_col(
+            grid, zoom, F.col("xmin"), F.col("ymin"),
+            F.col("xmax"), F.col("ymax"))),
+    ).select(
+        gf.cell_x_col(F.col("cell")).alias("tx"),
+        gf.cell_y_col(F.col("cell")).alias("ty"),
+        *cols,
+    )
+
+    np_dtype = np.dtype(dtype)
+    is_float = np.issubdtype(np_dtype, np.floating)
+
+    def _burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        gt = grid.geotransform(zoom, tx, ty)
+        img = np.zeros((ts, ts), dtype=np_dtype)
+        pdf = pdf.sort_values("fid")
+        for _, row in pdf.iterrows():
+            gtype, payload = kwkb.parse_wkb(bytes(row["wkb"]))
+            val = float(row[value_col]) if value_col else burn
+            if gtype == kwkb.POINT:
+                px = kr.world_to_pixel(np.array([payload]), gt)[0]
+            elif gtype in (kwkb.LINESTRING,):
+                px = kr.world_to_pixel(payload, gt)
+            elif gtype == kwkb.POLYGON:
+                px = [kr.world_to_pixel(r, gt) for r in payload]
+            elif gtype == kwkb.MULTIPOLYGON:
+                px = [[kr.world_to_pixel(r, gt) for r in poly] for poly in payload]
+            elif gtype in (kwkb.MULTIPOINT, kwkb.MULTILINESTRING):
+                px = [kr.world_to_pixel(p, gt) for p in payload]
+            else:
+                continue
+            kr.rasterize_geometry(img, gtype, px, val, merge, all_touched)
+        return pd.DataFrame({
+            "z": [zoom], "tx": [tx], "ty": [ty], "band": [1],
+            "px": [img.tobytes()],
+            "checksum": [kck.checksum(img, is_float=is_float)],
+        })
+
+    return cells.groupBy("tx", "ty").applyInPandas(_burn_tile, TILE_SCHEMA)
+
+
+def pyramid_reduce(tiles: DataFrame, zoom: int, method: str = "average",
+                   dtype: str = "uint8", tile_size: int = 256) -> DataFrame:
+    """One pyramid level: tiles at ``zoom`` -> tiles at ``zoom - 1``.
+
+    groupBy parent cell (quadtree shift), mosaic up to 4 children
+    into a 2x-size canvas, decimate with the reference kernel:
+    'near' -> top-left pixel of each 2x2 (overview.cpp:120),
+    'average' -> integer (sum+2)/4 (:1375-1380), float 0.25*sum
+    (:1437-1441).
+    """
+    np_dtype = np.dtype(dtype)
+    is_float = np.issubdtype(np_dtype, np.floating)
+    ts = tile_size
+
+    child = tiles.withColumn("ptx", F.shiftrightunsigned("tx", 1)).withColumn(
+        "pty", F.shiftrightunsigned("ty", 1))
+
+    def _reduce(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty = int(key[0]), int(key[1])
+        canvas = np.zeros((2 * ts, 2 * ts), dtype=np_dtype)
+        for _, row in pdf.iterrows():
+            qx = int(row["tx"]) - 2 * ptx
+            qy = int(row["ty"]) - 2 * pty
+            arr = np.frombuffer(row["px"], dtype=np_dtype).reshape(ts, ts)
+            canvas[qy * ts:(qy + 1) * ts, qx * ts:(qx + 1) * ts] = arr
+        if method == "near":
+            out = canvas[::2, ::2]
+        elif is_float:
+            c = canvas.astype(np.float64)
+            out = (0.25 * (c[::2, ::2] + c[::2, 1::2] + c[1::2, ::2]
+                           + c[1::2, 1::2])).astype(np_dtype)
+        else:
+            c = canvas.astype(np.int64)
+            tot = c[::2, ::2] + c[::2, 1::2] + c[1::2, ::2] + c[1::2, 1::2]
+            out = ((tot + 2) // 4).astype(np_dtype)
+        return pd.DataFrame({
+            "z": [zoom - 1], "tx": [ptx], "ty": [pty], "band": [1],
+            "px": [out.tobytes()],
+            "checksum": [kck.checksum(out, is_float=is_float)],
+        })
+
+    return child.groupBy("ptx", "pty").applyInPandas(_reduce, TILE_SCHEMA)
+
+
+def build_pyramid(tiles: DataFrame, zoom: int, down_to: int = 0,
+                  method: str = "average", dtype: str = "uint8",
+                  tile_size: int = 256) -> DataFrame:
+    """Full pyramid: union of levels ``down_to .. zoom`` (iterative
+    level-by-level reduce, each level one distributed job — the
+    MosaicDataset recursion of gdalalg_raster_tile.cpp:1069-1102)."""
+    out = tiles
+    cur = tiles
+    for z in range(zoom, down_to, -1):
+        cur = pyramid_reduce(cur, z, method, dtype, tile_size)
+        out = out.unionByName(cur)
+    return out
+
+
+def raster_stats(tiles: DataFrame, dtype: str = "uint8") -> DataFrame:
+    """Band statistics over a tiles DF: per-tile numpy partials,
+    exact partial+final combination — the distributed twin of
+    GDALRasterBand::ComputeStatistics per-block accumulation."""
+    np_dtype = np.dtype(dtype)
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                a = np.frombuffer(row["px"], dtype=np_dtype).astype(np.float64)
+                rows.append({
+                    "band": int(row["band"]),
+                    "n": a.size,
+                    "vmin": float(a.min()),
+                    "vmax": float(a.max()),
+                    "vsum": float(a.sum()),
+                    "vsum2": float((a * a).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    partials = tiles.select("band", "px").mapInPandas(
+        _partial, "band int, n long, vmin double, vmax double, "
+                  "vsum double, vsum2 double")
+    agg = partials.groupBy("band").agg(
+        F.sum("n").alias("n"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("vsum").alias("vsum"),
+        F.sum("vsum2").alias("vsum2"),
+    )
+    mean = F.col("vsum") / F.col("n")
+    var = F.col("vsum2") / F.col("n") - mean * mean
+    return agg.select(
+        "band", "n", "vmin", "vmax",
+        mean.alias("mean"), F.sqrt(var).alias("stddev"),
+    )

@@ -1,1 +1,152 @@
-"""Raster ops (filled in batch 4)."""
+"""Raster operator battery: checksum (SQL-oracled bit-match),
+rasterize -> tiles, pyramid, band stats, distributed polygonize.
+
+The rasterize/polygonize scanline+tracing algorithms aren't
+SQL-expressible, so those entries are rows-only here and carry their
+goldens in tests/test_raster.py (tile-split invariance vs the numpy
+kernels, which themselves bit-match the cited GDAL code).  The
+checksum and band statistics ARE oracle-checked on a grid derived
+identically in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from . import register
+from ..kernels import checksum as kck
+from ..kernels.cells import TileGrid
+from ..operators.polygonize import polygonize_tiles
+from ..operators.raster_tile import build_pyramid, raster_stats, rasterize_tiles
+from ..sources import fixtures as fx
+
+GW = 64  # derived-grid side
+R_TS = 64
+R_ZOOM = 3
+
+_PRIMES = "[7,11,13,17,19,23,29,31,37,41,43]"
+
+
+def _derived_grid_df(spark):
+    """The 64x64 byte grid v = (r*64+c)*7 % 256, built JVM-side."""
+    rows = spark.range(GW).select(F.col("id").alias("r"))
+    px = rows.select(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(GW - 1))).alias("c"))
+    return px.select(
+        (F.col("r") * GW + F.col("c")).alias("idx"),
+        ((F.col("r") * GW + F.col("c")) * 7 % 256).alias("v"),
+    )
+
+
+@register(
+    "raster_checksum",
+    sql=f"""
+    WITH px AS (
+      SELECT (r.i * {GW} + c.i) AS idx, ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    )
+    SELECT CAST(SUM(v % ({_PRIMES})[(idx % 11) + 1]) AS BIGINT) & 65535 AS checksum
+    FROM px
+    """,
+    desc="GDAL golden checksum (alg/gdalchecksum.cpp:49-189) bit-matched: "
+         "numpy kernel vs the same prime-modulus sum in SQL",
+)
+def raster_checksum(spark, sf_dir):
+    px = _derived_grid_df(spark)
+
+    def _ck(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.zeros(GW * GW, dtype=np.int64)
+        a[pdf["idx"].to_numpy()] = pdf["v"].to_numpy()
+        return pd.DataFrame({"checksum": [kck.checksum(a.reshape(GW, GW))]})
+
+    return px.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _ck, "checksum long")
+
+
+@register(
+    "raster_stats",
+    sql=f"""
+    WITH px AS (
+      SELECT ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    )
+    SELECT 1 AS band, COUNT(*) AS n,
+           CAST(MIN(v) AS DOUBLE) AS vmin, CAST(MAX(v) AS DOUBLE) AS vmax,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(SQRT(SUM(CAST(v AS DOUBLE) * v) / COUNT(*)
+                      - AVG(v) * AVG(v)), 6) AS stddev
+    FROM px
+    """,
+    desc="band statistics: per-tile numpy partials + exact partial/final "
+         "combine (GDALRasterBand::ComputeStatistics per-block pattern)",
+)
+def raster_stats_q(spark, sf_dir):
+    px = _derived_grid_df(spark)
+
+    def _tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.zeros(GW * GW, dtype=np.uint8)
+        a[pdf["idx"].to_numpy()] = pdf["v"].to_numpy()
+        return pd.DataFrame({
+            "z": [0], "tx": [0], "ty": [0], "band": [1],
+            "px": [a.tobytes()], "checksum": [0],
+        })
+
+    tiles = px.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _tile, "z int, tx long, ty long, band int, px binary, checksum long")
+    st = raster_stats(tiles)
+    return st.select(
+        "band", "n", "vmin", "vmax",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+    )
+
+
+@register(
+    "rasterize_tiles",
+    sql=None,  # scanline fill isn't SQL-expressible; goldens in tests/test_raster.py
+    desc="gdal_rasterize equivalent: polygon layer -> (z,tx,ty) tiles with "
+         "attribute burn + golden checksums (llrasterize.cpp semantics)",
+)
+def rasterize_tiles_q(spark, sf_dir):
+    grid = TileGrid.local(*fx.POLY_BBOX, tile_size=R_TS)
+    polys = spark.createDataFrame(fx.polygons_pandas())
+    tiles = rasterize_tiles(polys, grid, R_ZOOM, value_col="eas_id",
+                            tile_size=R_TS)
+    return tiles.select("z", "tx", "ty", "checksum").orderBy("tx", "ty")
+
+
+@register(
+    "tile_pyramid",
+    sql=None,  # overview decimation goldens live in tests/test_raster.py
+    desc="zoom pyramid z->z-1 (overview.cpp average (sum+2)/4), level "
+         "checksums per tile",
+)
+def tile_pyramid_q(spark, sf_dir):
+    grid = TileGrid.local(*fx.POLY_BBOX, tile_size=R_TS)
+    polys = spark.createDataFrame(fx.polygons_pandas())
+    tiles = rasterize_tiles(polys, grid, R_ZOOM, value_col="eas_id",
+                            tile_size=R_TS)
+    pyr = build_pyramid(tiles, R_ZOOM, down_to=0, tile_size=R_TS)
+    return pyr.select("z", "tx", "ty", "checksum").orderBy("z", "tx", "ty")
+
+
+@register(
+    "polygonize",
+    sql=None,  # CC + ring tracing isn't SQL-expressible; tile-split
+               # invariance goldens in tests/test_raster.py
+    desc="distributed gdal_polygonize: per-tile CC labels, cross-tile "
+         "union-find to fixpoint, per-component ring assembly",
+)
+def polygonize_q(spark, sf_dir):
+    grid = TileGrid.local(*fx.POLY_BBOX, tile_size=R_TS)
+    polys = spark.createDataFrame(fx.polygons_pandas())
+    tiles = rasterize_tiles(polys, grid, R_ZOOM, value_col="eas_id",
+                            tile_size=R_TS)
+    res = grid.resolution(R_ZOOM)
+    gt = (grid.top_left_x, res, 0.0, grid.top_left_y, 0.0, -res)
+    out = polygonize_tiles(tiles, tile_size=R_TS, nodata=0, geotransform=gt)
+    return out.select("comp", "value", "pixel_count", "n_rings").orderBy("comp")

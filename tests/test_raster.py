@@ -1,0 +1,196 @@
+"""Raster stack tests: rasterize/pyramid/checksum/polygonize.
+
+The load-bearing property everywhere is TILE-SPLIT INVARIANCE: the
+distributed (per-tile) result assembled back together must equal the
+single-array kernel result — that is what makes the operators correct
+at any partitioning, i.e. at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.kernels import checksum as kck
+from gdal_spark.kernels import polygonize as kpoly
+from gdal_spark.kernels import rasterize as kr
+from gdal_spark.kernels import wkb as kwkb
+from gdal_spark.kernels.cells import TileGrid
+from gdal_spark.operators.polygonize import polygonize_tiles
+from gdal_spark.operators.raster_tile import (
+    build_pyramid, pyramid_reduce, raster_stats, rasterize_tiles)
+from gdal_spark.sources import fixtures as fx
+
+TS = 64
+ZOOM = 3  # 8x8 tiles of 64px => 512^2 world
+
+
+def _grid():
+    return TileGrid.local(*fx.POLY_BBOX, tile_size=TS)
+
+
+def _polys_df(spark):
+    return spark.createDataFrame(fx.polygons_pandas())
+
+
+def _assemble(rows, ts=TS, n=1 << ZOOM, dtype="uint8"):
+    img = np.zeros((n * ts, n * ts), dtype=dtype)
+    for r in rows:
+        arr = np.frombuffer(r["px"], dtype=dtype).reshape(ts, ts)
+        img[r["ty"] * ts:(r["ty"] + 1) * ts, r["tx"] * ts:(r["tx"] + 1) * ts] = arr
+    return img
+
+
+def _direct_burn(grid, zoom, value_col=None):
+    """Single-array reference burn of the fixture polygons."""
+    n = 1 << zoom
+    img = np.zeros((n * TS, n * TS), dtype=np.uint8)
+    gt = (grid.top_left_x, grid.resolution(zoom), 0.0,
+          grid.top_left_y, 0.0, -grid.resolution(zoom))
+    for _, row in fx.polygons_pandas().sort_values("fid").iterrows():
+        rings = kwkb.polygon_rings(bytes(row["wkb"]))
+        px = [kr.world_to_pixel(r, gt) for r in rings]
+        val = float(row[value_col]) if value_col else 1.0
+        kr.fill_polygon(img, px, val)
+    return img
+
+
+def test_rasterize_tile_split_invariance(spark):
+    grid = _grid()
+    tiles = rasterize_tiles(_polys_df(spark), grid, ZOOM, burn=1.0,
+                            tile_size=TS).collect()
+    got = _assemble(tiles)
+    want = _direct_burn(grid, ZOOM)
+    assert got.sum() > 0
+    np.testing.assert_array_equal(got, want)
+    # per-tile checksums match the kernel on the assembled windows
+    for r in tiles:
+        win = want[r["ty"] * TS:(r["ty"] + 1) * TS, r["tx"] * TS:(r["tx"] + 1) * TS]
+        assert r["checksum"] == kck.checksum(win)
+
+
+def test_rasterize_attribute_burn(spark):
+    grid = _grid()
+    tiles = rasterize_tiles(_polys_df(spark), grid, ZOOM, value_col="eas_id",
+                            dtype="uint8", tile_size=TS).collect()
+    got = _assemble(tiles)
+    want = _direct_burn(grid, ZOOM, value_col="eas_id")
+    np.testing.assert_array_equal(got, want)
+    assert set(np.unique(got)) > {0}
+
+
+def test_pyramid_matches_direct_decimation(spark):
+    grid = _grid()
+    tiles = rasterize_tiles(_polys_df(spark), grid, ZOOM, value_col="eas_id",
+                            tile_size=TS)
+    lower = pyramid_reduce(tiles, ZOOM, method="average", tile_size=TS).collect()
+    full = _direct_burn(grid, ZOOM, value_col="eas_id").astype(np.int64)
+    want = ((full[::2, ::2] + full[::2, 1::2] + full[1::2, ::2]
+             + full[1::2, 1::2] + 2) // 4).astype(np.uint8)
+    got = _assemble(lower, n=1 << (ZOOM - 1))
+    np.testing.assert_array_equal(got, want)
+
+    near = pyramid_reduce(tiles, ZOOM, method="near", tile_size=TS).collect()
+    np.testing.assert_array_equal(_assemble(near, n=1 << (ZOOM - 1)),
+                                  full[::2, ::2].astype(np.uint8))
+
+
+def test_build_pyramid_levels(spark):
+    grid = _grid()
+    tiles = rasterize_tiles(_polys_df(spark), grid, ZOOM, tile_size=TS)
+    pyr = build_pyramid(tiles, ZOOM, down_to=0, tile_size=TS)
+    by_z = {r["z"]: 0 for r in pyr.select("z").distinct().collect()}
+    assert set(by_z) == {0, 1, 2, 3}
+
+
+def test_checksum_golden():
+    px = (np.arange(400, dtype=np.int64) * 7 % 256).astype(np.uint8)
+    assert kck.checksum(px.reshape(20, 20)) == kck.GRID20_GOLDEN
+
+
+def test_raster_stats(spark):
+    grid = _grid()
+    tiles = rasterize_tiles(_polys_df(spark), grid, ZOOM, value_col="eas_id",
+                            tile_size=TS)
+    rows = tiles.collect()
+    row = raster_stats(tiles).collect()[0]
+    full = _direct_burn(grid, ZOOM, value_col="eas_id").astype(np.float64)
+    # sparse tile table: stats cover only materialized (intersecting) tiles
+    wins = np.concatenate([
+        full[r["ty"] * TS:(r["ty"] + 1) * TS,
+             r["tx"] * TS:(r["tx"] + 1) * TS].ravel()
+        for r in rows
+    ])
+    assert row["n"] == wins.size
+    assert row["vmin"] == wins.min() and row["vmax"] == wins.max()
+    assert abs(row["mean"] - wins.mean()) < 1e-9
+
+
+# ------------------------------------------------------------- polygonize
+def _norm_ring(r):
+    pts = [tuple(p) for p in np.asarray(r)[:-1].tolist()]
+    k = pts.index(min(pts))
+    pts = pts[k:] + pts[:k]
+    return tuple(pts)
+
+
+def _norm_result(polys):
+    """Comparable form: multiset of (value, pixel_count, ring set)."""
+    out = []
+    for p in polys:
+        rings = frozenset(_norm_ring(r) for r in p["rings"])
+        out.append((int(p["value"]), int(p["pixel_count"]), rings))
+    return sorted(out, key=lambda x: (x[0], x[1], sorted(map(sorted, x[2]))[:1]))
+
+
+def _tiles_df(spark, arr, ts):
+    n = arr.shape[0] // ts
+    rows = [
+        {"tx": tx, "ty": ty,
+         "px": bytearray(arr[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+                         .astype(np.uint8).tobytes())}
+        for ty in range(n) for tx in range(n)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+@pytest.mark.parametrize("connect8", [False, True])
+def test_polygonize_tile_split_invariance(spark, connect8):
+    rng = np.random.RandomState(7)
+    ts, n = 16, 4
+    arr = rng.randint(0, 3, size=(n * ts, n * ts)).astype(np.uint8)
+    # grow blobby regions so components span tiles
+    arr = np.maximum(arr, np.roll(arr, 1, axis=0))
+    arr = np.maximum(arr, np.roll(arr, 1, axis=1))
+
+    want = kpoly.polygonize_array(arr, connect8=connect8, nodata=0)
+    got_rows = polygonize_tiles(
+        _tiles_df(spark, arr, ts), tile_size=ts, connect8=connect8, nodata=0
+    ).collect()
+    got = [
+        {"value": r["value"], "pixel_count": r["pixel_count"],
+         "rings": kwkb.polygon_rings(bytes(r["wkb"]))}
+        for r in got_rows
+    ]
+    assert len(got) == len(want)
+    assert _norm_result(got) == _norm_result(want)
+
+
+def test_polygonize_rasterize_roundtrip(spark):
+    """rasterize(poly) -> polygonize -> per-value pixel counts agree."""
+    grid = _grid()
+    tiles = rasterize_tiles(_polys_df(spark), grid, ZOOM, value_col="eas_id",
+                            tile_size=TS)
+    res = grid.resolution(ZOOM)
+    gt = (grid.top_left_x, res, 0.0, grid.top_left_y, 0.0, -res)
+    polys = polygonize_tiles(tiles, tile_size=TS, nodata=0,
+                             geotransform=gt).collect()
+    full = _direct_burn(grid, ZOOM, value_col="eas_id")
+    want_counts = {
+        int(v): int((full == v).sum()) for v in np.unique(full) if v != 0
+    }
+    got_counts: dict[int, int] = {}
+    for r in polys:
+        got_counts[r["value"]] = got_counts.get(r["value"], 0) + r["pixel_count"]
+    assert got_counts == want_counts
