@@ -126,6 +126,31 @@ def hilbert_u32_col(x: Column, y: Column) -> Column:
     return _u32(F.shiftleft(i1, 1).bitwiseOR(i0))
 
 
+def pip_inside_col(edges: Column, x: Column, y: Column) -> Column:
+    """JVM ray-cast point-in-polygon over an edges array column.
+
+    edges: array<struct<ex1,ey1,ex2,ey2>> — ring edges in the
+    (vertex i+1, vertex i) pairing of OGRLinearRing::isPointInRing
+    (ogrlinearring.cpp:498-517).  Exactly the kernel arithmetic —
+    relative coords, strict/inclusive straddle split, intersection
+    strictly > 0 — but folded inside Catalyst with aggregate(), so
+    the exact phase of the spatial join stays in whole-stage codegen:
+    no Python, no Arrow hop, same IEEE doubles as the numpy kernel.
+    """
+    def crossing(e):
+        y1 = e["ey1"] - y
+        y2 = e["ey2"] - y
+        x1 = e["ex1"] - x
+        x2 = e["ex2"] - x
+        straddle = ((y1 > 0) & (y2 <= 0)) | ((y2 > 0) & (y1 <= 0))
+        inter = (x1 * y2 - x2 * y1) / (y2 - y1)
+        return F.when(straddle & (inter > 0.0), F.lit(1)).otherwise(F.lit(0))
+
+    crossings = F.aggregate(
+        edges, F.lit(0), lambda acc, e: acc + crossing(e))
+    return crossings % 2 == 1
+
+
 def hilbert_u32_pandas(x: Column, y: Column) -> Column:
     """Arrow-vectorized Hilbert key (numpy kernel inside a pandas UDF).
 

@@ -84,10 +84,32 @@ def _exact_pip_factory(rings_by_fid: dict):
     return exact
 
 
+def _edges_df(spark, polys: DataFrame):
+    """Small-dim (fid, edges array<struct>) table for the JVM exact
+    phase: all rings' edges in the kernel's (vertex i+1, vertex i)
+    pairing; even-odd crossings over the full edge set handles holes
+    exactly like points_in_polygon."""
+    rows = []
+    for r in polys.select("fid", "wkb").collect():
+        edges = []
+        for ring in kwkb.polygon_rings(bytes(r["wkb"])):
+            for i in range(len(ring) - 1):
+                edges.append({
+                    "ex1": float(ring[i + 1][0]), "ey1": float(ring[i + 1][1]),
+                    "ex2": float(ring[i][0]), "ey2": float(ring[i][1]),
+                })
+        rows.append({"fid": int(r["fid"]), "edges": edges})
+    return spark.createDataFrame(
+        rows,
+        "fid bigint, edges array<struct<ex1:double,ey1:double,"
+        "ex2:double,ey2:double>>",
+    )
+
+
 def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
                  zoom: int = DEFAULT_ZOOM, how: str = "inner",
                  broadcast: bool | None = None, salt: int = 0,
-                 first_match: bool = False) -> DataFrame:
+                 first_match: bool = False, exact: str = "column") -> DataFrame:
     """Join point rows to containing polygons.
 
     points : any DF with double columns x, y (see extract_geo_points)
@@ -128,13 +150,23 @@ def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
         (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
         & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax")))
 
-    # phase 2: exact ray-cast, Arrow-vectorized
-    rings_by_fid = {
-        int(r["fid"]): kwkb.polygon_rings(bytes(r["wkb"]))
-        for r in polys.select("fid", "wkb").collect()
-    }
     cand = cand.drop("_salt") if (salt and salt > 1) else cand
-    matched = cand.mapInPandas(_exact_pip_factory(rings_by_fid), cand.schema)
+
+    # phase 2: exact ray-cast — JVM aggregate() fold by default (stays
+    # in whole-stage codegen; ~10x the Arrow-UDF path and no Python
+    # workers at all), pandas kernel path kept for bit-match demos
+    if exact == "column":
+        edges = _edges_df(spark, polys)
+        cand = cand.join(F.broadcast(edges), "fid", "inner")
+        matched = cand.filter(
+            gf.pip_inside_col(F.col("edges"), F.col("x"), F.col("y"))
+        ).drop("edges")
+    else:
+        rings_by_fid = {
+            int(r["fid"]): kwkb.polygon_rings(bytes(r["wkb"]))
+            for r in polys.select("fid", "wkb").collect()
+        }
+        matched = cand.mapInPandas(_exact_pip_factory(rings_by_fid), cand.schema)
 
     drop_cols = ["cell", "xmin", "ymin", "xmax", "ymax"]
     matched = matched.drop(*drop_cols)

@@ -1,0 +1,129 @@
+"""OGR SQL dialect goldens — mirrors the reference's own SQL suite
+(/root/reference/autotest/ogr/ogr_sql_test.py) against the poly
+fixture layer (attribute rows cloned from poly.shp's .dbf, so the
+attribute goldens transfer verbatim)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gdal_spark.sources import fixtures as fx
+from gdal_spark.sql import ogr_sql, register_layer
+
+
+@pytest.fixture(scope="module")
+def layers(spark):
+    register_layer(spark, "poly", spark.createDataFrame(fx.polygons_pandas()))
+    register_layer(spark, "idlink", spark.createDataFrame(fx.idlink_pandas()),
+                   fid_col="__none__", wkb_col=None)
+    return spark
+
+
+def test_eas_id_less_167(layers):
+    # ogr_sql_test.py:171-189: 'eas_id < 167' -> 3 features [168? no:]
+    rows = ogr_sql(layers, "SELECT * FROM poly WHERE eas_id < 167").collect()
+    assert len(rows) == 3
+    assert sorted(r["eas_id"] for r in rows) == [158, 165, 166]
+
+
+def test_distinct_ordered(layers):
+    # ogr_sql_test.py:211-222 asc / :226-237 desc
+    asc = ogr_sql(
+        layers,
+        "SELECT DISTINCT eas_id FROM poly WHERE eas_id < 170 ORDER BY eas_id",
+    ).collect()
+    assert [r["eas_id"] for r in asc] == [158, 165, 166, 168, 169]
+    desc = ogr_sql(
+        layers,
+        "SELECT DISTINCT eas_id FROM poly WHERE eas_id < 170 "
+        "ORDER BY eas_id DESC",
+    ).collect()
+    assert [r["eas_id"] for r in desc] == [169, 168, 166, 165, 158]
+
+
+def test_summary_aggregates(layers):
+    # ogr_sql_test.py:256+ aggregate pack on eas_id
+    row = ogr_sql(
+        layers,
+        "SELECT MAX(eas_id) AS max_e, MIN(eas_id) AS min_e, "
+        "AVG(eas_id) AS avg_e, SUM(eas_id) AS sum_e, "
+        "COUNT(eas_id) AS n, COUNT(DISTINCT eas_id) AS nd FROM poly",
+    ).collect()
+    assert len(row) == 1
+    r = row[0]
+    eas = [168, 179, 171, 173, 172, 169, 166, 158, 165, 170]
+    assert r["max_e"] == max(eas) and r["min_e"] == min(eas)
+    assert r["sum_e"] == sum(eas) and r["n"] == 10 and r["nd"] == 10
+    assert abs(r["avg_e"] - sum(eas) / 10) < 1e-9
+
+
+def test_star_exclude(layers):
+    df = ogr_sql(layers, "SELECT * EXCLUDE (prfedea, wkb) FROM poly")
+    assert "prfedea" not in df.columns and "wkb" not in df.columns
+    assert "eas_id" in df.columns
+
+
+def test_special_fields(layers):
+    rows = ogr_sql(
+        layers,
+        "SELECT FID, OGR_GEOM_AREA FROM poly ORDER BY FID",
+    ).collect()
+    assert [r["FID"] for r in rows] == list(range(10))
+    assert all(r["OGR_GEOM_AREA"] > 0 for r in rows)
+
+
+def test_first_match_left_join(layers):
+    # ogr_sql_dialect.rst:411-435 join shape; idlink has one row per
+    # eas_id so first-match == only-match; eas 170-173 unmatched -> NULL
+    rows = ogr_sql(
+        layers,
+        "SELECT poly.eas_id, idlink.name FROM poly "
+        "LEFT JOIN idlink ON poly.eas_id = idlink.eas_id "
+        "ORDER BY poly.eas_id",
+    ).collect()
+    assert len(rows) == 10
+    matched = {r["eas_id"]: r["name"] for r in rows if r["name"] is not None}
+    assert matched == {e: f"_{e}_" for e in fx.IDLINK_EAS if e in
+                       [168, 179, 171, 173, 172, 169, 166, 158, 165, 170]}
+
+
+def test_first_match_cardinality(spark, layers):
+    # secondary with DUPLICATE keys: OGR returns the first (lowest FID)
+    import pandas as pd
+
+    dup = spark.createDataFrame(pd.DataFrame({
+        "fid": [0, 1, 2], "k": [158, 158, 165], "v": ["a", "b", "c"],
+    }))
+    register_layer(spark, "dup", dup, wkb_col=None)
+    rows = ogr_sql(
+        layers,
+        "SELECT poly.eas_id, dup.v FROM poly "
+        "LEFT JOIN dup ON poly.eas_id = dup.k WHERE poly.eas_id < 166 "
+        "ORDER BY poly.eas_id",
+    ).collect()
+    got = {r["eas_id"]: r["v"] for r in rows}
+    assert got == {158: "a", 165: "c"}   # first match by FID, not 'b'
+
+
+def test_substr_concat(layers):
+    rows = ogr_sql(
+        layers,
+        "SELECT CONCAT(prfedea, '-x') AS tag, SUBSTR(prfedea, 1, 4) AS head "
+        "FROM poly WHERE eas_id = 158",
+    ).collect()
+    assert rows[0]["tag"] == "35043369-x" and rows[0]["head"] == "3504"
+
+
+def test_hstore_get_value(spark, layers):
+    import pandas as pd
+
+    register_layer(
+        spark, "hst",
+        spark.createDataFrame(pd.DataFrame({
+            "fid": [1], "props": ['"a"=>"x", "b"=>"y"'],
+        })), wkb_col=None)
+    rows = ogr_sql(
+        layers,
+        """SELECT HSTORE_GET_VALUE(replace(props, '"', ''), 'b') AS v FROM hst""",
+    ).collect()
+    assert rows[0]["v"] == "y"
