@@ -53,3 +53,4 @@ from . import relational  # noqa: E402,F401
 from . import spatial  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import raster  # noqa: E402,F401
+from . import algebra  # noqa: E402,F401

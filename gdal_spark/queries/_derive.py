@@ -208,6 +208,43 @@ def polygon_attr_values() -> str:
     )
 
 
+def pip_match_cte() -> str:
+    """Shared WITH-body: derived points, fixture polygon edges, the
+    ray-cast crossing count, and ``inside(doc_id, fid)`` matches —
+    reused by the PIP join and every layer-algebra oracle."""
+    return f"""
+    pts AS ({points_sql()}),
+    edges(fid, ex1, ey1, ex2, ey2) AS (VALUES
+      {polygon_edges_values()}
+    ),
+    env(fid, exmin, eymin, exmax, eymax) AS (VALUES
+      {polygon_env_values()}
+    ),
+    attr(fid, eas_id, prfedea) AS (VALUES
+      {polygon_attr_values()}
+    ),
+    cand AS (
+      SELECT p.doc_id, p.x, p.y, v.fid
+      FROM pts p JOIN env v
+        ON p.x >= v.exmin AND p.x <= v.exmax
+       AND p.y >= v.eymin AND p.y <= v.eymax
+    ),
+    crossings AS (
+      SELECT c.doc_id, c.fid,
+        CASE WHEN (((e.ey1 - c.y) > 0 AND (e.ey2 - c.y) <= 0)
+                OR ((e.ey2 - c.y) > 0 AND (e.ey1 - c.y) <= 0))
+              AND (((e.ex1 - c.x) * (e.ey2 - c.y) - (e.ex2 - c.x) * (e.ey1 - c.y))
+                   / ((e.ey2 - c.y) - (e.ey1 - c.y)) > 0)
+        THEN 1 ELSE 0 END AS cr
+      FROM cand c JOIN edges e ON e.fid = c.fid
+    ),
+    inside AS (
+      SELECT doc_id, fid FROM crossings
+      GROUP BY doc_id, fid HAVING SUM(cr) % 2 = 1
+    )
+    """
+
+
 def polygon_bbox_values() -> str:
     """VALUES rows (fid, xmin, ymin, xmax, ymax) — wkb bbox companions."""
     return ",\n      ".join(

@@ -150,3 +150,109 @@ def polygonize_q(spark, sf_dir):
     gt = (grid.top_left_x, res, 0.0, grid.top_left_y, 0.0, -res)
     out = polygonize_tiles(tiles, tile_size=R_TS, nodata=0, geotransform=gt)
     return out.select("comp", "value", "pixel_count", "n_rings").orderBy("comp")
+
+
+# ------------------------------------------------------------- focal ops
+def _neighbor_joins():
+    """3x3 self-join clauses for the derived grid (afWin order)."""
+    terms = []
+    k = 0
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            terms.append(
+                f"JOIN px w{k} ON w{k}.r = a.r + ({dr}) AND w{k}.c = a.c + ({dc})")
+            k += 1
+    return "\n      ".join(terms)
+
+
+_HS = """
+      CASE WHEN (
+        (sin(radians(45.0)) -
+         ((((w0.v + 2*w1.v + w2.v) - (w6.v + 2*w7.v + w8.v)) / (8.0*3.0))
+            * cos(radians(315.0)) * cos(radians(45.0))
+          - (((w0.v + 2*w3.v + w6.v) - (w2.v + 2*w5.v + w8.v)) / (8.0*2.0))
+            * sin(radians(315.0)) * cos(radians(45.0))))
+        / sqrt(1.0
+          + (((w0.v + 2*w3.v + w6.v) - (w2.v + 2*w5.v + w8.v)) / (8.0*2.0))
+            * (((w0.v + 2*w3.v + w6.v) - (w2.v + 2*w5.v + w8.v)) / (8.0*2.0))
+          + (((w0.v + 2*w1.v + w2.v) - (w6.v + 2*w7.v + w8.v)) / (8.0*3.0))
+            * (((w0.v + 2*w1.v + w2.v) - (w6.v + 2*w7.v + w8.v)) / (8.0*3.0)))
+      ) <= 0.0 THEN 1.0 ELSE
+        1.0 + 254.0 * (
+        (sin(radians(45.0)) -
+         ((((w0.v + 2*w1.v + w2.v) - (w6.v + 2*w7.v + w8.v)) / (8.0*3.0))
+            * cos(radians(315.0)) * cos(radians(45.0))
+          - (((w0.v + 2*w3.v + w6.v) - (w2.v + 2*w5.v + w8.v)) / (8.0*2.0))
+            * sin(radians(315.0)) * cos(radians(45.0))))
+        / sqrt(1.0
+          + (((w0.v + 2*w3.v + w6.v) - (w2.v + 2*w5.v + w8.v)) / (8.0*2.0))
+            * (((w0.v + 2*w3.v + w6.v) - (w2.v + 2*w5.v + w8.v)) / (8.0*2.0))
+          + (((w0.v + 2*w1.v + w2.v) - (w6.v + 2*w7.v + w8.v)) / (8.0*3.0))
+            * (((w0.v + 2*w1.v + w2.v) - (w6.v + 2*w7.v + w8.v)) / (8.0*3.0)))
+      ) END
+"""
+
+
+@register(
+    "focal_hillshade",
+    sql=f"""
+    WITH px AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    )
+    SELECT a.r, a.c, ROUND({_HS}, 6) AS shade
+    FROM px a
+      {_neighbor_joins()}
+    WHERE a.r BETWEEN 1 AND {GW - 2} AND a.c BETWEEN 1 AND {GW - 2}
+    ORDER BY a.r, a.c
+    """,
+    desc="gdaldem hillshade (Horn gradient, gdaldem_lib.cpp:1003-1029) via "
+         "distributed halo exchange; interior pixels oracle-checked "
+         "against a 3x3 self-join in SQL",
+)
+def focal_hillshade(spark, sf_dir):
+    import pandas as pd
+    from typing import Iterator as _It
+
+    from ..operators.focal import focal_tiles
+
+    ts = GW // 2  # 2x2 tiles -> real halo exchange across all 4 borders
+
+    def _mk_tiles(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.zeros(GW * GW, dtype=np.float64)
+        a[pdf["idx"].to_numpy()] = pdf["v"].to_numpy()
+        a = a.reshape(GW, GW)
+        rows = []
+        for tyy in range(2):
+            for txx in range(2):
+                rows.append({
+                    "tx": txx, "ty": tyy,
+                    "px": a[tyy * ts:(tyy + 1) * ts,
+                            txx * ts:(txx + 1) * ts].tobytes(),
+                })
+        return pd.DataFrame(rows)
+
+    px = _derived_grid_df(spark)
+    tiles = px.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _mk_tiles, "tx long, ty long, px binary")
+    out = focal_tiles(tiles, "hillshade", zoom=1, ewres=2.0, nsres=3.0,
+                      dtype="float64", tile_size=ts, out_dtype="float64")
+
+    def _to_rows(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                tile = np.frombuffer(rr["px"], dtype=np.float64).reshape(ts, ts)
+                ys, xs = np.nonzero(~np.isnan(tile))
+                yield pd.DataFrame({
+                    "r": rr["ty"] * ts + ys,
+                    "c": rr["tx"] * ts + xs,
+                    "shade": np.round(tile[ys, xs], 6),
+                })
+
+    rows = out.select("tx", "ty", "px").mapInPandas(
+        _to_rows, "r long, c long, shade double")
+    return rows.filter(
+        (F.col("r") >= 1) & (F.col("r") <= GW - 2)
+        & (F.col("c") >= 1) & (F.col("c") <= GW - 2)
+    ).orderBy("r", "c")
