@@ -26,7 +26,48 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3ish",
     "events_sessionize",
+    "minhash_pairs",
+    "simhash",
+    "ann_topk",
+    "dedup_exact",
+    "text_metrics",
+    "rasterize_tiles",
+    "tile_pyramid",
+    "polygonize",
+    "focal_hillshade",
+    "grid_idw",
+    "la_identity",
 ]
+
+BIG_JOIN_N = 8_000_000
+
+
+def big_join_docs_per_sec(spark):
+    """Steady-state spatial-join throughput on derived points — the
+    BASELINE.json metric (docs/sec), measured at a size where compute
+    dominates planning (see BENCH.md)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.spatial_join import spatial_join
+    from gdal_spark.queries import _derive as dv
+    from gdal_spark.sources import fixtures as fx
+
+    x, y = dv.point_cols(F.col("doc_id"))
+    pts = (
+        spark.range(BIG_JOIN_N).select(F.col("id").alias("doc_id"))
+        .withColumn("x", x).withColumn("y", y)
+        .repartition(64).persist()
+    )
+    pts.count()
+    polys = spark.createDataFrame(fx.polygons_pandas())
+    spatial_join(pts, polys, dv.GRID, zoom=6).write.mode(
+        "overwrite").format("noop").save()   # warm-up
+    t0 = time.time()
+    spatial_join(pts, polys, dv.GRID, zoom=6).write.mode(
+        "overwrite").format("noop").save()
+    dt = time.time() - t0
+    pts.unpersist()
+    return round(BIG_JOIN_N / dt, 1), round(dt, 3)
 
 
 def run(spark, sf_dir, names, queries):
@@ -58,8 +99,7 @@ def main():
     times = run(spark, sf_dir, names, QUERIES)
     total = round(sum(times.values()), 3)
 
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    docs_per_sec = round(n_docs / times["pip_join"], 1) if times.get("pip_join") else None
+    docs_per_sec, big_wall = big_join_docs_per_sec(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -70,6 +110,8 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
         "spatial_join_docs_per_sec": docs_per_sec,
+        "spatial_join_n_docs": BIG_JOIN_N,
+        "spatial_join_wall_sec": big_wall,
     }))
 
 

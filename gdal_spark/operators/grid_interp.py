@@ -1,0 +1,125 @@
+"""Gridding / interpolation: scattered points -> regular cell grid.
+
+The Spark rendering of GDALGrid (/root/reference/alg/gdalgrid.cpp):
+IDW (:109), nearest (:879, radius-growth :909-920), moving average
+(:629), data metrics (:1033+).  The reference scans a quadtree per
+output cell; distributed, we invert it: each point explodes to the
+disk of output cells it can influence (JVM sequence explode, bounded
+by radius_cells), then one groupBy(cell) computes the kernel as pure
+Column aggregates — no Python anywhere, map-side partial
+aggregation, shuffle keyed by output cell.
+
+Weights and distances are plain IEEE Column arithmetic, so every
+operator here is oracle-checkable in SQL (sums rounded to heal
+summation-order ulps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .. import functions as gf
+from ..kernels.cells import TileGrid
+
+
+def _cells_around_points(points: DataFrame, grid: TileGrid, zoom: int,
+                         radius_cells: int) -> DataFrame:
+    """Each point row replicated to every cell in its Chebyshev disk,
+    with the cell-center coordinates and the point->center distance."""
+    n = (1 << zoom) - 1
+    ts = grid.tile_span(zoom)
+    tx, ty = gf.tile_xy_cols(grid, zoom, F.col("x"), F.col("y"))
+    pts = points.withColumn("ptx", tx).withColumn("pty", ty)
+    r = radius_cells
+    pts = pts.select(
+        "*", F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("dx"))
+    pts = pts.select(
+        "*", F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("dy"))
+    pts = (
+        pts.withColumn("ctx", F.col("ptx") + F.col("dx"))
+        .withColumn("cty", F.col("pty") + F.col("dy"))
+        .filter((F.col("ctx") >= 0) & (F.col("ctx") <= n)
+                & (F.col("cty") >= 0) & (F.col("cty") <= n))
+        .drop("dx", "dy", "ptx", "pty")
+    )
+    cx = F.lit(grid.top_left_x) + (F.col("ctx").cast("double") + 0.5) * F.lit(ts)
+    cy = F.lit(grid.top_left_y) - (F.col("cty").cast("double") + 0.5) * F.lit(ts)
+    d2 = (F.col("x") - cx) * (F.col("x") - cx) + (F.col("y") - cy) * (F.col("y") - cy)
+    return pts.withColumn("cx", cx).withColumn("cy", cy).withColumn("d2", d2)
+
+
+def grid_idw(points: DataFrame, grid: TileGrid, zoom: int,
+             radius_cells: int = 1, power: float = 2.0,
+             value_col: str = "v") -> DataFrame:
+    """Inverse-distance-weighted interpolation per output cell
+    (gdalgrid.cpp:109 GDALGridInverseDistanceToAPower, radius-bounded):
+    idw = sum(v / d^p) / sum(1 / d^p) over points within the radius;
+    a point exactly on the center (d2 == 0) wins outright (the
+    reference's dfR2 == 0 shortcut)."""
+    ts = grid.tile_span(zoom)
+    radius2 = float(radius_cells * ts) ** 2
+    cand = _cells_around_points(points, grid, zoom, radius_cells).filter(
+        F.col("d2") <= F.lit(radius2))
+    w = F.pow(F.col("d2"), F.lit(-power / 2.0))
+    agg = cand.groupBy("ctx", "cty").agg(
+        F.sum(F.when(F.col("d2") == 0, 0.0)
+              .otherwise(w * F.col(value_col))).alias("wv"),
+        F.sum(F.when(F.col("d2") == 0, 0.0).otherwise(w)).alias("ws"),
+        F.min(F.when(F.col("d2") == 0, F.col(value_col))).alias("exact"),
+        F.count("*").alias("n_pts"),
+    )
+    idw = F.when(F.col("exact").isNotNull(), F.col("exact")).otherwise(
+        F.col("wv") / F.col("ws"))
+    return agg.select("ctx", "cty", idw.alias("idw"), "n_pts")
+
+
+def grid_nearest(points: DataFrame, grid: TileGrid, zoom: int,
+                 radius_cells: int = 1, value_col: str = "v",
+                 id_col: str = "pid") -> DataFrame:
+    """Nearest-point value per output cell within the radius —
+    (d2, pid) deterministic ties (gdalgrid.cpp:879)."""
+    ts = grid.tile_span(zoom)
+    radius2 = float(radius_cells * ts) ** 2
+    cand = _cells_around_points(points, grid, zoom, radius_cells).filter(
+        F.col("d2") <= F.lit(radius2))
+    win = Window.partitionBy("ctx", "cty").orderBy(
+        F.col("d2").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select("ctx", "cty", F.col(value_col).alias("nearest"),
+                F.col("d2").alias("dist2"))
+    )
+
+
+def grid_metrics(points: DataFrame, grid: TileGrid, zoom: int,
+                 radius_cells: int = 1, value_col: str = "v") -> DataFrame:
+    """Per-cell data metrics within the radius: count / min / max /
+    range / average distance (gdalgrid.cpp:1033+, enum
+    gdal_alg.h:402-416)."""
+    ts = grid.tile_span(zoom)
+    radius2 = float(radius_cells * ts) ** 2
+    cand = _cells_around_points(points, grid, zoom, radius_cells).filter(
+        F.col("d2") <= F.lit(radius2))
+    return cand.groupBy("ctx", "cty").agg(
+        F.count("*").alias("n_pts"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        (F.max(value_col) - F.min(value_col)).alias("vrange"),
+        F.avg(F.sqrt(F.col("d2"))).alias("avg_dist"),
+    )
+
+
+def grid_moving_average(points: DataFrame, grid: TileGrid, zoom: int,
+                        radius_cells: int = 1,
+                        value_col: str = "v") -> DataFrame:
+    """Arithmetic mean of values within the radius (gdalgrid.cpp:629)."""
+    ts = grid.tile_span(zoom)
+    radius2 = float(radius_cells * ts) ** 2
+    cand = _cells_around_points(points, grid, zoom, radius_cells).filter(
+        F.col("d2") <= F.lit(radius2))
+    return cand.groupBy("ctx", "cty").agg(
+        F.avg(value_col).alias("avg_v"),
+        F.count("*").alias("n_pts"),
+    )

@@ -54,3 +54,4 @@ from . import spatial  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import raster  # noqa: E402,F401
 from . import algebra  # noqa: E402,F401
+from . import gridding  # noqa: E402,F401
