@@ -1,0 +1,259 @@
+"""ST_* spatial scalar functions, registered into Spark SQL.
+
+Mirrors the reference's SQLite-dialect registrations
+(/root/reference/ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:
+1188-1240): ST_AsText, ST_GeomFromText, ST_MakePoint, ST_IsEmpty,
+ST_Area, ST_Length, ST_Centroid, ST_Distance, ST_Intersects (point/
+polygon + bbox pessimistic), ST_Within/ST_Contains (point-in-polygon
+subset), ST_SRID/ST_Transform (EPSG:4326 <-> 3857 only, SURVEY
+non-goals), plus ST_X/ST_Y accessors.
+
+Geometry values are WKB bytes (BinaryType) end-to-end; parsing and
+geometric math run in Arrow-batched pandas UDFs over the numpy
+kernels (the ones bit-matched to the cited GDAL code).  Predicates
+that gate joins (intersects/contains for the point case) also exist
+as pure Column forms in gdal_spark.functions — these UDFs are the
+general-WKB surface for ad-hoc SQL.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.types import (BinaryType, BooleanType, DoubleType, StringType)
+
+from ..kernels import geom as kgeom
+from ..kernels import pip as kpip
+from ..kernels import wkb as kwkb
+
+
+def _parse(b):
+    return kwkb.parse_wkb(bytes(b)) if b is not None else (None, None)
+
+
+# ---- constructors / accessors -------------------------------------------
+def _st_makepoint(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    return pd.Series(
+        [kwkb.wkb_point(float(x), float(y)) for x, y in zip(xs, ys)])
+
+
+def _st_astext(bs: pd.Series) -> pd.Series:
+    def one(b):
+        if b is None:
+            return None
+        t, p = _parse(b)
+        if t == kwkb.POINT:
+            return f"POINT ({p[0]:.15g} {p[1]:.15g})"
+        if t == kwkb.LINESTRING:
+            inner = ",".join(f"{x:.15g} {y:.15g}" for x, y in p)
+            return f"LINESTRING ({inner})"
+        if t == kwkb.POLYGON:
+            rings = ",".join(
+                "(" + ",".join(f"{x:.15g} {y:.15g}" for x, y in r) + ")"
+                for r in p)
+            return f"POLYGON ({rings})"
+        return f"GEOMETRY_{t}"
+    return bs.map(one)
+
+
+def _st_geomfromtext(ws: pd.Series) -> pd.Series:
+    def one(w):
+        if w is None:
+            return None
+        w = w.strip()
+        if w.upper().startswith("POINT"):
+            x, y = kwkb.parse_wkt_point(w)
+            return kwkb.wkb_point(x, y)
+        if w.upper().startswith("POLYGON"):
+            body = w[w.index("(") + 1:w.rindex(")")]
+            rings = []
+            depth = 0
+            cur = ""
+            for ch in body:
+                if ch == "(":
+                    depth += 1
+                    cur = ""
+                elif ch == ")":
+                    depth -= 1
+                    pts = [tuple(map(float, t.split()))
+                           for t in cur.split(",") if t.strip()]
+                    rings.append(np.array(pts))
+                elif depth:
+                    cur += ch
+            return kwkb.wkb_polygon(rings)
+        raise ValueError(f"unsupported WKT: {w[:30]}")
+    return ws.map(one)
+
+
+def _st_x(bs: pd.Series) -> pd.Series:
+    return bs.map(lambda b: _parse(b)[1][0] if b is not None else None)
+
+
+def _st_y(bs: pd.Series) -> pd.Series:
+    return bs.map(lambda b: _parse(b)[1][1] if b is not None else None)
+
+
+# ---- measures ------------------------------------------------------------
+def _st_area(bs: pd.Series) -> pd.Series:
+    def one(b):
+        if b is None:
+            return 0.0
+        t, p = _parse(b)
+        if t == kwkb.POLYGON:
+            return kgeom.polygon_area(p)
+        if t == kwkb.MULTIPOLYGON:
+            return sum(kgeom.polygon_area(rings) for rings in p)
+        return 0.0
+    return bs.map(one)
+
+
+def _st_length(bs: pd.Series) -> pd.Series:
+    def one(b):
+        if b is None:
+            return 0.0
+        t, p = _parse(b)
+        if t == kwkb.LINESTRING:
+            d = np.diff(p, axis=0)
+            return float(np.sqrt((d * d).sum(axis=1)).sum())
+        if t == kwkb.MULTILINESTRING:
+            tot = 0.0
+            for part in p:
+                d = np.diff(part, axis=0)
+                tot += float(np.sqrt((d * d).sum(axis=1)).sum())
+            return tot
+        return 0.0
+    return bs.map(one)
+
+
+def _st_centroid(bs: pd.Series) -> pd.Series:
+    def one(b):
+        if b is None:
+            return None
+        t, p = _parse(b)
+        if t == kwkb.POINT:
+            return kwkb.wkb_point(*p)
+        if t == kwkb.POLYGON:
+            cx, cy = kgeom.ring_centroid(p[0])
+            return kwkb.wkb_point(cx, cy)
+        if t == kwkb.LINESTRING:
+            return kwkb.wkb_point(float(p[:, 0].mean()), float(p[:, 1].mean()))
+        return None
+    return bs.map(one)
+
+
+def _st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    def one(wa, wb):
+        if wa is None or wb is None:
+            return None
+        ta, pa = _parse(wa)
+        tb, pb = _parse(wb)
+        if ta == kwkb.POINT and tb == kwkb.POINT:
+            return math.hypot(pa[0] - pb[0], pa[1] - pb[1])
+        if ta == kwkb.POINT and tb == kwkb.LINESTRING:
+            best = np.inf
+            for i in range(len(pb) - 1):
+                d2 = kgeom.point_segment_dist2(
+                    np.array([pa[0]]), np.array([pa[1]]),
+                    pb[i][0], pb[i][1], pb[i + 1][0], pb[i + 1][1])
+                best = min(best, float(d2[0]))
+            return math.sqrt(best)
+        if tb == kwkb.POINT:
+            return one(wb, wa)
+        raise ValueError("ST_Distance: unsupported geometry pair")
+    return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+
+# ---- predicates ----------------------------------------------------------
+def _contains_point(poly_wkb, px, py):
+    rings = kwkb.polygon_rings(bytes(poly_wkb))
+    return bool(kpip.points_in_polygon(
+        np.array([px]), np.array([py]), rings)[0])
+
+
+def _st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
+    def one(wa, wb):
+        if wa is None or wb is None:
+            return None
+        tb, pb = _parse(wb)
+        if tb == kwkb.POINT:
+            return _contains_point(wa, pb[0], pb[1])
+        raise ValueError("ST_Contains: polygon/point subset only")
+    return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+
+def _st_within(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _st_contains(b, a)
+
+
+def _st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+    def one(wa, wb):
+        if wa is None or wb is None:
+            return None
+        ta, pa = _parse(wa)
+        tb, pb = _parse(wb)
+        if ta == kwkb.POINT and tb == kwkb.POLYGON:
+            return _contains_point(wb, pa[0], pa[1])
+        if tb == kwkb.POINT and ta == kwkb.POLYGON:
+            return _contains_point(wa, pb[0], pb[1])
+        # pessimistic bbox phase (ogr_wkb.h:36) for other pairs
+        return kgeom.bbox_intersects(
+            kwkb.wkb_bbox(bytes(wa)), kwkb.wkb_bbox(bytes(wb)))
+    return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+
+def _st_isempty(bs: pd.Series) -> pd.Series:
+    def one(b):
+        if b is None:
+            return None
+        t, p = _parse(b)
+        if t == kwkb.POINT:
+            return False
+        return len(p) == 0
+    return bs.map(one)
+
+
+# ---- CRS (EPSG:4326 <-> 3857 only) --------------------------------------
+def _st_transform(bs: pd.Series, to_srid: pd.Series) -> pd.Series:
+    def one(b, srid):
+        if b is None:
+            return None
+        t, p = _parse(b)
+        if t != kwkb.POINT:
+            raise ValueError("ST_Transform: point subset only")
+        if int(srid) == 3857:
+            x, y = kgeom.lonlat_to_mercator(p[0], p[1])
+        elif int(srid) == 4326:
+            x, y = kgeom.mercator_to_lonlat(p[0], p[1])
+        else:
+            raise ValueError(f"unsupported SRID {srid}")
+        return kwkb.wkb_point(float(x), float(y))
+    return pd.Series([one(b, s) for b, s in zip(bs, to_srid)])
+
+
+_REGISTRY = [
+    ("st_makepoint", _st_makepoint, BinaryType()),
+    ("st_astext", _st_astext, StringType()),
+    ("st_geomfromtext", _st_geomfromtext, BinaryType()),
+    ("st_x", _st_x, DoubleType()),
+    ("st_y", _st_y, DoubleType()),
+    ("st_area", _st_area, DoubleType()),
+    ("st_length", _st_length, DoubleType()),
+    ("st_centroid", _st_centroid, BinaryType()),
+    ("st_distance", _st_distance, DoubleType()),
+    ("st_contains", _st_contains, BooleanType()),
+    ("st_within", _st_within, BooleanType()),
+    ("st_intersects", _st_intersects, BooleanType()),
+    ("st_isempty", _st_isempty, BooleanType()),
+    ("st_transform", _st_transform, BinaryType()),
+]
+
+
+def register_st_functions(spark: SparkSession) -> None:
+    """Register the ST_* surface for SQL use (spark.udf.register of
+    Arrow-batched pandas UDFs — the engine's custom-SQL-function
+    mechanism, ogr_swq.h:225-231 role)."""
+    for name, fn, rtype in _REGISTRY:
+        spark.udf.register(name, F.pandas_udf(fn, rtype))

