@@ -111,9 +111,39 @@ def equivalence_edges(runs: DataFrame, tile_size: int = 256,
 
 
 def global_labels(runs: DataFrame, edges: DataFrame,
-                  max_rounds: int = 64) -> DataFrame:
+                  max_rounds: int = 64,
+                  driver_threshold: int = 2_000_000) -> DataFrame:
     """Step 3: (node, comp) with comp = min node id in the connected
-    node cluster — iterative min propagation to fixpoint."""
+    node cluster.
+
+    Strategy choice mirrors broadcast-vs-shuffle joins: below
+    ``driver_threshold`` edges the union-find runs on the driver
+    (O(E α), one collect + one createDataFrame); above it, the
+    distributed min-propagation with pointer jumping (O(log diameter)
+    rounds, each fully parallel) takes over.
+    """
+    spark = runs.sparkSession
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        nodes = [r["node"] for r in runs.select("node").distinct().collect()]
+        parent = {n: n for n in nodes}
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for r in edges.collect():
+            a, b = find(r["n_a"]), find(r["n_b"])
+            if a != b:
+                if a < b:
+                    parent[b] = a
+                else:
+                    parent[a] = b
+        rows = [(n, find(n)) for n in nodes]
+        return spark.createDataFrame(rows, "node long, comp long")
+
     comp = runs.select("node").distinct().withColumn("comp", F.col("node"))
     sym = edges.unionByName(
         edges.select(F.col("n_b").alias("n_a"), F.col("n_a").alias("n_b"))
@@ -135,13 +165,26 @@ def global_labels(runs: DataFrame, edges: DataFrame,
                     F.col("comp"),
                     F.coalesce(F.col("nb_comp"), F.col("comp")),
                 ).alias("comp"),
-                (F.coalesce(F.col("nb_comp"), F.col("comp"))
-                 < F.col("comp")).alias("_chg"),
             )
+        )
+        # pointer jumping (comp := comp[comp]) turns the O(diameter)
+        # min-propagation into O(log diameter) rounds — long chains
+        # (contour polylines) would otherwise exhaust max_rounds
+        m = new.select(F.col("node").alias("jnode"),
+                       F.col("comp").alias("jcomp"))
+        new = (
+            new.join(m, new.comp == m.jnode, "left")
+            .select("node",
+                    F.least(F.col("comp"),
+                            F.coalesce(F.col("jcomp"), F.col("comp")))
+                    .alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = new.filter(F.col("_chg")).count()
-        comp = new.drop("_chg")
+        changed = (
+            new.join(comp.withColumnRenamed("comp", "_old"), "node")
+            .filter(F.col("comp") != F.col("_old")).count()
+        )
+        comp = new
         if changed == 0:
             break
     return comp

@@ -365,3 +365,105 @@ def point_sample_bilinear(spark, sf_dir):
                        pixgrid, zoom=1, method="bilinear", dtype="uint8",
                        tile_size=GW // 2)
     return out.select("pid", F.round("value", 6).alias("value")).orderBy("pid")
+
+
+# -------------------------------------------------- proximity / sieve / contour
+@register(
+    "proximity",
+    sql=f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c, ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    tgt AS (SELECT r AS tr, c AS tc FROM gpx WHERE v = 0),
+    d AS (
+      SELECT g.r, g.c,
+             MIN(sqrt(CAST((g.r - t.tr) * (g.r - t.tr)
+                         + (g.c - t.tc) * (g.c - t.tc) AS DOUBLE))) AS dist
+      FROM gpx g CROSS JOIN tgt t
+      GROUP BY g.r, g.c
+    )
+    SELECT r, c,
+           ROUND(CASE WHEN dist <= 40.0 THEN dist ELSE 65535.0 END, 6) AS dist
+    FROM d ORDER BY r, c
+    """,
+    desc="proximity raster (alg/gdalproximity.cpp:94): distance to nearest "
+         "target pixel via bounded-radius target gather; exact Euclidean "
+         "min bit-matched against SQL",
+)
+def proximity_q(spark, sf_dir):
+    from typing import Iterator as _It
+
+    from ..operators.proximity import proximity_tiles
+
+    ts = GW // 2
+    tiles = _pixel_tiles_df(spark)
+    out = proximity_tiles(tiles, [0], maxdist=40.0, dtype="uint8",
+                          tile_size=ts, out_dtype="float64")
+
+    def _rows(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.float64).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                yield pd.DataFrame({
+                    "r": (rr["ty"] * ts + ys).ravel(),
+                    "c": (rr["tx"] * ts + xs).ravel(),
+                    "dist": np.round(t.ravel(), 6),
+                })
+
+    return out.mapInPandas(_rows, "r long, c long, dist double").orderBy("r", "c")
+
+
+@register(
+    "sieve",
+    sql=None,  # simultaneous-merge semantics; tile-split invariance
+               # goldens in tests/test_sieve.py
+    desc="sieve filter (alg/gdalsievefilter.cpp:178): small components "
+         "absorbed by largest neighbor, distributed union-find + merge rounds",
+)
+def sieve_q(spark, sf_dir):
+    from ..operators.sieve import sieve_tiles
+
+    ts = GW // 2
+
+    def _mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # blocky regions + scattered single-pixel specks to absorb
+        rr, cc = np.mgrid[0:GW, 0:GW]
+        a = ((rr // 8 + cc // 8) % 4).astype(np.uint8)
+        speck = (rr * GW + cc) % 97 == 0
+        a[speck] = 9
+        rows = []
+        for tyy in range(2):
+            for txx in range(2):
+                rows.append({"tx": txx, "ty": tyy,
+                             "px": a[tyy * ts:(tyy + 1) * ts,
+                                     txx * ts:(txx + 1) * ts].tobytes()})
+        return pd.DataFrame(rows)
+
+    tiles = spark.range(1).withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _mk, "tx long, ty long, px binary")
+    runs = sieve_tiles(tiles, threshold=4, tile_size=ts, nodata=None)
+    return (
+        runs.groupBy("value")
+        .agg(F.sum(F.col("gx1") - F.col("gx0") + 1).alias("n_px"))
+        .orderBy("value")
+    )
+
+
+@register(
+    "contour",
+    sql=None,  # marching squares + stitching; tile-split invariance
+               # goldens in tests/test_contour.py
+    desc="contour lines (alg/contour.cpp, marching_squares/): per-tile "
+         "cells + cross-tile polyline stitching via pointer-jumping "
+         "union-find on exact endpoints",
+)
+def contour_q(spark, sf_dir):
+    from ..operators.contour import contour_tiles
+
+    ts = GW // 2
+    tiles = _pixel_tiles_df(spark)
+    out = contour_tiles(tiles, levels=[100.5, 200.5], tile_size=ts)
+    return out.select("level", "n_pts", "closed").orderBy(
+        "level", "n_pts", "closed")
