@@ -1,0 +1,100 @@
+"""Band algebra: expression evaluation + reclassification over tiles.
+
+The reference's per-pixel expression machinery — VRT pixel functions
+(/root/reference/frmts/vrt/pixelfunctions.cpp:3940-4030), free-form
+muparser bands (/root/reference/frmts/vrt/vrtexpression_muparser.cpp),
+``gdal raster calc`` (/root/reference/apps/gdalalg_raster_calc.cpp)
+and the reclassifier (/root/reference/frmts/vrt/vrtreclassifier.cpp)
+— maps to numpy expressions over co-grouped band tiles: the bands
+join on (tx, ty) (one shuffle keyed by tile), and the expression runs
+vectorized per tile.  The expression namespace is a whitelist of
+numpy ufuncs — no arbitrary eval surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernels import checksum as kck
+
+OUT_SCHEMA = "tx long, ty long, px binary, checksum long"
+
+_SAFE_FUNCS = {
+    "sqrt": np.sqrt, "log": np.log, "log10": np.log10, "exp": np.exp,
+    "abs": np.abs, "minimum": np.minimum, "maximum": np.maximum,
+    "where": np.where, "sin": np.sin, "cos": np.cos, "floor": np.floor,
+    "clip": np.clip, "power": np.power,
+}
+
+
+def calc_tiles(bands: dict[str, DataFrame], expr: str,
+               dtype: str = "uint8", out_dtype: str = "float64",
+               tile_size: int = 256) -> DataFrame:
+    """Evaluate ``expr`` over named band-tile DataFrames.
+
+    bands: {"A": tilesA, "B": tilesB, ...} each (tx, ty, px).
+    Missing tiles in a band read as 0 (VRT's default fill).
+    """
+    np_dtype = np.dtype(dtype)
+    np_out = np.dtype(out_dtype)
+    ts = tile_size
+    code = compile(expr, "<raster_calc>", "eval")
+    for name in code.co_names:
+        if name not in _SAFE_FUNCS and name not in bands:
+            raise ValueError(f"unknown symbol in expression: {name}")
+
+    names = sorted(bands)
+    joined = None
+    for name in names:
+        b = bands[name].select(
+            "tx", "ty", F.col("px").alias(f"px_{name}"))
+        joined = b if joined is None else joined.join(b, ["tx", "ty"], "outer")
+
+    def _calc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        env = dict(_SAFE_FUNCS)
+        for name in names:
+            raw = pdf.iloc[0][f"px_{name}"]
+            env[name] = (
+                np.frombuffer(raw, dtype=np_dtype).reshape(ts, ts)
+                .astype(np.float64)
+                if raw is not None else np.zeros((ts, ts)))
+        out = np.asarray(eval(code, {"__builtins__": {}}, env),
+                         dtype=np_out)
+        return pd.DataFrame({
+            "tx": [int(key[0])], "ty": [int(key[1])],
+            "px": [out.tobytes()],
+            "checksum": [kck.checksum(
+                out.astype(np.float64), is_float=True)],
+        })
+
+    return joined.groupBy("tx", "ty").applyInPandas(_calc, OUT_SCHEMA)
+
+
+def reclassify_tiles(tiles: DataFrame, ranges, default=0,
+                     dtype: str = "uint8", tile_size: int = 256) -> DataFrame:
+    """Reclassify pixel values by half-open ranges
+    [(lo, hi, new_value), ...] (first match wins, the reference's
+    mapping-table order; vrtreclassifier.cpp semantics)."""
+    np_dtype = np.dtype(dtype)
+    ts = tile_size
+    rng = [(float(lo), float(hi), int(v)) for lo, hi, v in ranges]
+
+    def _re(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.frombuffer(pdf.iloc[0]["px"], dtype=np_dtype).reshape(ts, ts)
+        a = arr.astype(np.float64)
+        out = np.full((ts, ts), default, dtype=np.int64)
+        assigned = np.zeros((ts, ts), dtype=bool)
+        for lo, hi, v in rng:
+            m = (a >= lo) & (a < hi) & ~assigned
+            out[m] = v
+            assigned |= m
+        out8 = out.astype(np_dtype)
+        return pd.DataFrame({
+            "tx": [int(key[0])], "ty": [int(key[1])],
+            "px": [out8.tobytes()],
+            "checksum": [kck.checksum(out8.astype(np.int64))],
+        })
+
+    return tiles.groupBy("tx", "ty").applyInPandas(_re, OUT_SCHEMA)

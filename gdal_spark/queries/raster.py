@@ -467,3 +467,144 @@ def contour_q(spark, sf_dir):
     out = contour_tiles(tiles, levels=[100.5, 200.5], tile_size=ts)
     return out.select("level", "n_pts", "closed").orderBy(
         "level", "n_pts", "closed")
+
+
+# ----------------------------------------------------- band calc / reclass
+def _two_band_tiles(spark):
+    ts = GW // 2
+
+    def _mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = np.arange(GW * GW).reshape(GW, GW)
+        a = ((idx * 7) % 256).astype(np.uint8)
+        b = ((idx * 13) % 256).astype(np.uint8)
+        rows = []
+        for band, arr in (("A", a), ("B", b)):
+            for tyy in range(2):
+                for txx in range(2):
+                    rows.append({
+                        "band": band, "tx": txx, "ty": tyy,
+                        "px": arr[tyy * ts:(tyy + 1) * ts,
+                                  txx * ts:(txx + 1) * ts].tobytes()})
+        return pd.DataFrame(rows)
+
+    both = spark.range(1).withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _mk, "band string, tx long, ty long, px binary")
+    both = both.cache()
+    return (both.filter(F.col("band") == "A").drop("band"),
+            both.filter(F.col("band") == "B").drop("band"))
+
+
+def _tile_pixel_rows(out, ts, value_col="value"):
+    from typing import Iterator as _It
+
+    def _rows(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.float64).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                yield pd.DataFrame({
+                    "r": (rr["ty"] * ts + ys).ravel(),
+                    "c": (rr["tx"] * ts + xs).ravel(),
+                    value_col: np.round(t.ravel(), 6),
+                })
+
+    return out.mapInPandas(_rows, f"r long, c long, {value_col} double")
+
+
+@register(
+    "raster_calc",
+    sql=f"""
+    WITH px AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS a,
+             CAST(((r.i * {GW} + c.i) * 13) % 256 AS DOUBLE) AS b
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    )
+    SELECT r, c, ROUND((a + b) / 2.0 + sqrt(a), 6) AS value
+    FROM px ORDER BY r, c
+    """,
+    desc="band algebra (VRT pixel functions / gdal raster calc, "
+         "pixelfunctions.cpp:3940-4030): numpy expression over "
+         "co-grouped band tiles, bit-matched in SQL",
+)
+def raster_calc_q(spark, sf_dir):
+    from ..operators.raster_calc import calc_tiles
+
+    ts = GW // 2
+    a, b = _two_band_tiles(spark)
+    out = calc_tiles({"A": a, "B": b}, "(A + B) / 2.0 + sqrt(A)",
+                     tile_size=ts)
+    return _tile_pixel_rows(out, ts).orderBy("r", "c")
+
+
+@register(
+    "reclassify",
+    sql=f"""
+    WITH px AS (
+      SELECT r.i AS r, c.i AS c, ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    )
+    SELECT r, c,
+           CAST(CASE WHEN v >= 0 AND v < 85 THEN 1
+                     WHEN v >= 85 AND v < 170 THEN 2
+                     WHEN v >= 170 AND v < 256 THEN 3
+                     ELSE 0 END AS BIGINT) AS cls
+    FROM px ORDER BY r, c
+    """,
+    desc="reclassify by value ranges (vrtreclassifier.cpp semantics)",
+)
+def reclassify_q(spark, sf_dir):
+    from typing import Iterator as _It
+
+    from ..operators.raster_calc import reclassify_tiles
+
+    ts = GW // 2
+    a, _b = _two_band_tiles(spark)
+    out = reclassify_tiles(a, [(0, 85, 1), (85, 170, 2), (170, 256, 3)],
+                           tile_size=ts)
+
+    def _rows(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.uint8).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                yield pd.DataFrame({
+                    "r": (rr["ty"] * ts + ys).ravel(),
+                    "c": (rr["tx"] * ts + xs).ravel(),
+                    "cls": t.ravel().astype(np.int64),
+                })
+
+    return out.mapInPandas(_rows, "r long, c long, cls long").orderBy("r", "c")
+
+
+# ------------------------------------------------------------- reproject
+@register(
+    "reproject_points",
+    sql=f"""
+    WITH ll AS (
+      SELECT doc_id,
+             -180.0 + 359.0 * (CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0) AS lon,
+             -85.0 + 170.0 * (CAST((doc_id * 40503 + 12345) % 1000003 AS DOUBLE) / 1000003.0) AS lat
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(6378137.0 * radians(lon), 4) AS mx,
+           ROUND(6378137.0 * ln(tan({0.7853981633974483!r} + radians(lat) / 2.0)), 4) AS my
+    FROM ll ORDER BY doc_id
+    """,
+    desc="EPSG:4326 -> 3857 point reprojection as pure Column math "
+         "(ogrct.cpp:2264 array-transform role), trig bit-checked vs SQL",
+)
+def reproject_points_q(spark, sf_dir):
+    from . import t as _t
+    from ..operators.warp import lonlat_to_mercator_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    f1 = ((F.col("doc_id") * 2654435761) % 1000003).cast("double") / 1000003.0
+    f2 = ((F.col("doc_id") * 40503 + 12345) % 1000003).cast("double") / 1000003.0
+    lon = F.lit(-180.0) + F.lit(359.0) * f1
+    lat = F.lit(-85.0) + F.lit(170.0) * f2
+    mx, my = lonlat_to_mercator_cols(lon, lat)
+    return docs.select(
+        "doc_id", F.round(mx, 4).alias("mx"), F.round(my, 4).alias("my")
+    ).orderBy("doc_id")
