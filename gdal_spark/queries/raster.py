@@ -608,3 +608,73 @@ def reproject_points_q(spark, sf_dir):
     return docs.select(
         "doc_id", F.round(mx, 4).alias("mx"), F.round(my, 4).alias("my")
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ fill nodata
+@register(
+    "fill_nodata",
+    sql=f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    holes AS (SELECT r, c FROM gpx WHERE v = 0),
+    filled AS (
+      SELECT h.r, h.c,
+             SUM(g.v / CAST((g.r - h.r) * (g.r - h.r)
+                          + (g.c - h.c) * (g.c - h.c) AS DOUBLE))
+             / SUM(1.0 / CAST((g.r - h.r) * (g.r - h.r)
+                            + (g.c - h.c) * (g.c - h.c) AS DOUBLE)) AS fv
+      FROM holes h JOIN gpx g
+        ON g.r BETWEEN h.r - 3 AND h.r + 3
+       AND g.c BETWEEN h.c - 3 AND h.c + 3
+       AND g.v <> 0
+      GROUP BY h.r, h.c
+    )
+    SELECT r, c, ROUND(fv, 6) AS value FROM filled ORDER BY r, c
+    """,
+    desc="fill nodata (alg/rasterfill.cpp:394 role): IDW(1/d^2) over "
+         "valid pixels in the search radius, k-px halo exchange; filled "
+         "values oracle-checked",
+)
+def fill_nodata_q(spark, sf_dir):
+    from typing import Iterator as _It
+
+    from ..operators.fill import fill_nodata_tiles
+
+    ts = GW // 2
+
+    def _mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = np.arange(GW * GW).reshape(GW, GW)
+        a = ((idx * 7) % 256).astype(np.float64)
+        rows = []
+        for tyy in range(2):
+            for txx in range(2):
+                rows.append({"tx": txx, "ty": tyy,
+                             "px": a[tyy * ts:(tyy + 1) * ts,
+                                     txx * ts:(txx + 1) * ts].tobytes()})
+        return pd.DataFrame(rows)
+
+    tiles = spark.range(1).withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _mk, "tx long, ty long, px binary")
+    out = fill_nodata_tiles(tiles, nodata=0.0, radius=3, dtype="float64",
+                            tile_size=ts)
+
+    idx0 = np.arange(GW * GW).reshape(GW, GW)
+    hole_mask = ((idx0 * 7) % 256) == 0
+
+    def _rows(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.float64).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                gr = (rr["ty"] * ts + ys).ravel()
+                gc = (rr["tx"] * ts + xs).ravel()
+                m = hole_mask[gr, gc]
+                yield pd.DataFrame({
+                    "r": gr[m], "c": gc[m],
+                    "value": np.round(t.ravel()[m], 6),
+                })
+
+    return out.mapInPandas(_rows, "r long, c long, value double").orderBy("r", "c")
