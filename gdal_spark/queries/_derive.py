@@ -194,16 +194,18 @@ def polygon_env_values() -> str:
         mn = ring.min(axis=0)
         mx = ring.max(axis=0)
         rows.append(
-            f"({int(p['fid'])}, {float(mn[0])!r}, {float(mn[1])!r},"
-            f" {float(mx[0])!r}, {float(mx[1])!r})"
+            f"({int(p['fid'])}::BIGINT, {float(mn[0])!r}::DOUBLE,"
+            f" {float(mn[1])!r}::DOUBLE, {float(mx[0])!r}::DOUBLE,"
+            f" {float(mx[1])!r}::DOUBLE)"
         )
     return ",\n      ".join(rows)
 
 
 def polygon_attr_values() -> str:
-    """VALUES rows (fid, eas_id, prfedea)."""
+    """VALUES rows (fid, eas_id, prfedea) — BIGINT-typed to match the
+    Spark side's int64 columns."""
     return ",\n      ".join(
-        f"({int(p['fid'])}, {int(p['eas_id'])}, '{p['prfedea']}')"
+        f"({int(p['fid'])}::BIGINT, {int(p['eas_id'])}::BIGINT, '{p['prfedea']}')"
         for _, p in _polys().iterrows()
     )
 
@@ -248,7 +250,8 @@ def pip_match_cte() -> str:
 def polygon_bbox_values() -> str:
     """VALUES rows (fid, xmin, ymin, xmax, ymax) — wkb bbox companions."""
     return ",\n      ".join(
-        f"({int(p['fid'])}, {float(p['xmin'])!r}, {float(p['ymin'])!r},"
-        f" {float(p['xmax'])!r}, {float(p['ymax'])!r})"
+        f"({int(p['fid'])}::BIGINT, {float(p['xmin'])!r}::DOUBLE,"
+        f" {float(p['ymin'])!r}::DOUBLE, {float(p['xmax'])!r}::DOUBLE,"
+        f" {float(p['ymax'])!r}::DOUBLE)"
         for _, p in _polys().iterrows()
     )

@@ -94,7 +94,7 @@ def la_union(spark, sf_dir):
     "la_symdifference",
     sql=f"""
     WITH {dv.pip_match_cte()}
-    SELECT p.doc_id, CAST(NULL AS INT) AS fid FROM pts p
+    SELECT p.doc_id, CAST(NULL AS BIGINT) AS fid FROM pts p
     WHERE p.doc_id NOT IN (SELECT doc_id FROM inside)
     UNION ALL
     SELECT NULL AS doc_id, q.fid

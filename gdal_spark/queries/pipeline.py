@@ -92,7 +92,9 @@ def _dup_corpus(spark, sf_dir):
 def text_metrics(spark, sf_dir):
     df = tx.quality_metrics(t(spark, sf_dir, "documents"))
     return df.select(
-        "doc_id", "n_tokens", "n_uniq_tokens",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("long").alias("n_uniq_tokens"),
         F.round("avg_tok_len", 6).alias("avg_tok_len"),
         F.round("stop_ratio", 6).alias("stop_ratio"),
     ).orderBy("doc_id")
@@ -296,7 +298,8 @@ def ann_topk(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     out = sim.brute_topk(emb, qs, k=10)
-    return out.select("qid", "rnk", "vec_id", "dot").orderBy("qid", "rnk")
+    return out.select("qid", F.col("rnk").cast("long").alias("rnk"),
+                      "vec_id", "dot").orderBy("qid", "rnk")
 
 
 _PLANE_DOT = (
@@ -339,7 +342,8 @@ def lsh_ann(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     out = sim.lsh_topk(emb, qs, dim=DIM, k=3)
-    return out.select("qid", "rnk", "vec_id", "bucket", "dot").orderBy("qid", "rnk")
+    return out.select("qid", F.col("rnk").cast("long").alias("rnk"), "vec_id",
+                      "bucket", "dot").orderBy("qid", "rnk")
 
 
 @register(

@@ -214,7 +214,7 @@ def knn(spark, sf_dir):
         F.col("doc_id").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"))
     out = knn_join(pts, qry, dv.GRID, k=KNN_K, zoom=KNN_ZOOM, r0=2)
     return (
-        out.withColumnRenamed("rank", "rnk")
-        .select("qid", "rnk", "pid", "dist2")
+        out.select("qid", F.col("rank").cast("long").alias("rnk"),
+                   "pid", "dist2")
         .orderBy("qid", "rnk")
     )
