@@ -106,9 +106,12 @@ def _edges_df(spark, polys: DataFrame):
     )
 
 
+BROADCAST_CELL_LIMIT = 2_000_000   # exploded polygon-cell rows
+
+
 def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
                  zoom: int = DEFAULT_ZOOM, how: str = "inner",
-                 broadcast: bool | None = None, salt: int = 0,
+                 broadcast: bool | None = None, salt: int | str = 0,
                  first_match: bool = False, exact: str = "column") -> DataFrame:
     """Join point rows to containing polygons.
 
@@ -130,6 +133,13 @@ def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
     pcells = polygon_cells(polys, grid, zoom).select(
         "cell", "fid", "xmin", "ymin", "xmax", "ymax")
 
+    if salt == "auto":
+        # hot-cell diagnostic on the POINT side drives the salt factor
+        # (north_rule: explicit salting for coastline/metro hot cells)
+        from .partitioning import choose_salt
+
+        salt = choose_salt(pts, "cell")
+
     if salt and salt > 1:
         pts = pts.withColumn("_salt", F.pmod(F.xxhash64(F.col("x"), F.col("y")),
                                              F.lit(salt)).cast("int"))
@@ -141,7 +151,10 @@ def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
         join_keys = ["cell"]
 
     if broadcast is None:
-        broadcast = True  # polygon dims are small in every fixture; auto-hint
+        # broadcast when the exploded cell index is genuinely small;
+        # a count on the (tiny, already-planned) dim side is cheap
+        # relative to mis-planning the 10^12-row probe side
+        broadcast = pcells.count() <= BROADCAST_CELL_LIMIT
     right = F.broadcast(pcells) if broadcast else pcells
 
     cand = pts.join(right, join_keys, "inner")

@@ -109,3 +109,25 @@ def test_negatives_outside_bbox_never_match(data):
     assert len(outside) > 0
     matched_docs = {d for d, _ in want}
     assert not (set(outside["doc_id"]) & matched_docs)
+
+
+def test_auto_salt_and_broadcast_agree(spark):
+    """salt='auto' on the hot-cell fixture (20% of docs in 3 hot
+    squares) must return exactly the unsalted result."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.kernels.cells import TileGrid
+    from gdal_spark.operators.spatial_join import extract_geo_points, spatial_join
+    from gdal_spark.sources import fixtures as fx
+
+    docs = spark.createDataFrame(fx.docs_pandas(3000))
+    polys = spark.createDataFrame(fx.polygons_pandas())
+    grid = TileGrid.local(*fx.POLY_BBOX)
+    pts = extract_geo_points(docs).select("doc_id", "x", "y")
+
+    plain = spatial_join(pts, polys, grid, zoom=6)
+    auto = spatial_join(pts, polys, grid, zoom=6, salt="auto",
+                        broadcast=False)
+    a = {(r["doc_id"], r["fid"]) for r in plain.select("doc_id", "fid").collect()}
+    b = {(r["doc_id"], r["fid"]) for r in auto.select("doc_id", "fid").collect()}
+    assert a == b and len(a) > 0
