@@ -39,6 +39,61 @@ def norm(v):
     return v
 
 
+# Spark simpleString -> canonical type token; DuckDB type str -> same
+# token.  The driver's value hash is type-sensitive (round 1: DuckDB
+# SUM(BIGINT) -> HUGEINT hashed != Spark BIGINT despite equal values),
+# so the local gate must flag any family drift, not just value drift.
+_SPARK_CANON = {
+    "tinyint": "i1", "smallint": "i2", "int": "i4", "bigint": "i8",
+    "float": "f4", "double": "f8", "string": "s", "boolean": "b",
+    "date": "d", "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
+}
+_DUCK_CANON = {
+    "TINYINT": "i1", "SMALLINT": "i2", "INTEGER": "i4", "BIGINT": "i8",
+    "FLOAT": "f4", "DOUBLE": "f8", "VARCHAR": "s", "BOOLEAN": "b",
+    "DATE": "d", "TIMESTAMP": "ts", "BLOB": "bin",
+    # HUGEINT / unsigned / DECIMAL fall through to '!' and always flag:
+    # round 1 proved the driver hash splits on them (ann_topk/lsh_ann).
+}
+
+
+def _canon_spark(dt: str) -> str:
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return f"!{dt}"
+    if dt.startswith("array<"):
+        return "[" + _canon_spark(dt[6:-1])
+    return _SPARK_CANON.get(dt, f"!{dt}")
+
+
+def _canon_duck(dt: str) -> str:
+    dt = str(dt).upper()
+    if dt.startswith("DECIMAL") or dt == "HUGEINT":
+        return f"!{dt}"
+    if dt.endswith("[]"):
+        return "[" + _canon_duck(dt[:-2])
+    return _DUCK_CANON.get(dt, f"!{dt}")
+
+
+def compare_types(spark_cols, spark_dtypes, duck_cols, duck_types) -> list[str]:
+    """Flag type-family mismatches the driver's hash would see.
+
+    Any canonical token starting with '!' (HUGEINT, DECIMAL, unknown)
+    is reported even when both sides agree on values.
+    """
+    problems = []
+    sd = dict(zip(spark_cols, spark_dtypes))
+    dd = dict(zip(duck_cols, duck_types))
+    for col in sd:
+        if col not in dd:
+            continue
+        cs, cd = _canon_spark(sd[col]), _canon_duck(dd[col])
+        if cs != cd or cs.startswith("!") or cd.startswith("!"):
+            problems.append(
+                f"dtype {col}: spark={sd[col]}({cs}) duck={dd[col]}({cd})")
+    return problems
+
+
 def compare(spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
     """Empty list == the driver's hash compare would pass."""
     problems = []
@@ -72,4 +127,9 @@ def check_query(spark, con, q, sf_dir: str) -> list[str]:
     if q.sql is None:
         return []
     res = con.sql(q.sql)
-    return compare(spark_rows, spark_cols, res.fetchall(), res.columns)
+    duck_cols, duck_types = res.columns, res.types
+    spark_dtypes = [dt for _, dt in df.dtypes]
+    return (
+        compare_types(spark_cols, spark_dtypes, duck_cols, duck_types)
+        + compare(spark_rows, spark_cols, res.fetchall(), duck_cols)
+    )

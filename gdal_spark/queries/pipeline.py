@@ -279,7 +279,7 @@ _SCALED_SQL = """
     WITH {_SCALED_SQL},
     q AS (SELECT vec_id AS qid, v AS qv FROM sv WHERE vec_id % 100 = 0),
     d AS (
-      SELECT q.qid, s.vec_id, SUM(q.qv[t.i] * s.v[t.i]) AS dot
+      SELECT q.qid, s.vec_id, CAST(SUM(q.qv[t.i] * s.v[t.i]) AS BIGINT) AS dot
       FROM q, sv s, generate_series(1, {DIM}) t(i)
       GROUP BY q.qid, s.vec_id
     ),
@@ -323,7 +323,8 @@ _PLANE_DOT = (
     svb AS (SELECT sv.vec_id, sv.v, buck.bucket FROM sv JOIN buck USING (vec_id)),
     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM svb WHERE vec_id % 100 = 0),
     d AS (
-      SELECT q.qid, s.vec_id, s.bucket, SUM(q.qv[t.i] * s.v[t.i]) AS dot
+      SELECT q.qid, s.vec_id, s.bucket,
+             CAST(SUM(q.qv[t.i] * s.v[t.i]) AS BIGINT) AS dot
       FROM q JOIN svb s ON s.bucket = q.bucket, generate_series(1, {DIM}) t(i)
       GROUP BY q.qid, s.vec_id, s.bucket
     ),
