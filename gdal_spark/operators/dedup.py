@@ -77,12 +77,27 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     return sig
 
 
+HOT_BAND_ROWS = 64     # bucket size above which the self-join is salted
+MAX_BAND_SALT = 16
+
+
 def minhash_band_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       hot_threshold: int = HOT_BAND_ROWS) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band.
 
     Pairs come from an equi-join on (band_idx, band_value) — the
     scale path: no all-pairs work, shuffle keyed by band value.
+
+    Hot bands (boilerplate text shared by millions of docs) would
+    make one shuffle bucket quadratic; they are SALTED: per-(bi,bv)
+    counts pick a salt factor r, the left side scatters by
+    hash(id)%r and the right side replicates r ways, so a hot
+    bucket's pair work spreads over r tasks while every unordered
+    pair is still produced exactly once (left=min-id arrangement
+    survives the id< filter for exactly one salt value).  Output is
+    bit-identical to the unsalted join — tests assert it.
+
     Returns (id_a, id_b, shared_bands) with id_a < id_b.
     """
     sig = minhash_signature(df, text_col, id_col)
@@ -95,10 +110,32 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
             ])
         ).alias("b"),
     ).select("id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
-    left = bands.alias("l")
-    right = bands.alias("r")
+    # per-bucket salt factor: 1 for light buckets, ceil(n/threshold)
+    # (clamped) for hot ones; the counts aggregate is map-side partial
+    # and shuffles on the same (bi,bv) key as the join itself
+    counts = bands.groupBy("bi", "bv").agg(F.count("*").alias("_n")).select(
+        "bi", "bv",
+        F.greatest(
+            F.lit(1),
+            F.least(F.lit(MAX_BAND_SALT),
+                    F.ceil(F.col("_n") / F.lit(hot_threshold)).cast("int")),
+        ).alias("_r"),
+    )
+    left = (
+        bands.join(counts, ["bi", "bv"])
+        .withColumn("_s", F.pmod(F.xxhash64("id"), F.col("_r")).cast("int"))
+        .drop("_r")
+        .alias("l")
+    )
+    right = (
+        bands.join(counts, ["bi", "bv"])
+        .withColumn("_s", F.explode(F.sequence(F.lit(0), F.col("_r") - 1)))
+        .withColumn("_s", F.col("_s").cast("int"))
+        .drop("_r")
+        .alias("r")
+    )
     return (
-        left.join(right, ["bi", "bv"], "inner")
+        left.join(right, ["bi", "bv", "_s"], "inner")
         .filter(F.col("l.id") < F.col("r.id"))
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .agg(F.countDistinct("bi").alias("shared_bands"))

@@ -107,24 +107,31 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 3,
     )
 
 
-def cosine_neardup_pairs(vectors: DataFrame, threshold: float = 0.99,
+def cosine_neardup_pairs(vectors: DataFrame, dim: int,
+                         threshold: float = 0.99,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold.
 
-    Bucket prefilter (near-identical vectors share sign buckets),
-    then exact scaled cosine on candidates: cos = dot / sqrt(na*nb)
-    with integer dot/norms — one sqrt+divide, identical across
-    engines.  Returns (id_a, id_b, cos) rounded to 6 places.
+    Sign-bucket prefilter: near-identical vectors share the bucket of
+    ``lsh_bucket_col`` (same deterministic hyperplanes as lsh_topk),
+    so candidates come from a self-EQUI-join on the bucket id — the
+    corpus is shuffled once by bucket, never compared all-pairs.
+    A pair whose tiny perturbation flips a plane sign is missed by
+    design (LSH recall), identically in the DuckDB oracle.
+
+    Exact phase on candidates only: cos = dot / sqrt(na*nb) with
+    integer dot/norms — one sqrt+divide, identical across engines.
+    Returns (id_a, id_b, cos) rounded to 6 places.
     """
     sv = vectors.select(F.col(id_col), scaled_col(F.col(vec_col)).alias("_sv"))
-    dim = None  # buckets need dim; caller-level variant used in catalog
+    sv = sv.withColumn("bucket", lsh_bucket_col(F.col("_sv"), dim))
     sv = sv.withColumn("norm2", dot_scaled(F.col("_sv"), F.col("_sv")))
-    a = sv.select(F.col(id_col).alias("id_a"),
+    a = sv.select(F.col(id_col).alias("id_a"), F.col("bucket"),
                   F.col("_sv").alias("va"), F.col("norm2").alias("na"))
-    b = sv.select(F.col(id_col).alias("id_b"),
+    b = sv.select(F.col(id_col).alias("id_b"), F.col("bucket"),
                   F.col("_sv").alias("vb"), F.col("norm2").alias("nb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, "bucket", "inner").filter(F.col("id_a") < F.col("id_b"))
     cos = F.round(
         dot_scaled(F.col("va"), F.col("vb")).cast("double")
         / F.sqrt((F.col("na") * F.col("nb")).cast("double")),

@@ -61,52 +61,49 @@ def polygon_cells(polys: DataFrame, grid: TileGrid, zoom: int) -> DataFrame:
     )
 
 
-def _exact_pip_factory(rings_by_fid: dict):
-    """mapInPandas stage: vectorized exact PIP per candidate batch."""
-
-    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            fids = pdf["fid"].to_numpy()
-            xs = pdf["x"].to_numpy(dtype=np.float64)
-            ys = pdf["y"].to_numpy(dtype=np.float64)
-            keep = np.zeros(len(pdf), dtype=bool)
-            for fid in np.unique(fids):
-                m = fids == fid
-                rings = rings_by_fid[int(fid)]
-                # envelope already pretested in phase 1 -> skip re-test
-                keep[m] = kpip.points_in_polygon(xs[m], ys[m], rings)
-            out = pdf[keep]
-            if len(out):
-                yield out
-
-    return exact
+_EDGES_SCHEMA = ("fid bigint, edges array<struct<ex1:double,ey1:double,"
+                 "ex2:double,ey2:double>>")
 
 
-def _edges_df(spark, polys: DataFrame):
-    """Small-dim (fid, edges array<struct>) table for the JVM exact
-    phase: all rings' edges in the kernel's (vertex i+1, vertex i)
+def edges_table(polys: DataFrame) -> DataFrame:
+    """(fid, edges array<struct>) table for the JVM exact phase,
+    built DISTRIBUTIVELY (Arrow mapInPandas over wkb) — never a
+    driver collect, so a 10^6-polygon layer decodes in parallel on
+    executors.  Edges use the kernel's (vertex i+1, vertex i)
     pairing; even-odd crossings over the full edge set handles holes
     exactly like points_in_polygon."""
-    rows = []
-    for r in polys.select("fid", "wkb").collect():
-        edges = []
-        for ring in kwkb.polygon_rings(bytes(r["wkb"])):
-            for i in range(len(ring) - 1):
-                edges.append({
-                    "ex1": float(ring[i + 1][0]), "ey1": float(ring[i + 1][1]),
-                    "ex2": float(ring[i][0]), "ey2": float(ring[i][1]),
-                })
-        rows.append({"fid": int(r["fid"]), "edges": edges})
-    return spark.createDataFrame(
-        rows,
-        "fid bigint, edges array<struct<ex1:double,ey1:double,"
-        "ex2:double,ey2:double>>",
-    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fids, edge_lists = [], []
+            for fid, wkb in zip(pdf["fid"], pdf["wkb"]):
+                edges = []
+                for ring in kwkb.polygon_rings(bytes(wkb)):
+                    for i in range(len(ring) - 1):
+                        edges.append({
+                            "ex1": float(ring[i + 1][0]),
+                            "ey1": float(ring[i + 1][1]),
+                            "ex2": float(ring[i][0]),
+                            "ey2": float(ring[i][1]),
+                        })
+                fids.append(int(fid))
+                edge_lists.append(edges)
+            yield pd.DataFrame({"fid": fids, "edges": edge_lists})
+
+    return polys.select("fid", "wkb").mapInPandas(gen, _EDGES_SCHEMA)
 
 
-BROADCAST_CELL_LIMIT = 2_000_000   # exploded polygon-cell rows
+def _exact_pip_cogroup(cand_pdf: pd.DataFrame,
+                       poly_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped-by-fid exact phase: decode this fid's WKB once, test
+    all its candidate points vectorized."""
+    if len(cand_pdf) == 0 or len(poly_pdf) == 0:
+        return cand_pdf.iloc[0:0]
+    rings = kwkb.polygon_rings(bytes(poly_pdf["wkb"].iloc[0]))
+    xs = cand_pdf["x"].to_numpy(dtype=np.float64)
+    ys = cand_pdf["y"].to_numpy(dtype=np.float64)
+    # envelope already pretested in phase 1 -> straight to the kernel
+    return cand_pdf[kpip.points_in_polygon(xs, ys, rings)]
 
 
 def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
@@ -119,15 +116,16 @@ def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
     polys  : DF with fid bigint, wkb binary, xmin/ymin/xmax/ymax double
     how    : 'inner' (matches only) or 'left' (keep unmatched points,
              null polygon attrs — OGR LEFT JOIN shape)
-    broadcast : force/deny broadcasting the polygon cell index; None =
-             auto (broadcast when the dim is small, the common case)
+    broadcast : True = broadcast-hint the polygon cell index, False =
+             force a shuffle join, None = leave the choice to Catalyst
+             statistics + AQE runtime re-planning (no extra driver
+             action — a count here would serialize every call)
     salt   : replicate the polygon index `salt` ways and scatter
              points by a doc hash — explicit hot-cell skew remedy on
              top of AQE (north_rule).  0/1 = unsalted.
     first_match : emit at most one polygon per point (lowest fid) —
              OGR SQL join cardinality (ogr_gensql.cpp:1497-1527).
     """
-    spark = points.sparkSession
     pts = points.withColumn("cell", gf.cell_col(grid, zoom, F.col("x"), F.col("y")))
 
     pcells = polygon_cells(polys, grid, zoom).select(
@@ -150,12 +148,15 @@ def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
     else:
         join_keys = ["cell"]
 
-    if broadcast is None:
-        # broadcast when the exploded cell index is genuinely small;
-        # a count on the (tiny, already-planned) dim side is cheap
-        # relative to mis-planning the 10^12-row probe side
-        broadcast = pcells.count() <= BROADCAST_CELL_LIMIT
-    right = F.broadcast(pcells) if broadcast else pcells
+    if broadcast is True:
+        right = F.broadcast(pcells)
+    elif broadcast is False:
+        right = pcells.hint("shuffle_hash")
+    else:
+        # Catalyst's parquet-stat size estimate picks broadcast for a
+        # small dim; AQE converts sort-merge -> broadcast at runtime
+        # otherwise.  No driver-side count per call.
+        right = pcells
 
     cand = pts.join(right, join_keys, "inner")
     # envelope pretest (phase 1b) as Column predicates
@@ -167,19 +168,33 @@ def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
 
     # phase 2: exact ray-cast — JVM aggregate() fold by default (stays
     # in whole-stage codegen; ~10x the Arrow-UDF path and no Python
-    # workers at all), pandas kernel path kept for bit-match demos
+    # workers at all); cogrouped pandas kernel path for bit-match demos
     if exact == "column":
-        edges = _edges_df(spark, polys)
-        cand = cand.join(F.broadcast(edges), "fid", "inner")
+        edges = edges_table(polys)
+        edges = F.broadcast(edges) if broadcast is not False else edges
+        cand = cand.join(edges, "fid", "inner")
         matched = cand.filter(
             gf.pip_inside_col(F.col("edges"), F.col("x"), F.col("y"))
         ).drop("edges")
     else:
-        rings_by_fid = {
-            int(r["fid"]): kwkb.polygon_rings(bytes(r["wkb"]))
-            for r in polys.select("fid", "wkb").collect()
-        }
-        matched = cand.mapInPandas(_exact_pip_factory(rings_by_fid), cand.schema)
+        # cogroup on (fid, point-hash split): the polygon side is
+        # replicated NSPLIT ways so one hot polygon's candidates
+        # spread over NSPLIT tasks instead of funneling into one
+        nsplit = 32
+        candg = cand.withColumn(
+            "_g", F.pmod(F.xxhash64("x", "y"), F.lit(nsplit)).cast("int"))
+        # rename the poly-side key: cand already carries polys lineage
+        # (via pcells), and cogroup keys match positionally anyway
+        polysg = polys.select(F.col("fid").alias("_pfid"), "wkb").withColumn(
+            "_g", F.explode(F.sequence(F.lit(0), F.lit(nsplit - 1))))
+        polysg = polysg.withColumn("_g", F.col("_g").cast("int"))
+        matched = (
+            candg.groupBy("fid", "_g")
+            .cogroup(polysg.groupBy("_pfid", "_g"))
+            .applyInPandas(
+                lambda left, right: _exact_pip_cogroup(left, right),
+                candg.schema)
+        ).drop("_g")
 
     drop_cols = ["cell", "xmin", "ymin", "xmax", "ymax"]
     matched = matched.drop(*drop_cols)

@@ -365,14 +365,25 @@ def lsh_ann(spark, sf_dir):
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
       FROM base
     ),
+    dots AS (
+      SELECT s.vec_id, u.j, {_PLANE_DOT}
+      FROM sv s, generate_series(1, {DIM}) t(i), generate_series(0, {sim.N_PLANES - 1}) u(j)
+      GROUP BY s.vec_id, u.j
+    ),
+    buck AS (
+      SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
     n AS (
-      SELECT s.vec_id, s.v, SUM(s.v[t.i] * s.v[t.i]) AS norm2
-      FROM sv s, generate_series(1, {DIM}) t(i) GROUP BY s.vec_id, s.v
+      SELECT s.vec_id, s.v, bk.bucket, SUM(s.v[t.i] * s.v[t.i]) AS norm2
+      FROM sv s JOIN buck bk USING (vec_id), generate_series(1, {DIM}) t(i)
+      GROUP BY s.vec_id, s.v, bk.bucket
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              SUM(a.v[t.i] * b.v[t.i]) AS dot, a.norm2 AS na, b.norm2 AS nb
-      FROM n a JOIN n b ON a.vec_id < b.vec_id, generate_series(1, {DIM}) t(i)
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+           generate_series(1, {DIM}) t(i)
       GROUP BY a.vec_id, b.vec_id, a.norm2, b.norm2
     )
     SELECT id_a, id_b,
@@ -381,8 +392,9 @@ def lsh_ann(spark, sf_dir):
     WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) > 0.999
     ORDER BY id_a, id_b
     """,
-    desc="embedding-cosine near-dup pairs with planted truncated copies; "
-         "scaled-int dot + single sqrt/divide keeps both engines identical",
+    desc="embedding-cosine near-dup pairs with planted truncated copies: "
+         "sign-bucket equi-join prefilter (never all-pairs), then exact "
+         "scaled-int cosine — single sqrt/divide keeps engines identical",
 )
 def cosine_neardup(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
@@ -394,7 +406,8 @@ def cosine_neardup(spark, sf_dir):
         ).alias("embedding"),
     )
     base = emb.select("vec_id", "embedding").unionByName(planted)
-    return sim.cosine_neardup_pairs(base, threshold=0.999).orderBy("id_a", "id_b")
+    return sim.cosine_neardup_pairs(base, dim=DIM, threshold=0.999).orderBy(
+        "id_a", "id_b")
 
 
 # -------------------------------------------------------------- multimodal

@@ -131,3 +131,37 @@ def test_auto_salt_and_broadcast_agree(spark):
     a = {(r["doc_id"], r["fid"]) for r in plain.select("doc_id", "fid").collect()}
     b = {(r["doc_id"], r["fid"]) for r in auto.select("doc_id", "fid").collect()}
     assert a == b and len(a) > 0
+
+
+def test_exact_pandas_path_matches_column(data):
+    """The cogrouped Arrow exact phase (bit-match demo path) must
+    produce the same pairs as the JVM aggregate() path."""
+    docs, polys, grid, pts, want = data
+    joined = spatial_join(extract_geo_points(docs), polys, grid, zoom=6,
+                          exact="pandas")
+    assert _got_pairs(joined) == want
+
+
+def test_edges_table_distributed_100k(spark):
+    """Edge-table construction is a distributed mapInPandas, never a
+    driver collect: a 100k-polygon layer must decode on executors.
+    (Round-1 wrong #3: polys.collect() per call.)"""
+    import pandas as pd
+
+    from gdal_spark.operators.spatial_join import edges_table
+
+    n = 100_000
+    wkbs = []
+    for i in range(n):
+        x0, y0 = float(i % 1000), float(i // 1000)
+        ring = [(x0, y0), (x0 + 1, y0), (x0 + 1, y0 + 1), (x0, y0 + 1),
+                (x0, y0)]
+        wkbs.append(kwkb.wkb_polygon([ring]))
+    polys = spark.createDataFrame(
+        pd.DataFrame({"fid": np.arange(n, dtype=np.int64), "wkb": wkbs})
+    ).repartition(8)
+    et = edges_table(polys)
+    agg = et.select(
+        F.count("*").alias("n"), F.sum(F.size("edges")).alias("ne")).collect()[0]
+    assert agg["n"] == n
+    assert agg["ne"] == 4 * n  # one closed square ring -> 4 edges
