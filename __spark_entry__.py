@@ -30,4 +30,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}
+    out = {}
+    for name, q in QUERIES.items():
+        sql = q.resolve_sql()
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -124,9 +124,10 @@ def check_query(spark, con, q, sf_dir: str) -> list[str]:
     df = q.fn(spark, sf_dir)
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
-    if q.sql is None:
+    sql = q.resolve_sql()
+    if sql is None:
         return []
-    res = con.sql(q.sql)
+    res = con.sql(sql)
     duck_cols, duck_types = res.columns, res.types
     spark_dtypes = [dt for _, dt in df.dtypes]
     return (

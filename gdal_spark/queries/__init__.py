@@ -29,14 +29,23 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class Q:
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None
+    sql: str | Callable[[], str] | None
     desc: str = ""
+
+    def resolve_sql(self) -> str | None:
+        """sql may be a zero-arg callable (serial-golden oracles that
+        compute a VALUES table from the numpy kernels — _goldens.py);
+        resolve it to the final string once, lazily."""
+        if callable(self.sql):
+            self.sql = self.sql()
+        return self.sql
 
 
 QUERIES: dict[str, Q] = {}
 
 
-def register(name: str, sql: str | None = None, desc: str = ""):
+def register(name: str, sql: str | Callable[[], str] | None = None,
+             desc: str = ""):
     def deco(fn):
         QUERIES[name] = Q(fn, sql, desc)
         return fn

@@ -107,9 +107,11 @@ def raster_stats_q(spark, sf_dir):
 
 @register(
     "rasterize_tiles",
-    sql=None,  # scanline fill isn't SQL-expressible; goldens in tests/test_raster.py
+    sql=lambda: __import__(
+        "gdal_spark.queries._goldens", fromlist=["x"]).rasterize_tiles_sql(),
     desc="gdal_rasterize equivalent: polygon layer -> (z,tx,ty) tiles with "
-         "attribute burn + golden checksums (llrasterize.cpp semantics)",
+         "attribute burn + golden checksums (llrasterize.cpp semantics); "
+         "oracle = serial one-pass twin rendered as a VALUES table",
 )
 def rasterize_tiles_q(spark, sf_dir):
     grid = TileGrid.local(*fx.POLY_BBOX, tile_size=R_TS)
@@ -121,9 +123,10 @@ def rasterize_tiles_q(spark, sf_dir):
 
 @register(
     "tile_pyramid",
-    sql=None,  # overview decimation goldens live in tests/test_raster.py
+    sql=lambda: __import__(
+        "gdal_spark.queries._goldens", fromlist=["x"]).tile_pyramid_sql(),
     desc="zoom pyramid z->z-1 (overview.cpp average (sum+2)/4), level "
-         "checksums per tile",
+         "checksums per tile; oracle = serial decimation twin (VALUES)",
 )
 def tile_pyramid_q(spark, sf_dir):
     grid = TileGrid.local(*fx.POLY_BBOX, tile_size=R_TS)
@@ -136,10 +139,11 @@ def tile_pyramid_q(spark, sf_dir):
 
 @register(
     "polygonize",
-    sql=None,  # CC + ring tracing isn't SQL-expressible; tile-split
-               # invariance goldens in tests/test_raster.py
+    sql=lambda: __import__(
+        "gdal_spark.queries._goldens", fromlist=["x"]).polygonize_sql(),
     desc="distributed gdal_polygonize: per-tile CC labels, cross-tile "
-         "union-find to fixpoint, per-component ring assembly",
+         "union-find to fixpoint, per-component ring assembly; oracle = "
+         "serial union-find twin with identical node packing (VALUES)",
 )
 def polygonize_q(spark, sf_dir):
     grid = TileGrid.local(*fx.POLY_BBOX, tile_size=R_TS)
@@ -417,10 +421,11 @@ def proximity_q(spark, sf_dir):
 
 @register(
     "sieve",
-    sql=None,  # simultaneous-merge semantics; tile-split invariance
-               # goldens in tests/test_sieve.py
+    sql=lambda: __import__(
+        "gdal_spark.queries._goldens", fromlist=["x"]).sieve_sql(),
     desc="sieve filter (alg/gdalsievefilter.cpp:178): small components "
-         "absorbed by largest neighbor, distributed union-find + merge rounds",
+         "absorbed by largest neighbor, distributed union-find + merge "
+         "rounds; oracle = serial sieve_array twin (VALUES)",
 )
 def sieve_q(spark, sf_dir):
     from ..operators.sieve import sieve_tiles
@@ -453,11 +458,12 @@ def sieve_q(spark, sf_dir):
 
 @register(
     "contour",
-    sql=None,  # marching squares + stitching; tile-split invariance
-               # goldens in tests/test_contour.py
+    sql=lambda: __import__(
+        "gdal_spark.queries._goldens", fromlist=["x"]).contour_sql(),
     desc="contour lines (alg/contour.cpp, marching_squares/): per-tile "
          "cells + cross-tile polyline stitching via pointer-jumping "
-         "union-find on exact endpoints",
+         "union-find on exact endpoints; oracle = serial marching-"
+         "squares + stitch twin (VALUES)",
 )
 def contour_q(spark, sf_dir):
     from ..operators.contour import contour_tiles
