@@ -90,6 +90,84 @@ def commit_unit(spark: SparkSession, out_dir: str, run_id: str, stage: str,
     return rec
 
 
+def commit_partitioned(spark: SparkSession, out_dir: str, run_id: str,
+                       stage: str, df: DataFrame,
+                       unit_col: str = "unit") -> list[dict]:
+    """Commit EVERY pending unit of ``df`` in ONE distributed job.
+
+    The round-1 ``run_stage`` loop launched one Spark job (plus a
+    coalesce(1) lineage append) per unit — 10^5 units means 10^5
+    sequential jobs.  Here the whole stage is a single
+    ``groupBy(unit).applyInPandas`` job: each task owns one unit,
+    writes its data file idempotently (deterministic path,
+    overwrite), computes the unit's row count + order-independent
+    checksum, and then writes the unit's lineage record — data
+    strictly before lineage, so a task killed mid-write leaves the
+    unit uncommitted and the anti-join resume recomputes exactly it.
+    Units that finished keep their lineage rows; a restart touches
+    only the missing ones.  (Local-FS file writes model the atomic
+    per-unit commit; on a production store the same records ride an
+    Iceberg snapshot / task-commit protocol.)
+
+    Units are the caller's partition grain (tile blocks, cell
+    ranges): one unit must fit one task, like any applyInPandas
+    group.  Returns the lineage records committed by THIS run.
+    """
+    import pandas as pd
+
+    work = df.withColumnRenamed(unit_col, "unit") if unit_col != "unit" else df
+    pend = pending_units(work.select("unit").distinct(), spark, out_dir, stage)
+    work = work.join(pend, "unit", "left_semi")
+    data_cols = [c for c in work.columns if c != "unit"]
+    data_root = os.path.join(out_dir, "data")
+    lineage_root = _lineage_path(out_dir)
+
+    def _commit(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        unit = int(key[0])
+        body = pdf[data_cols]
+        hashes = pd.util.hash_pandas_object(body, index=False).to_numpy()
+        ck = 0
+        for h in hashes:
+            ck ^= int(h)
+        ck = ck - (1 << 64) if ck >= (1 << 63) else ck
+
+        unit_dir = os.path.join(data_root, f"unit={unit}")
+        os.makedirs(unit_dir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
+                       os.path.join(unit_dir, "part-0.parquet"))
+
+        rec = {
+            "run_id": run_id, "stage": stage, "unit": unit,
+            "input_split": "", "cell_min": 0, "cell_max": 0,
+            "row_count": len(body), "checksum": ck,
+            "committed_at": time.time(),
+        }
+        os.makedirs(lineage_root, exist_ok=True)
+        # ':' etc. in stage names break Hadoop's Path URI parsing
+        safe_stage = "".join(
+            c if c.isalnum() or c in "-_" else "_" for c in stage)
+        ltab = pa.table({
+            "run_id": pa.array([rec["run_id"]], pa.string()),
+            "stage": pa.array([rec["stage"]], pa.string()),
+            "unit": pa.array([rec["unit"]], pa.int64()),
+            "input_split": pa.array([rec["input_split"]], pa.string()),
+            "cell_min": pa.array([rec["cell_min"]], pa.int64()),
+            "cell_max": pa.array([rec["cell_max"]], pa.int64()),
+            "row_count": pa.array([rec["row_count"]], pa.int64()),
+            "checksum": pa.array([rec["checksum"]], pa.int64()),
+            "committed_at": pa.array([rec["committed_at"]], pa.float64()),
+        })
+        pq.write_table(
+            ltab, os.path.join(lineage_root, f"{safe_stage}_u{unit}.parquet"))
+        return pd.DataFrame([rec])
+
+    out = work.groupBy("unit").applyInPandas(_commit, LINEAGE_SCHEMA)
+    return [r.asDict() for r in out.collect()]
+
+
 def run_stage(spark: SparkSession, out_dir: str, run_id: str, stage: str,
               units: list[int], unit_fn, meta_fn=None) -> list[dict]:
     """Run a stage resumably: for each pending unit, materialize

@@ -104,16 +104,26 @@ def main():
     tiles_dir = os.path.join(args.out, "tiles")
     n_tiles = {}
 
-    def _level_fn(z):
+    def _level_df(z):
         if z == args.zoom:
-            return rasterize_tiles(
+            t = rasterize_tiles(
                 pts_xy, grid, z, burn=1.0, merge="ADD", dtype="uint16")
-        prev = ln.read_stage(spark, tiles_dir).filter(F.col("z") == z + 1)
-        return pyramid_reduce(prev, z + 1, method="average", dtype="uint16")
+        else:
+            prev = ln.read_stage(spark, tiles_dir).filter(F.col("z") == z + 1)
+            t = pyramid_reduce(prev, z + 1, method="average", dtype="uint16")
+        # lineage unit = 4x4 tile block within the level (level in the
+        # high bits so units never collide across stages)
+        return t.withColumn(
+            "unit",
+            F.shiftleft(F.lit(z).cast("long"), 40)
+            .bitwiseOR(F.shiftleft(F.shiftrightunsigned("tx", 2), 20))
+            .bitwiseOR(F.shiftrightunsigned("ty", 2)))
 
+    # each level is ONE distributed job committing all its pending
+    # units (per-task data+lineage writes) — no per-unit job loop
     for z in range(args.zoom, -1, -1):
-        ln.run_stage(spark, tiles_dir, args.run_id, f"tiles:{z}", [z],
-                     lambda _u, z=z: _level_fn(z))
+        ln.commit_partitioned(spark, tiles_dir, args.run_id, f"tiles:{z}",
+                              _level_df(z))
         n_tiles[z] = (
             ln.read_stage(spark, tiles_dir).filter(F.col("z") == z).count())
 

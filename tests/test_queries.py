@@ -31,14 +31,16 @@ def test_catalog_shape():
     assert len(QUERIES) >= 20
     for name, q in QUERIES.items():
         assert callable(q.fn), name
-        assert q.sql is None or "SELECT" in q.sql.upper(), name
+        sql = q.resolve_sql()
+        assert sql is None or "SELECT" in sql.upper(), name
 
 
 def test_oracle_sql_parses():
     con = connect_oracle(SF_DIR)
     for name, q in QUERIES.items():
-        if q.sql is not None:
-            con.sql(f"SELECT * FROM ({q.sql}) LIMIT 0")
+        sql = q.resolve_sql()
+        if sql is not None:
+            con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
