@@ -1,0 +1,365 @@
+"""Polygon boolean operations (Intersection / Union / Difference /
+SymDifference) as a planar overlay — the geometric kernel behind
+polygon x polygon layer algebra and the ST_ set functions.
+
+Role model: OGRGeometry::Intersection / Union / Difference /
+SymDifference (/root/reference/ogr/ogrgeometry.cpp:4895,5080,5333,
+5406 — GEOS-backed there); semantics validated against the layer-
+algebra goldens in /root/reference/autotest/ogr/ogr_layer_algebra.py
+(adjacent/overlapping squares incl. shared-edge degeneracies).
+
+Algorithm (overlay with midpoint classification):
+
+  1. orient every ring interior-left (outer CCW, holes CW, by
+     even-odd nesting depth);
+  2. split every edge of A at its intersections with every edge of B
+     and vice versa — each crossing point is computed ONCE and shared
+     by both splits, so sub-edge endpoints match bit-exactly;
+     collinear overlaps contribute both interval endpoints to both
+     edges, so overlapping boundary sub-edges coincide exactly;
+  3. classify each sub-edge: ``boundary`` when the other region has
+     the identical sub-edge (same or opposite direction — dict
+     lookup, no tolerance), else strictly in/out by even-odd ray
+     cast of the midpoint (a sub-edge cannot cross the other
+     boundary: it was split at every crossing);
+  4. keep edges per op (interior-left invariant):
+       intersection: A-in  + B-in  + shared-same (one copy)
+       union:        A-out + B-out + shared-same (one copy)
+       difference:   A-out + reversed B-in + shared-opposite
+       symdifference = difference(A,B) + difference(B,A)
+  5. chain kept edges into rings (at multi-valence vertices take the
+     first outgoing edge clockwise from the reversed incoming one —
+     the interior-left face continuation), then nest CW holes under
+     their smallest containing CCW outer.
+
+Results are AREAL only: lower-dimension leftovers (shared edges,
+touch points) vanish, i.e. KEEP_LOWER_DIMENSION_GEOMETRIES=NO, the
+layer-algebra default the reference tests pin down.
+
+A "region" is ``list[np.ndarray (M,2)]`` of closed rings under
+even-odd semantics; a "polygon list" is ``list[region]`` nested
+outer-first as WKB expects.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .pip import points_in_polygon, points_in_ring
+
+EPS_T = 1e-12
+
+
+def even_odd_inside(px, py, rings):
+    """True even-odd membership over an ARBITRARY ring set (disjoint
+    parts + holes, any nesting) — xor of per-ring ray casts.
+    points_in_polygon assumes [outer, holes...]; a multi-region has
+    no single global outer, so the overlay must use this."""
+    px = np.asarray(px, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for r in rings:
+        inside ^= points_in_ring(px, py, r)
+    return inside
+
+
+# ---------------------------------------------------------------- rings
+def ring_signed_area(ring) -> float:
+    """Shoelace; >0 = CCW in a y-up world."""
+    r = np.asarray(ring, dtype=np.float64)
+    x, y = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    return float(np.sum(x * y1 - x1 * y) / 2.0)
+
+
+def orient_region(rings):
+    """Normalize a ring set interior-left: rings at even even-odd
+    nesting depth CCW, odd depth CW."""
+    rs = [np.asarray(r, dtype=np.float64) for r in rings]
+    out = []
+    for i, r in enumerate(rs):
+        others = [o for j, o in enumerate(rs) if j != i]
+        depth = 0
+        if others:
+            # a vertex of r tests against every other ring (even-odd)
+            px, py = float(r[0, 0]), float(r[0, 1])
+            for o in others:
+                if points_in_polygon(np.array([px]), np.array([py]), [o])[0]:
+                    depth += 1
+        ccw = ring_signed_area(r) > 0
+        want_ccw = depth % 2 == 0
+        out.append(r if ccw == want_ccw else r[::-1])
+    return out
+
+
+def region_edges(rings):
+    """Directed (p, q) tuples over all rings (closed: last==first)."""
+    edges = []
+    for r in rings:
+        for i in range(len(r) - 1):
+            p = (float(r[i, 0]), float(r[i, 1]))
+            q = (float(r[i + 1, 0]), float(r[i + 1, 1]))
+            if p != q:
+                edges.append((p, q))
+    return edges
+
+
+# ------------------------------------------------------- edge splitting
+def _cross(ax, ay, bx, by):
+    return ax * by - ay * bx
+
+
+def _seg_splits(a, b, c, d):
+    """Split params of segment ab and cd against each other.
+
+    Returns (ts_ab, ts_cd): lists of (t, point) with the crossing
+    point computed once and shared.  Handles proper crossings,
+    endpoint touches and collinear overlaps.
+    """
+    ax, ay = a
+    bx, by = b
+    cx, cy = c
+    dx, dy = d
+    rx, ry = bx - ax, by - ay
+    sx, sy = dx - cx, dy - cy
+    denom = _cross(rx, ry, sx, sy)
+    qpx, qpy = cx - ax, cy - ay
+    if denom != 0.0:
+        t = _cross(qpx, qpy, sx, sy) / denom
+        u = _cross(qpx, qpy, rx, ry) / denom
+        if -EPS_T <= t <= 1 + EPS_T and -EPS_T <= u <= 1 + EPS_T:
+            # snap exact endpoints so shared vertices stay exact
+            if t <= EPS_T:
+                pt = a
+            elif t >= 1 - EPS_T:
+                pt = b
+            elif u <= EPS_T:
+                pt = c
+            elif u >= 1 - EPS_T:
+                pt = d
+            else:
+                pt = (ax + t * rx, ay + t * ry)
+            return [(t, pt)], [(u, pt)]
+        return [], []
+    # parallel: collinear?
+    if _cross(qpx, qpy, rx, ry) != 0.0:
+        return [], []
+    rr = rx * rx + ry * ry
+    if rr == 0.0:
+        return [], []
+    t_c = (qpx * rx + qpy * ry) / rr
+    t_d = ((dx - ax) * rx + (dy - ay) * ry) / rr
+    ss = sx * sx + sy * sy
+    u_a = (-qpx * sx - qpy * sy) / ss
+    u_b = ((bx - cx) * sx + (by - cy) * sy) / ss
+    ts_ab = [(t, p) for t, p in ((t_c, c), (t_d, d))
+             if EPS_T < t < 1 - EPS_T]
+    ts_cd = [(u, p) for u, p in ((u_a, a), (u_b, b))
+             if EPS_T < u < 1 - EPS_T]
+    return ts_ab, ts_cd
+
+
+def split_edges(edges_a, edges_b):
+    """Sub-edges of both edge sets, split at all mutual crossings."""
+    splits_a = [[] for _ in edges_a]
+    splits_b = [[] for _ in edges_b]
+    for i, (p, q) in enumerate(edges_a):
+        for j, (c, d) in enumerate(edges_b):
+            # cheap bbox reject
+            if (min(p[0], q[0]) > max(c[0], d[0])
+                    or max(p[0], q[0]) < min(c[0], d[0])
+                    or min(p[1], q[1]) > max(c[1], d[1])
+                    or max(p[1], q[1]) < min(c[1], d[1])):
+                continue
+            sa, sb = _seg_splits(p, q, c, d)
+            splits_a[i].extend(sa)
+            splits_b[j].extend(sb)
+
+    def cut(edges, splits):
+        out = []
+        for (p, q), ts in zip(edges, splits):
+            pts = [p]
+            for t, pt in sorted(
+                    (tp for tp in ts if EPS_T < tp[0] < 1 - EPS_T)):
+                if pt != pts[-1] and pt != q:
+                    pts.append(pt)
+            pts.append(q)
+            for k in range(len(pts) - 1):
+                if pts[k] != pts[k + 1]:
+                    out.append((pts[k], pts[k + 1]))
+        return out
+
+    return cut(edges_a, splits_a), cut(edges_b, splits_b)
+
+
+# ------------------------------------------------------- classification
+def classify_subedges(subs, other_subs, other_rings):
+    """Tag each sub-edge 'in' | 'out' | 'bnd_same' | 'bnd_opp'."""
+    same = set(other_subs)
+    opp = {(q, p) for p, q in other_subs}
+    tags = []
+    mids_x, mids_y, idxs = [], [], []
+    for i, (p, q) in enumerate(subs):
+        if (p, q) in same:
+            tags.append("bnd_same")
+        elif (p, q) in opp:
+            tags.append("bnd_opp")
+        else:
+            tags.append(None)
+            mids_x.append((p[0] + q[0]) / 2.0)
+            mids_y.append((p[1] + q[1]) / 2.0)
+            idxs.append(i)
+    if idxs:
+        inside = even_odd_inside(
+            np.asarray(mids_x), np.asarray(mids_y), other_rings)
+        for k, i in enumerate(idxs):
+            tags[i] = "in" if inside[k] else "out"
+    return tags
+
+
+# --------------------------------------------------------- ring assembly
+def _chain_rings(edges):
+    """Chain directed edges into closed rings; at a multi-valence
+    vertex take the first outgoing edge clockwise from the reversed
+    incoming edge (interior-left face traversal)."""
+    out_map: dict[tuple, list] = {}
+    for e in edges:
+        out_map.setdefault(e[0], []).append(e)
+    rings = []
+    used = set()
+    for start_edge in edges:
+        if id(start_edge) in used:
+            continue
+        # walk
+        ring = [start_edge[0], start_edge[1]]
+        used.add(id(start_edge))
+        prev = start_edge
+        guard = 0
+        while ring[-1] != ring[0] and guard < 100000:
+            guard += 1
+            v = prev[1]
+            cands = [e for e in out_map.get(v, ()) if id(e) not in used]
+            if not cands:
+                break  # open chain: drop (degenerate leftovers)
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                ux, uy = prev[0][0] - v[0], prev[0][1] - v[1]
+                back = math.atan2(uy, ux)
+
+                def cw_angle(e):
+                    wx, wy = e[1][0] - v[0], e[1][1] - v[1]
+                    ang = back - math.atan2(wy, wx)
+                    ang %= 2 * math.pi
+                    return ang if ang > 1e-12 else 2 * math.pi
+
+                nxt = min(cands, key=cw_angle)
+            used.add(id(nxt))
+            ring.append(nxt[1])
+            prev = nxt
+        if ring[-1] == ring[0] and len(ring) >= 4:
+            rings.append(np.array(ring, dtype=np.float64))
+    return rings
+
+
+def _nest_polygons(rings):
+    """CCW rings -> outers, CW -> holes under smallest containing
+    outer.  Returns list of [outer, hole...] regions."""
+    outers, holes = [], []
+    for r in rings:
+        (outers if ring_signed_area(r) > 0 else holes).append(r)
+    polys = [[o] for o in outers]
+    for h in holes:
+        px, py = float(h[0, 0]), float(h[0, 1])
+        best, best_area = None, None
+        for i, o in enumerate(outers):
+            if points_in_polygon(np.array([px]), np.array([py]), [o])[0]:
+                a = abs(ring_signed_area(o))
+                if best is None or a < best_area:
+                    best, best_area = i, a
+        if best is not None:
+            polys[best].append(h)
+    return polys
+
+
+# ------------------------------------------------------------- operator
+def boolean_op(rings_a, rings_b, op: str):
+    """Overlay boolean of two even-odd regions.
+
+    op: 'intersection' | 'union' | 'difference' | 'symdifference'.
+    Returns list of polygons ([outer, hole...]); [] when empty.
+    """
+    if op == "symdifference":
+        return (boolean_op(rings_a, rings_b, "difference")
+                + boolean_op(rings_b, rings_a, "difference"))
+
+    A = orient_region(rings_a)
+    B = orient_region(rings_b)
+    ea, eb = region_edges(A), region_edges(B)
+    if not ea or not eb:
+        if op == "intersection":
+            return []
+        if op == "difference":
+            return _nest_polygons(_chain_rings(ea)) if ea else []
+        # union
+        return _nest_polygons(_chain_rings(ea + eb))
+    sa, sb = split_edges(ea, eb)
+    ta = classify_subedges(sa, sb, B)
+    tb = classify_subedges(sb, sa, A)
+
+    keep = []
+    if op == "intersection":
+        keep += [e for e, t in zip(sa, ta) if t in ("in", "bnd_same")]
+        keep += [e for e, t in zip(sb, tb) if t == "in"]
+    elif op == "union":
+        keep += [e for e, t in zip(sa, ta) if t in ("out", "bnd_same")]
+        keep += [e for e, t in zip(sb, tb) if t == "out"]
+    elif op == "difference":
+        keep += [e for e, t in zip(sa, ta) if t in ("out", "bnd_opp")]
+        keep += [(q, p) for (p, q), t in zip(sb, tb) if t == "in"]
+    else:
+        raise ValueError(f"unknown op {op!r}")
+    return _nest_polygons(_chain_rings(keep))
+
+
+def polygons_area(polys) -> float:
+    """Total area of a boolean_op result (holes subtract)."""
+    return sum(
+        sum(ring_signed_area(r) for r in region) for region in polys)
+
+
+def flatten(polys):
+    """boolean_op result -> flat even-odd ring set (region), ready to
+    feed back into boolean_op (a multipolygon IS one region)."""
+    return [r for region in polys for r in region]
+
+
+def rings_of_wkb(data: bytes):
+    """Polygon/MultiPolygon WKB -> even-odd ring set."""
+    from . import wkb as kwkb
+
+    return kwkb.polygon_rings(data)
+
+
+def wkb_of_polys(polys) -> bytes:
+    """boolean_op result -> WKB (Polygon or MultiPolygon)."""
+    from . import wkb as kwkb
+
+    if len(polys) == 1:
+        return kwkb.wkb_polygon(polys[0])
+    return kwkb.wkb_multipolygon(polys)
+
+
+def union_all(ring_sets):
+    """Cascaded union of many regions (UnionCascaded role,
+    ogrgeometry.cpp:5131): sequential fold — callers distribute the
+    fold tree (partition partials, then a final merge)."""
+    acc = None
+    for rings in ring_sets:
+        if acc is None:
+            acc = [np.asarray(r, dtype=np.float64) for r in rings]
+            continue
+        acc = flatten(boolean_op(acc, rings, "union"))
+    return _nest_polygons(_chain_rings(region_edges(orient_region(acc)))) \
+        if acc is not None else []
