@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.types import (BinaryType, BooleanType, DoubleType, StringType)
 
+from ..kernels import clip as kclip
 from ..kernels import geom as kgeom
 from ..kernels import pip as kpip
 from ..kernels import wkb as kwkb
@@ -233,6 +234,189 @@ def _st_transform(bs: pd.Series, to_srid: pd.Series) -> pd.Series:
     return pd.Series([one(b, s) for b, s in zip(bs, to_srid)])
 
 
+# ---- set operations (planar-overlay kernel, kernels/clip.py) -------------
+def _rings(b):
+    return kclip.rings_of_wkb(bytes(b))
+
+
+def _set_op_factory(op: str):
+    """ST_Intersection/Union/Difference/SymDifference for polygon WKBs
+    (OGRGeometry Intersection :4895 / Union :5080 / Difference :5333 /
+    SymDifference :5406 in ogrgeometry.cpp, GEOS role).  NULL when the
+    areal result is empty."""
+    def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+        def one(wa, wb):
+            if wa is None or wb is None:
+                return None
+            polys = kclip.boolean_op(_rings(wa), _rings(wb), op)
+            return kclip.wkb_of_polys(polys) if polys else None
+        return pd.Series([one(x, y) for x, y in zip(a, b)],
+                         dtype=object)
+    return fn
+
+
+def _int_area(wa, wb):
+    return kclip.polygons_area(
+        kclip.boolean_op(_rings(wa), _rings(wb), "intersection"))
+
+
+def _st_touches(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Boundaries meet, interiors don't (areal pair semantics)."""
+    def one(wa, wb):
+        if wa is None or wb is None:
+            return None
+        if not kgeom.bbox_intersects(
+                kwkb.wkb_bbox(bytes(wa)), kwkb.wkb_bbox(bytes(wb))):
+            return False
+        if _int_area(wa, wb) > 0.0:
+            return False
+        ea = kclip.region_edges(kclip.orient_region(_rings(wa)))
+        eb = kclip.region_edges(kclip.orient_region(_rings(wb)))
+        sa, _sb = kclip.split_edges(ea, eb)
+        if len(sa) != len(ea):
+            return True           # some edge was split -> boundary contact
+        # vertex-on-vertex / shared full edges without splits
+        pts_b = {p for e in eb for p in e}
+        return any(p in pts_b or q in pts_b for p, q in sa)
+    return pd.Series([one(x, y) for x, y in zip(a, b)], dtype=object)
+
+
+def _st_overlaps(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Interiors intersect but neither contains the other."""
+    def one(wa, wb):
+        if wa is None or wb is None:
+            return None
+        ai = _int_area(wa, wb)
+        if ai <= 0.0:
+            return False
+        aa = abs(kclip.polygons_area([kclip.orient_region(_rings(wa))]))
+        ab = abs(kclip.polygons_area([kclip.orient_region(_rings(wb))]))
+        return ai < aa - 1e-12 and ai < ab - 1e-12
+    return pd.Series([one(x, y) for x, y in zip(a, b)], dtype=object)
+
+
+def _st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Same point set: empty areal symdifference, both non-empty."""
+    def one(wa, wb):
+        if wa is None or wb is None:
+            return None
+        sd = kclip.boolean_op(_rings(wa), _rings(wb), "symdifference")
+        aa = abs(kclip.polygons_area([kclip.orient_region(_rings(wa))]))
+        return aa > 0.0 and not sd
+    return pd.Series([one(x, y) for x, y in zip(a, b)], dtype=object)
+
+
+def _st_crosses(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Line x polygon: parts of the line strictly inside AND strictly
+    outside (DE-9IM crosses for dim 1 x dim 2); polygon pairs -> False."""
+    def one(wa, wb):
+        if wa is None or wb is None:
+            return None
+        ta, pa = _parse(wa)
+        tb, pb = _parse(wb)
+        if ta == kwkb.POLYGON and tb == kwkb.LINESTRING:
+            return one(wb, wa)
+        if not (ta == kwkb.LINESTRING and tb == kwkb.POLYGON):
+            return False
+        line_edges = [
+            ((float(pa[i, 0]), float(pa[i, 1])),
+             (float(pa[i + 1, 0]), float(pa[i + 1, 1])))
+            for i in range(len(pa) - 1)]
+        rings = kwkb.polygon_rings(bytes(wb))
+        poly_edges = kclip.region_edges(kclip.orient_region(rings))
+        subs, _ = kclip.split_edges(line_edges, poly_edges)
+        mx = np.array([(p[0] + q[0]) / 2 for p, q in subs])
+        my = np.array([(p[1] + q[1]) / 2 for p, q in subs])
+        inside = kclip.even_odd_inside(mx, my, rings)
+        return bool(inside.any() and (~inside).any())
+    return pd.Series([one(x, y) for x, y in zip(a, b)], dtype=object)
+
+
+def _st_convexhull(bs: pd.Series) -> pd.Series:
+    def one(b):
+        if b is None:
+            return None
+        t, p = _parse(b)
+        coords = kwkb._all_coords(t, p)
+        return kwkb.wkb_polygon([kgeom.convex_hull(coords)])
+    return bs.map(one)
+
+
+def _st_simplify(bs: pd.Series, tol: pd.Series) -> pd.Series:
+    def one(b, t_):
+        if b is None:
+            return None
+        t, p = _parse(b)
+        if t == kwkb.LINESTRING:
+            return kwkb.wkb_linestring(kgeom.simplify_ring(p, float(t_)))
+        if t == kwkb.POLYGON:
+            return kwkb.wkb_polygon(
+                [kgeom.simplify_ring(r, float(t_)) for r in p])
+        return b
+    return pd.Series([one(b, t_) for b, t_ in zip(bs, tol)], dtype=object)
+
+
+def _st_makevalid(bs: pd.Series) -> pd.Series:
+    """Split self-intersections into simple lobes under even-odd
+    (OGRGeometry::MakeValid role, ogrgeometry.cpp:5580)."""
+    def one(b):
+        if b is None:
+            return None
+        polys = kclip.make_valid(_rings(b))
+        return kclip.wkb_of_polys(polys) if polys else None
+    return bs.map(one)
+
+
+N_BUFFER_SEG = 32
+
+
+def _st_buffer(bs: pd.Series, dist: pd.Series) -> pd.Series:
+    """Point buffer: an N_BUFFER_SEG-gon disc (OGRGeometry::Buffer
+    role for the point case; polygon offsetting is future work and
+    raises)."""
+    ang = np.linspace(0.0, 2 * math.pi, N_BUFFER_SEG + 1)
+
+    def one(b, d):
+        if b is None:
+            return None
+        t, p = _parse(b)
+        if t != kwkb.POINT:
+            raise ValueError("ST_Buffer: point subset only (v2: offsets)")
+        d = float(d)
+        ring = np.column_stack(
+            [p[0] + d * np.cos(ang), p[1] + d * np.sin(ang)])
+        ring[-1] = ring[0]
+        return kwkb.wkb_polygon([ring])
+    return pd.Series([one(b, d) for b, d in zip(bs, dist)], dtype=object)
+
+
+def _st_area_spheroid(bs: pd.Series) -> pd.Series:
+    """ST_Area(geom, use_ellipsoid) role: lon/lat polygon area on the
+    WGS84 authalic sphere (m^2)."""
+    def one(b):
+        if b is None:
+            return 0.0
+        t, p = _parse(b)
+        if t == kwkb.POLYGON:
+            a = kgeom.geodesic_ring_area(p[0])
+            for hole in p[1:]:
+                a -= kgeom.geodesic_ring_area(hole)
+            return a
+        return 0.0
+    return bs.map(one)
+
+
+def _st_length_spheroid(bs: pd.Series) -> pd.Series:
+    def one(b):
+        if b is None:
+            return 0.0
+        t, p = _parse(b)
+        if t == kwkb.LINESTRING:
+            return kgeom.geodesic_length(p)
+        return 0.0
+    return bs.map(one)
+
+
 _REGISTRY = [
     ("st_makepoint", _st_makepoint, BinaryType()),
     ("st_astext", _st_astext, StringType()),
@@ -248,6 +432,20 @@ _REGISTRY = [
     ("st_intersects", _st_intersects, BooleanType()),
     ("st_isempty", _st_isempty, BooleanType()),
     ("st_transform", _st_transform, BinaryType()),
+    ("st_intersection", _set_op_factory("intersection"), BinaryType()),
+    ("st_union", _set_op_factory("union"), BinaryType()),
+    ("st_difference", _set_op_factory("difference"), BinaryType()),
+    ("st_symdifference", _set_op_factory("symdifference"), BinaryType()),
+    ("st_touches", _st_touches, BooleanType()),
+    ("st_overlaps", _st_overlaps, BooleanType()),
+    ("st_equals", _st_equals, BooleanType()),
+    ("st_crosses", _st_crosses, BooleanType()),
+    ("st_convexhull", _st_convexhull, BinaryType()),
+    ("st_simplify", _st_simplify, BinaryType()),
+    ("st_makevalid", _st_makevalid, BinaryType()),
+    ("st_buffer", _st_buffer, BinaryType()),
+    ("st_area_spheroid", _st_area_spheroid, DoubleType()),
+    ("st_length_spheroid", _st_length_spheroid, DoubleType()),
 ]
 
 

@@ -351,6 +351,34 @@ def wkb_of_polys(polys) -> bytes:
     return kwkb.wkb_multipolygon(polys)
 
 
+def make_valid(rings):
+    """Split self-intersecting rings into simple lobes
+    (OGRGeometry::MakeValid role, ogrgeometry.cpp:5580, even-odd
+    interpretation): self-split all edges, trace every face of the
+    arrangement (both edge directions), keep CCW faces whose interior
+    has odd even-odd parity against the input.  Hole-free subset: a
+    ring set with no self-intersections is returned normalized
+    (holes preserved); self-intersecting inputs come back as their
+    simple lobes (holes inside lobes are not reconstructed)."""
+    rs = [np.asarray(r, dtype=np.float64) for r in rings]
+    edges = region_edges(rs)
+    sa, _ = split_edges(edges, edges)
+    if len(sa) == len(edges):
+        return _nest_polygons(
+            _chain_rings(region_edges(orient_region(rs))))
+    both = sa + [(q, p) for p, q in sa]
+    keep = []
+    for f in _chain_rings(both):
+        if ring_signed_area(f) <= 0:
+            continue
+        # area centroid as the interior probe (lobes are simple)
+        cx = float(f[:-1, 0].mean())
+        cy = float(f[:-1, 1].mean())
+        if even_odd_inside(np.array([cx]), np.array([cy]), rs)[0]:
+            keep.append(f)
+    return _nest_polygons(keep)
+
+
 def union_all(ring_sets):
     """Cascaded union of many regions (UnionCascaded role,
     ogrgeometry.cpp:5131): sequential fold — callers distribute the

@@ -86,3 +86,84 @@ def mercator_to_lonlat(x, y):
     lon = np.degrees(x / _R)
     lat = np.degrees(2.0 * np.arctan(np.exp(y / _R)) - np.pi / 2.0)
     return lon, lat
+
+
+def convex_hull(points_xy):
+    """Andrew monotone chain; returns a closed CCW ring (K+1, 2).
+
+    The role of OGRGeometry::ConvexHull (ogrgeometry.cpp:4470,
+    GEOS-backed there)."""
+    pts = np.unique(np.asarray(points_xy, dtype=np.float64), axis=0)
+    if len(pts) == 1:
+        p = pts[0]
+        return np.array([p, p, p, p])
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(
+                    out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.array(lower[:-1] + upper[:-1] + [lower[0]])
+    return ring
+
+
+def simplify_ring(arr, tol: float):
+    """Douglas-Peucker (OGRGeometry::Simplify role,
+    ogrgeometry.cpp:5657; GEOS DouglasPeuckerSimplifier there).
+    arr: (M,2) polyline (closed rings keep first==last)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if len(a) < 3:
+        return a.copy()
+    keep = np.zeros(len(a), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(a) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = a[i + 1:j]
+        d2 = point_segment_dist2(
+            seg[:, 0], seg[:, 1], a[i, 0], a[i, 1], a[j, 0], a[j, 1])
+        k = int(np.argmax(d2))
+        if d2[k] > tol * tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return a[keep]
+
+
+WGS84_AUTHALIC_R = 6371007.180918475  # authalic sphere radius (meters)
+
+
+def geodesic_ring_area(ring_lonlat) -> float:
+    """Spherical-excess ring area on the WGS84 authalic sphere
+    (positive, m^2) — the use_ellipsoid=TRUE role of OGR_GetArea
+    (ogrsqlitesqlfunctions.cpp:1230; the reference is exact
+    ellipsoidal via geodesic.c, this is the spherical approximation,
+    within ~0.1% for mid-latitudes)."""
+    r = np.asarray(ring_lonlat, dtype=np.float64)
+    lon = np.radians(r[:, 0])
+    lat = np.radians(r[:, 1])
+    # Chamberlain & Duquette spherical polygon area
+    s = np.sum((lon[1:] - lon[:-1]) * (2 + np.sin(lat[1:]) + np.sin(lat[:-1])))
+    return abs(s) / 2.0 * WGS84_AUTHALIC_R * WGS84_AUTHALIC_R
+
+
+def geodesic_length(line_lonlat) -> float:
+    """Great-circle length (haversine) on the authalic sphere, m."""
+    r = np.asarray(line_lonlat, dtype=np.float64)
+    lon = np.radians(r[:, 0])
+    lat = np.radians(r[:, 1])
+    dlon = lon[1:] - lon[:-1]
+    dlat = lat[1:] - lat[:-1]
+    h = (np.sin(dlat / 2) ** 2
+         + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2) ** 2)
+    return float(2 * WGS84_AUTHALIC_R * np.arcsin(np.sqrt(h)).sum())

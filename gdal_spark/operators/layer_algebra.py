@@ -190,7 +190,7 @@ def _minus_all(a: DataFrame, b: DataFrame, grid: TileGrid,
     """Per A feature: A minus the union of ALL its candidate B's —
     a cogroup keyed by afid (sequential difference fold in the task).
     keep_unmatched: emit A features with no candidate at all."""
-    pairs = candidate_pairs(a, b, grid, zoom).select("afid", "bwkb")
+    pairs = candidate_pairs(a, b, grid, zoom).select("afid", "bfid", "bwkb")
     asel = a.select(F.col("fid").alias("afid"), F.col("wkb").alias("awkb"))
 
     def run(key, apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
@@ -200,6 +200,9 @@ def _minus_all(a: DataFrame, b: DataFrame, grid: TileGrid,
         afid = int(key[0])
         acc = kclip.rings_of_wkb(bytes(apdf["awkb"].iloc[0]))
         polys = None
+        # bfid order fixes the difference-fold order -> deterministic
+        # piece vertices/areas regardless of shuffle arrival order
+        bpdf = bpdf.sort_values("bfid")
         for bw in bpdf["bwkb"]:
             polys = kclip.boolean_op(
                 acc, kclip.rings_of_wkb(bytes(bw)), "difference")
@@ -238,6 +241,7 @@ def poly_clip(a, b, grid, zoom=6):
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         afid = int(key[0])
+        pdf = pdf.sort_values("bfid")   # deterministic union-fold order
         polys = kclip.union_all(
             [kclip.rings_of_wkb(bytes(w)) for w in pdf["wkb"]])
         return pd.DataFrame(_pieces_rows(afid, None, polys))
@@ -287,20 +291,22 @@ def cascaded_union(df: DataFrame, n_partial: int = 16) -> DataFrame:
     """UnionCascaded (ogrgeometry.cpp:5131) over a polygon table:
     tree fold — hash-partitioned partial unions in parallel tasks,
     then one final merge of the (few) partials."""
+    # crc32 (not xxhash64): reproducible outside the JVM, so the
+    # serial golden twin can replicate the partial grouping exactly
     withp = df.select("wkb").withColumn(
-        "_p", F.pmod(F.xxhash64("wkb"), F.lit(n_partial)).cast("int"))
+        "_p", F.pmod(F.crc32("wkb"), F.lit(n_partial)).cast("int"))
 
     def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        polys = kclip.union_all(
-            [kclip.rings_of_wkb(bytes(w)) for w in pdf["wkb"]])
+        wkbs = sorted(bytes(w) for w in pdf["wkb"])   # deterministic fold
+        polys = kclip.union_all([kclip.rings_of_wkb(w) for w in wkbs])
         return pd.DataFrame(
             {"wkb": [kclip.wkb_of_polys([reg]) for reg in polys]})
 
     partials = withp.groupBy("_p").applyInPandas(partial, "wkb binary")
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        polys = kclip.union_all(
-            [kclip.rings_of_wkb(bytes(w)) for w in pdf["wkb"]])
+        wkbs = sorted(bytes(w) for w in pdf["wkb"])
+        polys = kclip.union_all([kclip.rings_of_wkb(w) for w in wkbs])
         rows = [{
             "wkb": kclip.wkb_of_polys([reg]),
             "area": float(sum(kclip.ring_signed_area(r) for r in reg)),

@@ -107,8 +107,17 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
         return problems
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    s = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
-    d = sorted(tuple(norm(r[i]) for i in dorder) for r in duck_rows)
+
+    def row_key(row):
+        # total order across None/str/numeric so NULL-bearing rows sort
+        return tuple(
+            (v is None, isinstance(v, str), v if v is not None else 0)
+            for v in row)
+
+    s = sorted((tuple(norm(r[i]) for i in order) for r in spark_rows),
+               key=row_key)
+    d = sorted((tuple(norm(r[i]) for i in dorder) for r in duck_rows),
+               key=row_key)
     nbad = 0
     for i, (a, b) in enumerate(zip(s, d)):
         if a != b:

@@ -82,3 +82,80 @@ def test_on_fixture_layer(st):
     ).collect()
     assert len(rows) == 10
     assert all(r["a"] > 0 and r["c"].startswith("POINT") for r in rows)
+
+
+# ---- set operations / relates (GEOS-role surface on kernels/clip) ----
+SQ_A = "st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))')"
+SQ_B = "st_geomfromtext('POLYGON((2 2,6 2,6 6,2 6,2 2))')"
+SQ_ADJ = "st_geomfromtext('POLYGON((4 0,8 0,8 4,4 4,4 0))')"
+SQ_FAR = "st_geomfromtext('POLYGON((10 10,11 10,11 11,10 11,10 10))')"
+
+
+def test_st_set_ops_areas(st):
+    assert _one(st, f"st_area(st_intersection({SQ_A}, {SQ_B}))") == 4.0
+    assert _one(st, f"st_area(st_union({SQ_A}, {SQ_B}))") == 28.0
+    assert _one(st, f"st_area(st_difference({SQ_A}, {SQ_B}))") == 12.0
+    assert _one(st, f"st_area(st_symdifference({SQ_A}, {SQ_B}))") == 24.0
+    assert _one(st, f"st_intersection({SQ_A}, {SQ_FAR})") is None
+
+
+def test_st_touches_overlaps_equals(st):
+    assert _one(st, f"st_touches({SQ_A}, {SQ_ADJ})") is True
+    assert _one(st, f"st_touches({SQ_A}, {SQ_B})") is False
+    assert _one(st, f"st_touches({SQ_A}, {SQ_FAR})") is False
+    assert _one(st, f"st_overlaps({SQ_A}, {SQ_B})") is True
+    assert _one(st, f"st_overlaps({SQ_A}, {SQ_ADJ})") is False
+    assert _one(st, f"st_equals({SQ_A}, {SQ_A})") is True
+    assert _one(st, f"st_equals({SQ_A}, {SQ_B})") is False
+    # equality is point-set equality, not vertex-list equality
+    rot = "st_geomfromtext('POLYGON((4 0,4 4,0 4,0 0,4 0))')"
+    assert _one(st, f"st_equals({SQ_A}, {rot})") is True
+
+
+def test_st_crosses_line_polygon(st):
+    line_in_out = "st_geomfromtext('LINESTRING(-1 2, 5 2)')"
+    # wait: geomfromtext supports POINT/POLYGON only; build via kernel
+    import pandas as pd
+
+    df = st.createDataFrame(pd.DataFrame({
+        "line": [kwkb.wkb_linestring(np.array([(-1.0, 2.0), (5.0, 2.0)])),
+                 kwkb.wkb_linestring(np.array([(1.0, 1.0), (2.0, 2.0)]))],
+        "poly": [kwkb.wkb_polygon(
+            [np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], float)])] * 2,
+    }))
+    df.createOrReplaceTempView("cr")
+    rows = st.sql(
+        "SELECT st_crosses(line, poly) AS c FROM cr").collect()
+    assert [r["c"] for r in rows] == [True, False]
+
+
+def test_st_convexhull_simplify_makevalid(st):
+    hull_area = _one(st, "st_area(st_convexhull(st_geomfromtext("
+                         "'POLYGON((0 0,4 0,2 1,4 4,0 4,0 0))')))")
+    assert hull_area == 16.0
+    simp = _one(st, "st_astext(st_simplify(st_geomfromtext("
+                    "'POLYGON((0 0,2 0.0000001,4 0,4 4,0 4,0 0))'), 0.001))")
+    assert simp == "POLYGON ((0 0,4 0,4 4,0 4,0 0))"
+    # bowtie splits into two triangular lobes of area 1.0 each
+    bow_area = _one(st, "st_area(st_makevalid(st_geomfromtext("
+                        "'POLYGON((0 0,2 2,2 0,0 2,0 0))')))")
+    assert bow_area == pytest.approx(2.0)
+
+
+def test_st_buffer_point(st):
+    a = _one(st, "st_area(st_buffer(st_makepoint(5, 5), 2.0))")
+    # 32-gon area = 0.5*n*r^2*sin(2pi/n)
+    assert a == pytest.approx(0.5 * 32 * 4.0 * math.sin(2 * math.pi / 32))
+
+
+def test_st_spheroid_measures(st):
+    a = _one(st, "st_area_spheroid(st_geomfromtext("
+                 "'POLYGON((0 0,1 0,1 1,0 1,0 0))'))")
+    assert a == pytest.approx(12364e6, rel=0.01)  # 1x1 deg at equator ~ 12364 km^2
+    import pandas as pd
+
+    df = st.createDataFrame(pd.DataFrame({
+        "line": [kwkb.wkb_linestring(np.array([(0.0, 0.0), (1.0, 0.0)]))]}))
+    df.createOrReplaceTempView("geo_l")
+    ln = st.sql("SELECT st_length_spheroid(line) AS v FROM geo_l").collect()[0]["v"]
+    assert ln == pytest.approx(111195, rel=0.001)  # 1 deg of longitude at equator
