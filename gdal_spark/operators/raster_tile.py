@@ -103,6 +103,45 @@ def rasterize_tiles(geoms: DataFrame, grid: TileGrid, zoom: int,
     return cells.groupBy("tx", "ty").applyInPandas(_burn_tile, TILE_SCHEMA)
 
 
+def _rms_2x2(canvas, np_dtype, is_float):
+    """RMS decimation matching overview.cpp ComputeIntegerRMS_4values
+    (:284-333): integer output is the int minimizing
+    |rms^2 - sumSquares/4|, via the float32 sqrt of (ss+1)//4 for
+    uint8 (the reference's exact path) and the double 0.25*ss form
+    for wider types."""
+    c = canvas.astype(np.float64)
+    ss = (c[::2, ::2] ** 2 + c[::2, 1::2] ** 2 + c[1::2, ::2] ** 2
+          + c[1::2, 1::2] ** 2)
+    if is_float:
+        return np.sqrt(0.25 * ss).astype(np_dtype)
+    if np_dtype == np.uint8:
+        s1 = (ss.astype(np.int64) + 1) // 4
+        rms = np.sqrt(s1.astype(np.float32)).astype(np.int64)
+        rms = np.where(rms * (rms + 1) < s1, rms + 1, rms)
+        return rms.astype(np_dtype)
+    sdw = ss * 0.25
+    rms = np.sqrt(sdw).astype(np.int64)
+    rms = np.where((2 * rms * (rms + 1) + 1).astype(np.float64) < 2 * sdw,
+                   rms + 1, rms)
+    return rms.astype(np_dtype)
+
+
+def _mode_2x2(canvas, np_dtype):
+    """Mode decimation matching overview.cpp:2369-2397: the FIRST
+    value in raster order to reach the window's max multiplicity wins
+    (strict `> nMaxVal` update)."""
+    vals = [canvas[::2, ::2], canvas[::2, 1::2],
+            canvas[1::2, ::2], canvas[1::2, 1::2]]   # raster order
+    counts = [sum((v == w).astype(np.int8) for w in vals) for v in vals]
+    best_val = vals[0].copy()
+    best_cnt = counts[0].copy()
+    for v, c in zip(vals[1:], counts[1:]):
+        take = c > best_cnt
+        best_val = np.where(take, v, best_val)
+        best_cnt = np.where(take, c, best_cnt)
+    return best_val.astype(np_dtype)
+
+
 def pyramid_reduce(tiles: DataFrame, zoom: int, method: str = "average",
                    dtype: str = "uint8", tile_size: int = 256) -> DataFrame:
     """One pyramid level: tiles at ``zoom`` -> tiles at ``zoom - 1``.
@@ -130,6 +169,10 @@ def pyramid_reduce(tiles: DataFrame, zoom: int, method: str = "average",
             canvas[qy * ts:(qy + 1) * ts, qx * ts:(qx + 1) * ts] = arr
         if method == "near":
             out = canvas[::2, ::2]
+        elif method == "rms":
+            out = _rms_2x2(canvas, np_dtype, is_float)
+        elif method == "mode":
+            out = _mode_2x2(canvas, np_dtype)
         elif is_float:
             c = canvas.astype(np.float64)
             out = (0.25 * (c[::2, ::2] + c[::2, 1::2] + c[1::2, ::2]
@@ -161,10 +204,19 @@ def build_pyramid(tiles: DataFrame, zoom: int, down_to: int = 0,
     return out
 
 
-def raster_stats(tiles: DataFrame, dtype: str = "uint8") -> DataFrame:
+def raster_stats(tiles: DataFrame, dtype: str = "uint8",
+                 stable: bool = True) -> DataFrame:
     """Band statistics over a tiles DF: per-tile numpy partials,
-    exact partial+final combination — the distributed twin of
-    GDALRasterBand::ComputeStatistics per-block accumulation."""
+    distributed combination — the twin of
+    GDALRasterBand::ComputeStatistics per-block accumulation.
+
+    stable=True (default): per-tile (n, mean, M2) partials merged
+    with Chan's parallel update (the numerically safe path —
+    E[x^2]-E[x]^2 cancels catastrophically for high-mean/low-variance
+    bands; cf. the pairwise accumulation note at ogr/ogr_swq.h:391).
+    stable=False keeps the raw-sums form, bit-reproducible against
+    a SUM-based SQL oracle when the pixel values are exact integers.
+    """
     np_dtype = np.dtype(dtype)
 
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -174,6 +226,7 @@ def raster_stats(tiles: DataFrame, dtype: str = "uint8") -> DataFrame:
             rows = []
             for _, row in pdf.iterrows():
                 a = np.frombuffer(row["px"], dtype=np_dtype).astype(np.float64)
+                mean = float(a.mean())
                 rows.append({
                     "band": int(row["band"]),
                     "n": a.size,
@@ -181,22 +234,51 @@ def raster_stats(tiles: DataFrame, dtype: str = "uint8") -> DataFrame:
                     "vmax": float(a.max()),
                     "vsum": float(a.sum()),
                     "vsum2": float((a * a).sum()),
+                    "mean": mean,
+                    "m2": float(((a - mean) ** 2).sum()),
                 })
             yield pd.DataFrame(rows)
 
     partials = tiles.select("band", "px").mapInPandas(
         _partial, "band int, n long, vmin double, vmax double, "
-                  "vsum double, vsum2 double")
-    agg = partials.groupBy("band").agg(
-        F.sum("n").alias("n"),
-        F.min("vmin").alias("vmin"),
-        F.max("vmax").alias("vmax"),
-        F.sum("vsum").alias("vsum"),
-        F.sum("vsum2").alias("vsum2"),
-    )
-    mean = F.col("vsum") / F.col("n")
-    var = F.col("vsum2") / F.col("n") - mean * mean
-    return agg.select(
-        "band", "n", "vmin", "vmax",
-        mean.alias("mean"), F.sqrt(var).alias("stddev"),
-    )
+                  "vsum double, vsum2 double, mean double, m2 double")
+
+    if not stable:
+        agg = partials.groupBy("band").agg(
+            F.sum("n").alias("n"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+            F.sum("vsum2").alias("vsum2"),
+        )
+        mean = F.col("vsum") / F.col("n")
+        var = F.col("vsum2") / F.col("n") - mean * mean
+        return agg.select(
+            "band", "n", "vmin", "vmax",
+            mean.alias("mean"), F.sqrt(var).alias("stddev"),
+        )
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = 0
+        mean = 0.0
+        m2 = 0.0
+        for _, r in pdf.sort_values(["n", "mean"]).iterrows():
+            nb, mb, m2b = int(r["n"]), float(r["mean"]), float(r["m2"])
+            if nb == 0:
+                continue
+            tot = n + nb
+            delta = mb - mean
+            m2 = m2 + m2b + delta * delta * n * nb / tot
+            mean = mean + delta * nb / tot
+            n = tot
+        return pd.DataFrame([{
+            "band": int(key[0]), "n": n,
+            "vmin": float(pdf["vmin"].min()),
+            "vmax": float(pdf["vmax"].max()),
+            "mean": mean,
+            "stddev": float(np.sqrt(m2 / n)) if n else 0.0,
+        }])
+
+    return partials.groupBy("band").applyInPandas(
+        _merge, "band int, n long, vmin double, vmax double, "
+                "mean double, stddev double")

@@ -62,21 +62,40 @@ def reproject_points(df: DataFrame, x_col: str, y_col: str,
 
 
 # ---- tile warp -----------------------------------------------------------
+def cubic_convolution(d1, d2, d3, f0, f1, f2, f3):
+    """GDAL's cubic convolution (gdalwarpkernel.cpp:2931-2937,
+    A=-0.5 Catmull-Rom family), d1..d3 = fractional offset powers."""
+    return f1 + 0.5 * (d1 * (f2 - f0)
+                       + d2 * (2 * f0 - 5 * f1 + 4 * f2 - f3)
+                       + d3 * (3 * (f1 - f2) + f3 - f0))
+
+
+_METHOD_PAD = {"near": 0, "bilinear": 1, "cubic": 2}
+
+
 def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
                dst_grid: TileGrid, dst_zoom: int,
                direction: str = "identity", dtype: str = "uint8",
                src_tile_size: int | None = None,
                dst_tile_size: int | None = None,
-               nodata: float = 0.0) -> DataFrame:
-    """Warp a tiled raster from src_grid to dst_grid, nearest-neighbor.
+               nodata: float = 0.0, method: str = "near") -> DataFrame:
+    """Warp a tiled raster from src_grid to dst_grid.
 
     direction: how dst world coords map to src world coords —
     'identity' (same CRS, regridding/resampling), 'dst_merc_src_ll'
     (dst is EPSG:3857, src EPSG:4326), or 'dst_ll_src_merc'.
+    method: 'near' | 'bilinear' | 'cubic' — the GWKNearest /
+    GWKBilinearResample / GWKCubicResample kernel family
+    (alg/gdalwarpkernel.cpp:101-180); bilinear/cubic sample a source
+    MOSAIC assembled per destination tile (halo pixels come from the
+    padded fan-out), weights renormalized over valid cells at dataset
+    edges (the reference falls back near/bilinear there).
     """
     np_dtype = np.dtype(dtype)
+    is_float = np.issubdtype(np_dtype, np.floating)
     sts = src_tile_size or src_grid.tile_size
     dts = dst_tile_size or dst_grid.tile_size
+    pad = _METHOD_PAD[method]
 
     def to_src(xs, ys):
         if direction == "identity":
@@ -95,6 +114,12 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
             for _, r in pdf.iterrows():
                 minx, miny, maxx, maxy = src_grid.tile_bounds(
                     src_zoom, int(r["tx"]), int(r["ty"]))
+                if pad:
+                    # halo: this tile also serves dst tiles that only
+                    # need its border pixels for the kernel window
+                    h = pad * src_grid.resolution(src_zoom)
+                    minx, miny, maxx, maxy = (minx - h, miny - h,
+                                              maxx + h, maxy + h)
                 # map src bbox corners to dst world coords
                 if direction == "identity":
                     dminx, dminy, dmaxx, dmaxy = minx, miny, maxx, maxy
@@ -132,20 +157,82 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
         cy = maxy - (np.arange(dts) + 0.5) * res
         gx, gy = np.meshgrid(cx, cy)
         sx, sy = to_src(gx.ravel(), gy.ravel())
-        # global source pixel indices
-        spx = np.floor((sx - stlx) / sres).astype(np.int64)
-        spy = np.floor((stly - sy) / sres).astype(np.int64)
-        out = np.full(dts * dts, nodata, dtype=np.float64)
+        # continuous source pixel coords (pixel centers at +0.5)
+        sfx = (sx - stlx) / sres
+        sfy = (stly - sy) / sres
+
+        if method == "near":
+            out = _sample_near(pdf, sfx, sfy)
+        else:
+            out = _sample_kernel(pdf, sfx, sfy, method)
+        out = np.where(np.isnan(out), nodata, out)
+        if not is_float:
+            info = np.iinfo(np_dtype)
+            out = np.clip(np.floor(out + 0.5), info.min, info.max)
+        res_arr = out.astype(np_dtype).reshape(dts, dts)
+        return pd.DataFrame({
+            "tx": [dtx], "ty": [dty], "px": [res_arr.tobytes()],
+            "checksum": [kck.checksum(res_arr, is_float=is_float)],
+        })
+
+    def _sample_near(pdf, sfx, sfy):
+        spx = np.floor(sfx).astype(np.int64)
+        spy = np.floor(sfy).astype(np.int64)
+        out = np.full(sfx.shape, np.nan)
         for _, r in pdf.iterrows():
             arr = np.frombuffer(r["px"], dtype=np_dtype).reshape(sts, sts)
             x0, y0 = int(r["stx"]) * sts, int(r["sty"]) * sts
             m = ((spx >= x0) & (spx < x0 + sts)
                  & (spy >= y0) & (spy < y0 + sts))
             out[m] = arr[spy[m] - y0, spx[m] - x0]
-        res_arr = out.astype(np_dtype).reshape(dts, dts)
-        return pd.DataFrame({
-            "tx": [dtx], "ty": [dty], "px": [res_arr.tobytes()],
-            "checksum": [kck.checksum(res_arr.astype(np.int64))],
-        })
+        return out
+
+    def _sample_kernel(pdf, sfx, sfy, method):
+        # assemble the source mosaic needed by this dst tile
+        fx = sfx - 0.5
+        fy = sfy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        k0, k1 = (-1, 3) if method == "cubic" else (0, 2)
+        gx0, gx1 = int(x0.min()) + k0, int(x0.max()) + k1
+        gy0, gy1 = int(y0.min()) + k0, int(y0.max()) + k1
+        canvas = np.full((gy1 - gy0 + 1, gx1 - gx0 + 1), np.nan)
+        for _, r in pdf.iterrows():
+            arr = np.frombuffer(r["px"], dtype=np_dtype).reshape(sts, sts)
+            tx0, ty0 = int(r["stx"]) * sts, int(r["sty"]) * sts
+            ax0, ax1 = max(tx0, gx0), min(tx0 + sts - 1, gx1)
+            ay0, ay1 = max(ty0, gy0), min(ty0 + sts - 1, gy1)
+            if ax0 > ax1 or ay0 > ay1:
+                continue
+            canvas[ay0 - gy0:ay1 - gy0 + 1, ax0 - gx0:ax1 - gx0 + 1] = \
+                arr[ay0 - ty0:ay1 - ty0 + 1, ax0 - tx0:ax1 - tx0 + 1]
+        dx = fx - x0
+        dy = fy - y0
+        if method == "bilinear":
+            offs = [(0, 0), (1, 0), (0, 1), (1, 1)]
+            wts = [(1 - dx) * (1 - dy), dx * (1 - dy),
+                   (1 - dx) * dy, dx * dy]
+        else:
+            wx = [cubic_convolution(dx, dx * dx, dx ** 3,
+                                    *(1.0 * (np.arange(4) == k))
+                                    ) for k in range(4)]
+            wy = [cubic_convolution(dy, dy * dy, dy ** 3,
+                                    *(1.0 * (np.arange(4) == k))
+                                    ) for k in range(4)]
+            offs = [(ix - 1, iy - 1) for iy in range(4) for ix in range(4)]
+            wts = [wx[ix] * wy[iy] for iy in range(4) for ix in range(4)]
+        num = np.zeros(fx.shape)
+        den = np.zeros(fx.shape)
+        for (ox, oy), w in zip(offs, wts):
+            px = np.clip(x0 + ox - gx0, 0, canvas.shape[1] - 1)
+            py = np.clip(y0 + oy - gy0, 0, canvas.shape[0] - 1)
+            inb = ((x0 + ox >= gx0) & (x0 + ox <= gx1)
+                   & (y0 + oy >= gy0) & (y0 + oy <= gy1))
+            v = canvas[py, px]
+            ok = inb & ~np.isnan(v)
+            num += np.where(ok, w * np.where(ok, v, 0.0), 0.0)
+            den += np.where(ok, w, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(den != 0.0, num / den, np.nan)
 
     return fanout.groupBy("dtx", "dty").applyInPandas(_warp, OUT_SCHEMA)

@@ -97,7 +97,9 @@ def raster_stats_q(spark, sf_dir):
 
     tiles = px.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
         _tile, "z int, tx long, ty long, band int, px binary, checksum long")
-    st = raster_stats(tiles)
+    # stable=False: the SUM-form is bit-identical to the SQL oracle
+    # on this exact-integer fixture; the library default is Welford
+    st = raster_stats(tiles, stable=False)
     return st.select(
         "band", "n", "vmin", "vmax",
         F.round("mean", 6).alias("mean"),
@@ -684,3 +686,139 @@ def fill_nodata_q(spark, sf_dir):
                 })
 
     return out.mapInPandas(_rows, "r long, c long, value double").orderBy("r", "c")
+
+
+# ------------------------------------------------------------ warp kernels
+# dst grid chosen so every kernel window is interior (no renorm) and
+# the 2.5-unit resolution gives non-trivial fractional weights; output
+# pixels are uint8 after GDAL's floor(v+0.5) clamp -> integer compare.
+_WARP_DTS = 20
+
+
+def _warp_query(method):
+    from ..kernels.cells import TileGrid as _TG
+    from ..operators.warp import warp_tiles
+
+    def q(spark, sf_dir):
+        src_grid = _TG(0.0, float(GW), float(GW), GW // 2)
+        if method == "bilinear":
+            dst_grid = _TG(0.0, 64.0, 50.0, _WARP_DTS)
+        else:
+            dst_grid = _TG(4.0, 60.0, 50.0, _WARP_DTS)
+        out = warp_tiles(_pixel_tiles_df(spark), src_grid, 1, dst_grid, 0,
+                         direction="identity", dtype="uint8",
+                         src_tile_size=GW // 2,
+                         dst_tile_size=_WARP_DTS, method=method)
+
+        def _rows(batches):
+            for pdf in batches:
+                for _, rr in pdf.iterrows():
+                    t = np.frombuffer(rr["px"], dtype=np.uint8).reshape(
+                        _WARP_DTS, _WARP_DTS)
+                    ys, xs = np.mgrid[0:_WARP_DTS, 0:_WARP_DTS]
+                    yield pd.DataFrame({
+                        "r": ys.ravel().astype(np.int64),
+                        "c": xs.ravel().astype(np.int64),
+                        "value": t.ravel().astype(np.int64),
+                    })
+
+        return out.select("px", "tx", "ty").mapInPandas(
+            _rows, "r long, c long, value long").orderBy("r", "c")
+
+    return q
+
+
+_BILIN_SQL = f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    q AS (
+      SELECT r.i AS r, c.i AS c,
+             (2.5 * c.i + 1.25) - 0.5 AS fx0,
+             (2.5 * r.i + 1.25) - 0.5 AS fy0
+      FROM generate_series(0, {_WARP_DTS - 1}) r(i),
+           generate_series(0, {_WARP_DTS - 1}) c(i)
+    ),
+    w AS (
+      SELECT r, c,
+             CAST(FLOOR(fx0) AS BIGINT) AS x0, fx0 - FLOOR(fx0) AS dx,
+             CAST(FLOOR(fy0) AS BIGINT) AS y0, fy0 - FLOOR(fy0) AS dy
+      FROM q
+    )
+    SELECT w.r, w.c,
+           CAST(FLOOR(
+             (1-dx)*(1-dy)*a.v + dx*(1-dy)*b.v + (1-dx)*dy*c2.v + dx*dy*d.v
+             + 0.5) AS BIGINT) AS value
+    FROM w
+    JOIN gpx a  ON a.r = w.y0     AND a.c = w.x0
+    JOIN gpx b  ON b.r = w.y0     AND b.c = w.x0 + 1
+    JOIN gpx c2 ON c2.r = w.y0 + 1 AND c2.c = w.x0
+    JOIN gpx d  ON d.r = w.y0 + 1 AND d.c = w.x0 + 1
+    ORDER BY w.r, w.c
+"""
+
+_CUBIC_W = """
+      0.5*(-dx + 2*dxx - dxxx) AS wx0, 1 + 0.5*(-5*dxx + 3*dxxx) AS wx1,
+      0.5*(dx + 4*dxx - 3*dxxx) AS wx2, 0.5*(-dxx + dxxx) AS wx3,
+      0.5*(-dy + 2*dyy - dyyy) AS wy0, 1 + 0.5*(-5*dyy + 3*dyyy) AS wy1,
+      0.5*(dy + 4*dyy - 3*dyyy) AS wy2, 0.5*(-dyy + dyyy) AS wy3
+"""
+
+_CUBIC_SUM = " + ".join(
+    f"(wx{ix} * wy{iy}) * g{ix}{iy}.v" for iy in range(4) for ix in range(4))
+_CUBIC_JOINS = "\n    ".join(
+    f"JOIN gpx g{ix}{iy} ON g{ix}{iy}.r = w.y0 + ({iy - 1}) "
+    f"AND g{ix}{iy}.c = w.x0 + ({ix - 1})"
+    for iy in range(4) for ix in range(4))
+
+_CUBIC_SQL = f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    q AS (
+      SELECT r.i AS r, c.i AS c,
+             (4.0 + 2.5 * c.i + 1.25) - 0.5 AS fx0,
+             (64.0 - (60.0 - (2.5 * r.i + 1.25))) - 0.5 AS fy0
+      FROM generate_series(0, {_WARP_DTS - 1}) r(i),
+           generate_series(0, {_WARP_DTS - 1}) c(i)
+    ),
+    base AS (
+      SELECT r, c,
+             CAST(FLOOR(fx0) AS BIGINT) AS x0, fx0 - FLOOR(fx0) AS dx,
+             CAST(FLOOR(fy0) AS BIGINT) AS y0, fy0 - FLOOR(fy0) AS dy
+      FROM q
+    ),
+    w AS (
+      SELECT r, c, x0, y0, dx, dy,
+             dx*dx AS dxx, dx*dx*dx AS dxxx,
+             dy*dy AS dyy, dy*dy*dy AS dyyy
+      FROM base
+    ),
+    ww AS (SELECT r, c, x0, y0, {_CUBIC_W} FROM w)
+    SELECT w.r, w.c,
+           LEAST(GREATEST(CAST(FLOOR(({_CUBIC_SUM}) + 0.5) AS BIGINT), 0),
+                 255) AS value
+    FROM ww w
+    {_CUBIC_JOINS}
+    ORDER BY w.r, w.c
+"""
+
+register(
+    "warp_bilinear",
+    sql=_BILIN_SQL,
+    desc="tile warp, bilinear kernel (GWKBilinearResample, "
+         "gdalwarpkernel.cpp:101-180): per-dst-tile source mosaic with "
+         "halo fan-out; fractional 2.5-res weights, bit-matched in SQL",
+)(_warp_query("bilinear"))
+
+register(
+    "warp_cubic",
+    sql=_CUBIC_SQL,
+    desc="tile warp, cubic convolution kernel (CubicConvolution, "
+         "gdalwarpkernel.cpp:2931, A=-0.5): 4x4 window from the halo'd "
+         "mosaic; 16-term weighted sum bit-matched in SQL",
+)(_warp_query("cubic"))

@@ -194,3 +194,29 @@ def test_polygonize_rasterize_roundtrip(spark):
     for r in polys:
         got_counts[r["value"]] = got_counts.get(r["value"], 0) + r["pixel_count"]
     assert got_counts == want_counts
+
+
+def test_raster_stats_welford_pathological(spark):
+    """High-mean/low-variance band: the stable Chan/Welford merge must
+    match numpy where the raw E[x^2]-E[x]^2 form loses all digits."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.raster_tile import raster_stats
+
+    rng = np.random.default_rng(3)
+    base = 1.0e9
+    tiles = []
+    vals = []
+    for i in range(4):
+        a = base + rng.normal(0.0, 1e-3, 32 * 32)
+        vals.append(a)
+        tiles.append({"z": 0, "tx": i, "ty": 0, "band": 1,
+                      "px": a.astype(np.float64).tobytes(), "checksum": 0})
+    df = spark.createDataFrame(pd.DataFrame(tiles))
+    got = raster_stats(df, dtype="float64", stable=True).collect()[0]
+    allv = np.concatenate(vals)
+    assert got["n"] == allv.size
+    assert got["mean"] == pytest.approx(allv.mean(), rel=1e-12)
+    assert got["stddev"] == pytest.approx(allv.std(), rel=1e-6)
+    assert allv.std() > 1e-4  # the signal the naive form destroys

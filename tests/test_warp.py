@@ -96,3 +96,87 @@ def test_warp_mercator(spark):
     # warped output draws from the source's value set (nearest sampling)
     assert set(np.unique(vals)) <= set(np.unique(src)) | {0}
     assert (vals > 0).mean() > 0.9
+
+
+def test_warp_bilinear_same_res_identity(spark):
+    """Bilinear at identical src/dst grids samples pixel centers
+    exactly (dx=dy=0) -> output equals input."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.kernels.cells import TileGrid
+    from gdal_spark.operators.warp import warp_tiles
+
+    ts = 16
+    rng = np.random.default_rng(7)
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            tiles.append({"tx": tx, "ty": ty,
+                          "px": rng.integers(0, 255, (ts, ts),
+                                             dtype=np.uint8).tobytes()})
+    df = spark.createDataFrame(pd.DataFrame(tiles))
+    g = TileGrid(0.0, 32.0, 32.0, ts)
+    out = warp_tiles(df, g, 1, g, 1, dtype="uint8", src_tile_size=ts,
+                     dst_tile_size=ts, method="bilinear")
+    got = {(r["tx"], r["ty"]): r["px"] for r in out.collect()}
+    want = {(t["tx"], t["ty"]): t["px"] for t in tiles}
+    assert got == want
+
+
+def test_warp_cubic_constant_field(spark):
+    """Cubic convolution of a constant field is the constant."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.kernels.cells import TileGrid
+    from gdal_spark.operators.warp import warp_tiles
+
+    ts = 16
+    tiles = [{"tx": tx, "ty": ty,
+              "px": np.full((ts, ts), 77, dtype=np.uint8).tobytes()}
+             for ty in range(2) for tx in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(tiles))
+    src = TileGrid(0.0, 32.0, 32.0, ts)
+    dst = TileGrid(3.0, 29.0, 25.0, 10)   # offset + odd res -> fractional
+    out = warp_tiles(df, src, 1, dst, 0, dtype="uint8", src_tile_size=ts,
+                     dst_tile_size=10, method="cubic")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        a = np.frombuffer(r["px"], dtype=np.uint8)
+        assert (a == 77).all()
+
+
+def test_pyramid_rms_and_mode(spark):
+    """RMS matches the integer-exact overview.cpp formula; mode picks
+    the first raster-order value reaching max multiplicity."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.raster_tile import pyramid_reduce
+
+    ts = 8
+    a = np.arange(ts * ts, dtype=np.uint8).reshape(ts, ts)
+    a[0, 0], a[0, 1], a[1, 0], a[1, 1] = 5, 9, 9, 3   # window with a tie
+    tiles = spark.createDataFrame(pd.DataFrame([{
+        "z": 1, "tx": 0, "ty": 0, "band": 1, "px": a.tobytes(),
+        "checksum": 0}]))
+    rms = pyramid_reduce(tiles, 1, method="rms", tile_size=ts).collect()[0]
+    # the parent canvas holds 2x2 children; ours is the top-left one
+    got = np.frombuffer(rms["px"], dtype=np.uint8).reshape(ts, ts)[
+        :ts // 2, :ts // 2]
+    # reference formula per window
+    c = a.astype(np.int64)
+    ss = (c[::2, ::2]**2 + c[::2, 1::2]**2 + c[1::2, ::2]**2
+          + c[1::2, 1::2]**2)
+    s1 = (ss + 1) // 4
+    want = np.sqrt(s1.astype(np.float32)).astype(np.int64)
+    want = np.where(want * (want + 1) < s1, want + 1, want)
+    assert (got == want.astype(np.uint8)).all()
+
+    mode = pyramid_reduce(tiles, 1, method="mode", tile_size=ts).collect()[0]
+    gm = np.frombuffer(mode["px"], dtype=np.uint8).reshape(ts, ts)[
+        :ts // 2, :ts // 2]
+    assert gm[0, 0] == 9          # 9 appears twice
+    assert gm[0, 1] == a[0, 2]    # all distinct -> first in raster order
