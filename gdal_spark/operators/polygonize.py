@@ -19,9 +19,11 @@ pixel raster doesn't fit one pass, so the operator distributes it:
      rings (kernels.polygonize.trace_rings), emit WKB polygon +
      value + pixel count.
 
-Memory note: step 4 materializes one component's bbox; pathological
-components spanning the whole raster need hierarchical ring merge
-(future work, noted in SURVEY §7 'hardest distributed piece').
+Step 4 has two strategies: the bbox-mask tracer (exact serial
+parity, one task per component) and assemble_polygons_boundary — the
+scale path that carries only O(perimeter) state per component, so a
+raster-spanning component cannot OOM a task; 'auto' routes each
+component by its bbox footprint.
 """
 
 from __future__ import annotations
@@ -232,12 +234,169 @@ def assemble_polygons(runs: DataFrame, comp: DataFrame,
     return labeled.groupBy("comp").applyInPandas(_trace, POLY_SCHEMA)
 
 
+BOUNDARY_ASSEMBLE_BBOX_PX = 4_000_000
+
+
+def assemble_polygons_boundary(runs: DataFrame, comp: DataFrame,
+                               geotransform=None) -> DataFrame:
+    """Step 4, scale path: per-component rings from BOUNDARY EDGES —
+    O(perimeter) state instead of the bbox-mask O(area) of
+    assemble_polygons, so a continent-sized component no longer OOMs
+    one task.
+
+    Pipeline: labeled pixels -> 4 shifted self-joins find edges whose
+    neighbor is background or another component -> directed unit
+    segments (interior kept on a consistent side, so outers and holes
+    come out with opposite winding) -> cross-tile/cross-task chain
+    stitching with the same min-label machinery as contour
+    (endpoint+comp join keys) -> per-ring assembly, per-component
+    regroup.  Only a component's BOUNDARY meets in one task at the
+    end.  Pinch corners (two diagonal lobes meeting at a point) are
+    resolved by the chain walk and may split differently than the
+    serial tracer — use the default bbox path when exact ring-count
+    parity with trace_rings matters at small scale.
+    """
+    labeled = runs.join(comp, "node").select("comp", "value", "gy",
+                                             "gx0", "gx1")
+    px = labeled.select(
+        "comp", "value", "gy",
+        F.explode(F.sequence("gx0", "gx1")).alias("gx"))
+    px = px.localCheckpoint(eager=True)
+
+    def nb(dx, dy):
+        return px.select(
+            (F.col("gx") + dx).alias("gx"), (F.col("gy") + dy).alias("gy"),
+            F.col("comp").alias("ncomp"))
+
+    segs = None
+    # directed clockwise-in-screen-coords: top TL->TR, right TR->BR,
+    # bottom BR->BL, left BL->TL (corner (x,y) = pixel top-left).
+    # nb(dx,dy) keys pixel (x-dx, y-dy), so the shift is the NEGATED
+    # neighbor offset: top neighbor (0,-1) -> nb(0, 1), etc.
+    for dx, dy, x1, y1, x2, y2 in (
+            (0, 1, "gx", "gy", "gx + 1", "gy"),           # top
+            (-1, 0, "gx + 1", "gy", "gx + 1", "gy + 1"),  # right
+            (0, -1, "gx + 1", "gy + 1", "gx", "gy + 1"),  # bottom
+            (1, 0, "gx", "gy + 1", "gx", "gy")):          # left
+        j = px.join(nb(dx, dy), ["gx", "gy"], "left")
+        b = j.filter(F.col("ncomp").isNull()
+                     | (F.col("ncomp") != F.col("comp"))).select(
+            "comp", "value",
+            F.expr(x1).cast("double").alias("x1"),
+            F.expr(y1).cast("double").alias("y1"),
+            F.expr(x2).cast("double").alias("x2"),
+            F.expr(y2).cast("double").alias("y2"))
+        segs = b if segs is None else segs.unionByName(b)
+
+    segs = segs.withColumn(
+        "seg_id", F.xxhash64("comp", "x1", "y1", "x2", "y2"))
+    segs = segs.localCheckpoint(eager=True)
+
+    # stitch on exact endpoints WITHIN a component (comp in the key:
+    # adjacent components share corner coordinates)
+    a = segs.select("seg_id", "comp", F.col("x1").alias("ex"),
+                    F.col("y1").alias("ey"))
+    b2 = segs.select("seg_id", "comp", F.col("x2").alias("ex"),
+                     F.col("y2").alias("ey"))
+    pts = a.unionByName(b2)
+    l = pts.select("comp", "ex", "ey", F.col("seg_id").alias("n_a"))
+    r = pts.select("comp", "ex", "ey", F.col("seg_id").alias("n_b"))
+    ep_edges = (
+        l.join(r, ["comp", "ex", "ey"])
+        .filter(F.col("n_a") != F.col("n_b"))
+        .select("n_a", "n_b").distinct())
+    nodes = segs.select(F.col("seg_id").alias("node")).distinct()
+    ring_ids = global_labels(nodes, ep_edges).withColumnRenamed(
+        "node", "seg_id").withColumnRenamed("comp", "ring_id")
+
+    ringed = segs.join(ring_ids, "seg_id")
+
+    def _mk_rings(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import contour as kc
+
+        seg_list = [((row["x1"], row["y1"]), (row["x2"], row["y2"]))
+                    for _, row in pdf.iterrows()]
+        chains = kc.stitch_segments(seg_list)
+        out = []
+        for i, ptsl in enumerate(chains):
+            if len(ptsl) < 4 or ptsl[0] != ptsl[-1]:
+                continue
+            out.append({
+                "comp": int(pdf.iloc[0]["comp"]),
+                "value": int(pdf.iloc[0]["value"]),
+                "ring_id": int(key[0]),
+                "chain_idx": i,
+                "ring": [{"x": float(p[0]), "y": float(p[1])}
+                         for p in ptsl],
+            })
+        return pd.DataFrame(
+            out, columns=["comp", "value", "ring_id", "chain_idx", "ring"])
+
+    rings = ringed.groupBy("ring_id").applyInPandas(
+        _mk_rings,
+        "comp long, value long, ring_id long, chain_idx int, "
+        "ring array<struct<x:double,y:double>>")
+
+    sizes = labeled.groupBy("comp").agg(
+        F.sum(F.col("gx1") - F.col("gx0") + 1).alias("pixel_count"))
+
+    def _mk_poly(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        world = []
+        for _, row in pdf.sort_values(["ring_id", "chain_idx"]).iterrows():
+            w = np.array([(p["x"], p["y"]) for p in row["ring"]],
+                         dtype=np.float64)
+            if geotransform is not None:
+                ox, rx, _, oy, _, nry = geotransform
+                w = np.column_stack([ox + w[:, 0] * rx, oy + w[:, 1] * nry])
+            world.append(w)
+        return pd.DataFrame([{
+            "comp": int(key[0]),
+            "value": int(pdf.iloc[0]["value"]),
+            "pixel_count": 0,
+            "n_rings": len(world),
+            "wkb": kwkb.wkb_polygon(world),
+        }])
+
+    polys = rings.groupBy("comp").applyInPandas(
+        _mk_poly, POLY_SCHEMA)
+    return (
+        polys.drop("pixel_count")
+        .join(sizes, "comp")
+        .select("comp", "value", "pixel_count", "n_rings", "wkb")
+    )
+
+
 def polygonize_tiles(tiles: DataFrame, dtype: str = "uint8",
                      tile_size: int = 256, connect8: bool = False,
-                     nodata=0, geotransform=None) -> DataFrame:
-    """Full distributed polygonize (steps 1-4)."""
+                     nodata=0, geotransform=None,
+                     assemble: str = "auto") -> DataFrame:
+    """Full distributed polygonize (steps 1-4).
+
+    assemble: 'bbox' (trace_rings on the component's bbox mask —
+    exact serial-tracer parity, one task per component),
+    'boundary' (perimeter-state scale path), or 'auto' (boundary for
+    components whose bbox exceeds BOUNDARY_ASSEMBLE_BBOX_PX)."""
     runs = tile_runs(tiles, dtype, tile_size, connect8, nodata)
     runs = runs.cache()
     edges = equivalence_edges(runs, tile_size, connect8)
     comp = global_labels(runs, edges)
-    return assemble_polygons(runs, comp, connect8, geotransform)
+    if assemble == "bbox":
+        return assemble_polygons(runs, comp, connect8, geotransform)
+    if assemble == "boundary":
+        return assemble_polygons_boundary(runs, comp, geotransform)
+    # auto: route each component by its bbox footprint
+    labeled = runs.join(comp, "node")
+    ext = labeled.groupBy("comp").agg(
+        ((F.max("gx1") - F.min("gx0") + 1)
+         * (F.max("gy") - F.min("gy") + 1)).alias("_bbox_px"))
+    small = ext.filter(F.col("_bbox_px") <= BOUNDARY_ASSEMBLE_BBOX_PX)
+    big = ext.filter(F.col("_bbox_px") > BOUNDARY_ASSEMBLE_BBOX_PX)
+    out_small = assemble_polygons(
+        runs.join(comp.join(small, "comp").select("node"), "node"),
+        comp, connect8, geotransform)
+    if big.isEmpty():
+        return out_small
+    out_big = assemble_polygons_boundary(
+        runs.join(comp.join(big, "comp").select("node"), "node"),
+        comp, geotransform)
+    return out_small.unionByName(out_big)

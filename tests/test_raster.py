@@ -220,3 +220,46 @@ def test_raster_stats_welford_pathological(spark):
     assert got["mean"] == pytest.approx(allv.mean(), rel=1e-12)
     assert got["stddev"] == pytest.approx(allv.std(), rel=1e-6)
     assert allv.std() > 1e-4  # the signal the naive form destroys
+
+
+def test_polygonize_boundary_assembler_parity(spark):
+    """The perimeter-state assembler (scale path for huge components)
+    must agree with the bbox/trace_rings path on component identity,
+    pixel counts, ring counts, and ring areas — donut spanning 4
+    tiles (outer ring + hole)."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.kernels import wkb as kwkb
+    from gdal_spark.operators.polygonize import polygonize_tiles
+
+    ts = 32
+    a = np.zeros((64, 64), dtype=np.uint8)
+    a[8:56, 8:56] = 5
+    a[24:40, 24:40] = 0
+    tiles = spark.createDataFrame(pd.DataFrame([
+        {"tx": tx, "ty": ty,
+         "px": a[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts].tobytes()}
+        for ty in range(2) for tx in range(2)]))
+
+    def norm(df):
+        out = {}
+        for r in df.collect():
+            areas = sorted(
+                round(abs(
+                    float(np.sum(ring[:-1, 0] * ring[1:, 1]
+                                 - ring[1:, 0] * ring[:-1, 1])) / 2.0), 6)
+                for ring in kwkb.polygon_rings(bytes(r["wkb"])))
+            out[r["comp"]] = (r["value"], r["pixel_count"],
+                              r["n_rings"], tuple(areas))
+        return out
+
+    got_bbox = norm(polygonize_tiles(tiles, tile_size=ts, nodata=0,
+                                     assemble="bbox"))
+    got_bnd = norm(polygonize_tiles(tiles, tile_size=ts, nodata=0,
+                                    assemble="boundary"))
+    assert got_bbox == got_bnd
+    (comp_info,) = got_bnd.values()
+    assert comp_info[1] == 48 * 48 - 16 * 16   # pixel count
+    assert comp_info[2] == 2                   # outer + hole
+    assert comp_info[3] == (256.0, 2304.0)     # ring areas
