@@ -31,12 +31,18 @@ HEADLINE = [
     "ann_topk",
     "dedup_exact",
     "text_metrics",
+    "cosine_neardup",
     "rasterize_tiles",
     "tile_pyramid",
     "polygonize",
     "focal_hillshade",
     "grid_idw",
     "la_identity",
+    "la_poly_intersection",
+    "la_poly_union",
+    "cascaded_union",
+    "warp_bilinear",
+    "warp_cubic",
 ]
 
 BIG_JOIN_N = 8_000_000

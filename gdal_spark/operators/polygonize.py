@@ -384,19 +384,23 @@ def polygonize_tiles(tiles: DataFrame, dtype: str = "uint8",
         return assemble_polygons(runs, comp, connect8, geotransform)
     if assemble == "boundary":
         return assemble_polygons_boundary(runs, comp, geotransform)
-    # auto: route each component by its bbox footprint
-    labeled = runs.join(comp, "node")
-    ext = labeled.groupBy("comp").agg(
+    # auto: route each component by its bbox footprint.  The list of
+    # oversized components is tiny by construction (they exceed
+    # BOUNDARY_ASSEMBLE_BBOX_PX pixels each), so collect their ids
+    # once; the common all-small case costs one aggregate job and no
+    # extra joins.
+    ext = runs.join(comp, "node").groupBy("comp").agg(
         ((F.max("gx1") - F.min("gx0") + 1)
          * (F.max("gy") - F.min("gy") + 1)).alias("_bbox_px"))
-    small = ext.filter(F.col("_bbox_px") <= BOUNDARY_ASSEMBLE_BBOX_PX)
-    big = ext.filter(F.col("_bbox_px") > BOUNDARY_ASSEMBLE_BBOX_PX)
+    big_ids = [r["comp"] for r in ext.filter(
+        F.col("_bbox_px") > BOUNDARY_ASSEMBLE_BBOX_PX).collect()]
+    if not big_ids:
+        return assemble_polygons(runs, comp, connect8, geotransform)
+    small_comp = comp.filter(~F.col("comp").isin(big_ids))
+    big_comp = comp.filter(F.col("comp").isin(big_ids))
     out_small = assemble_polygons(
-        runs.join(comp.join(small, "comp").select("node"), "node"),
+        runs.join(small_comp.select("node"), "node"),
         comp, connect8, geotransform)
-    if big.isEmpty():
-        return out_small
     out_big = assemble_polygons_boundary(
-        runs.join(comp.join(big, "comp").select("node"), "node"),
-        comp, geotransform)
+        runs.join(big_comp.select("node"), "node"), comp, geotransform)
     return out_small.unionByName(out_big)
