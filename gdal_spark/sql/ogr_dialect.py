@@ -40,11 +40,20 @@ from ..kernels import geom as kgeom
 from ..kernels import wkb as kwkb
 
 
+_GEOM_TYPE_NAMES = {
+    1: "POINT", 2: "LINESTRING", 3: "POLYGON",
+    4: "MULTIPOINT", 5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+    7: "GEOMETRYCOLLECTION",
+}
+
+
 def register_layer(spark: SparkSession, name: str, df: DataFrame,
                    fid_col: str = "fid", wkb_col: str | None = "wkb") -> None:
-    """Expose a DataFrame as an OGR layer: adds the dialect's special
-    fields (FID; OGR_GEOM_AREA when a geometry column exists) and
-    registers a temp view."""
+    """Expose a DataFrame as an OGR layer with the dialect's special
+    fields (ogr/ogr_p.h:167-174): FID, OGR_GEOMETRY (type name, read
+    JVM-side from the WKB header byte), OGR_GEOM_WKT, OGR_GEOM_AREA,
+    OGR_STYLE (NULL — no style table in the engine, matching OGR's
+    NULL for unstyled features); then registers a temp view."""
     out = df
     if fid_col in df.columns and "FID" not in df.columns:
         out = out.withColumn("FID", F.col(fid_col))
@@ -57,7 +66,26 @@ def register_layer(spark: SparkSession, name: str, df: DataFrame,
                 if b is not None else 0.0
             )
 
-        out = out.withColumn("OGR_GEOM_AREA", _area(F.col(wkb_col)))
+        @F.pandas_udf("string")
+        def _wkt(wkbs: pd.Series) -> pd.Series:
+            from ..functions.st import _st_astext
+
+            return _st_astext(wkbs)
+
+        # geometry type id = byte 2 of little-endian WKB (< 256 for
+        # the 2-D set) — a pure Column read, no Python
+        gtype = F.conv(
+            F.hex(F.substring(F.col(wkb_col), 2, 1)), 16, 10).cast("int")
+        gname = None
+        for tid, tname in _GEOM_TYPE_NAMES.items():
+            gname = (F.when(gtype == tid, F.lit(tname)) if gname is None
+                     else gname.when(gtype == tid, F.lit(tname)))
+        out = (
+            out.withColumn("OGR_GEOMETRY", gname)
+            .withColumn("OGR_GEOM_AREA", _area(F.col(wkb_col)))
+            .withColumn("OGR_GEOM_WKT", _wkt(F.col(wkb_col)))
+        )
+    out = out.withColumn("OGR_STYLE", F.lit(None).cast("string"))
     out.createOrReplaceTempView(name)
 
 
@@ -111,7 +139,21 @@ def _rewrite_first_match_join(sql: str, spark: SparkSession) -> str:
         )
         return (f"LEFT JOIN {sub} ON {prim}.{prim_key} = {sec}.{sec_key}")
 
-    return _LEFT_JOIN_RE.sub(repl, sql)
+    # rewrite only joins at paren depth 0: a parenthesized subquery is
+    # beyond the OGR dialect (swq has no subqueries) and passes through
+    # to Spark SQL with standard all-matches semantics.  Multiple
+    # depth-0 LEFT JOINs (multi-secondary, ogr_sql_dialect.rst JOIN
+    # section) each get their own first-match wrapper.
+    out = []
+    pos = 0
+    for m in _LEFT_JOIN_RE.finditer(sql):
+        if sql[:m.start()].count("(") - sql[:m.start()].count(")") > 0:
+            continue
+        out.append(sql[pos:m.start()])
+        out.append(repl(m))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _rewrite_hstore(sql: str) -> str:

@@ -127,3 +127,61 @@ def test_hstore_get_value(spark, layers):
         """SELECT HSTORE_GET_VALUE(replace(props, '"', ''), 'b') AS v FROM hst""",
     ).collect()
     assert rows[0]["v"] == "y"
+
+
+def test_special_fields_ogr_geometry_style_wkt(spark):
+    """ogr_p.h:167-174 special fields: OGR_GEOMETRY (type name from
+    the WKB header), OGR_GEOM_WKT, OGR_STYLE (NULL when unstyled)."""
+    from gdal_spark.sources import fixtures as fx
+    from gdal_spark.sql.ogr_dialect import ogr_sql, register_layer
+
+    register_layer(spark, "lyr_sp", spark.createDataFrame(fx.polygons_pandas()))
+    rows = ogr_sql(spark, "SELECT FID, OGR_GEOMETRY, OGR_STYLE, "
+                          "OGR_GEOM_WKT FROM lyr_sp ORDER BY FID").collect()
+    assert len(rows) == 10
+    assert all(r["OGR_GEOMETRY"] == "POLYGON" for r in rows)
+    assert all(r["OGR_STYLE"] is None for r in rows)
+    assert all(r["OGR_GEOM_WKT"].startswith("POLYGON (") for r in rows)
+
+
+def test_multi_left_join_first_match(spark):
+    """Two depth-0 LEFT JOINs each get the first-match wrapper."""
+    from gdal_spark.sql.ogr_dialect import ogr_sql, register_layer
+
+    base = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200)], "fid long, k1 long, k2 long")
+    s1 = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (20, "c")], "k1 long, v1 string")
+    s2 = spark.createDataFrame(
+        [(100, "x"), (200, "y"), (200, "z")], "k2 long, v2 string")
+    register_layer(spark, "mbase", base, wkb_col=None)
+    register_layer(spark, "ms1", s1, fid_col="nope", wkb_col=None)
+    register_layer(spark, "ms2", s2, fid_col="nope", wkb_col=None)
+    rows = ogr_sql(
+        spark,
+        "SELECT mbase.fid, ms1.v1, ms2.v2 FROM mbase "
+        "LEFT JOIN ms1 ON mbase.k1 = ms1.k1 "
+        "LEFT JOIN ms2 ON mbase.k2 = ms2.k2 ORDER BY mbase.fid",
+    ).collect()
+    # first-match: exactly one row per base feature, lowest-key row wins
+    assert [(r["fid"], r["v1"], r["v2"]) for r in rows] == [
+        (1, "a", "x"), (2, "c", "y")]
+
+
+def test_subquery_left_join_untouched(spark):
+    """A LEFT JOIN inside a parenthesized subquery is beyond the OGR
+    dialect and must pass through with standard Spark semantics
+    (all matches, not first-match)."""
+    from gdal_spark.sql.ogr_dialect import ogr_sql, register_layer
+
+    base = spark.createDataFrame([(1, 10)], "fid long, k1 long")
+    s1 = spark.createDataFrame(
+        [(10, "a"), (10, "b")], "k1 long, v1 string")
+    register_layer(spark, "sbase", base, wkb_col=None)
+    register_layer(spark, "ss1", s1, fid_col="nope", wkb_col=None)
+    rows = ogr_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM "
+        "(SELECT sbase.fid FROM sbase LEFT JOIN ss1 ON sbase.k1 = ss1.k1)",
+    ).collect()
+    assert rows[0]["n"] == 2   # all matches: the dialect rewrite stayed out
