@@ -70,7 +70,9 @@ def cubic_convolution(d1, d2, d3, f0, f1, f2, f3):
                        + d3 * (3 * (f1 - f2) + f3 - f0))
 
 
-_METHOD_PAD = {"near": 0, "bilinear": 1, "cubic": 2}
+_METHOD_PAD = {"near": 0, "bilinear": 1, "cubic": 2,
+               "average": 1, "sum": 1, "min": 1, "max": 1, "rms": 1}
+_AREA_METHODS = ("average", "sum", "min", "max", "rms")
 
 
 def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
@@ -84,12 +86,16 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
     direction: how dst world coords map to src world coords —
     'identity' (same CRS, regridding/resampling), 'dst_merc_src_ll'
     (dst is EPSG:3857, src EPSG:4326), or 'dst_ll_src_merc'.
-    method: 'near' | 'bilinear' | 'cubic' — the GWKNearest /
-    GWKBilinearResample / GWKCubicResample kernel family
-    (alg/gdalwarpkernel.cpp:101-180); bilinear/cubic sample a source
+    method: 'near' | 'bilinear' | 'cubic' | 'average' | 'sum' |
+    'min' | 'max' | 'rms' — the GWKNearest / GWKBilinearResample /
+    GWKCubicResample / GWKAverageOrMode kernel family
+    (alg/gdalwarpkernel.cpp:101-180).  bilinear/cubic sample a source
     MOSAIC assembled per destination tile (halo pixels come from the
     padded fan-out), weights renormalized over valid cells at dataset
-    edges (the reference falls back near/bilinear there).
+    edges (the reference falls back near/bilinear there).  The area
+    methods reduce every source pixel whose CENTER falls in the
+    destination pixel's back-projected footprint (bbox of its 4
+    corners), GDAL's average/sum/min/max/rms window semantics.
     """
     np_dtype = np.dtype(dtype)
     is_float = np.issubdtype(np_dtype, np.floating)
@@ -163,6 +169,17 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
 
         if method == "near":
             out = _sample_near(pdf, sfx, sfy)
+        elif method in _AREA_METHODS:
+            # footprint corners: pixel edges at centers -/+ half a
+            # dst pixel, back-projected through the same transform
+            hx = res / 2.0
+            ax0, ay0 = to_src((gx - hx).ravel(), (gy + hx).ravel())
+            ax1, ay1 = to_src((gx + hx).ravel(), (gy - hx).ravel())
+            fx0 = (np.minimum(ax0, ax1) - stlx) / sres
+            fx1 = (np.maximum(ax0, ax1) - stlx) / sres
+            fy0 = (stly - np.maximum(ay0, ay1)) / sres
+            fy1 = (stly - np.minimum(ay0, ay1)) / sres
+            out = _sample_area(pdf, fx0, fx1, fy0, fy1, method)
         else:
             out = _sample_kernel(pdf, sfx, sfy, method)
         out = np.where(np.isnan(out), nodata, out)
@@ -187,15 +204,7 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
             out[m] = arr[spy[m] - y0, spx[m] - x0]
         return out
 
-    def _sample_kernel(pdf, sfx, sfy, method):
-        # assemble the source mosaic needed by this dst tile
-        fx = sfx - 0.5
-        fy = sfy - 0.5
-        x0 = np.floor(fx).astype(np.int64)
-        y0 = np.floor(fy).astype(np.int64)
-        k0, k1 = (-1, 3) if method == "cubic" else (0, 2)
-        gx0, gx1 = int(x0.min()) + k0, int(x0.max()) + k1
-        gy0, gy1 = int(y0.min()) + k0, int(y0.max()) + k1
+    def _mosaic(pdf, gx0, gx1, gy0, gy1):
         canvas = np.full((gy1 - gy0 + 1, gx1 - gx0 + 1), np.nan)
         for _, r in pdf.iterrows():
             arr = np.frombuffer(r["px"], dtype=np_dtype).reshape(sts, sts)
@@ -206,6 +215,62 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
                 continue
             canvas[ay0 - gy0:ay1 - gy0 + 1, ax0 - gx0:ax1 - gx0 + 1] = \
                 arr[ay0 - ty0:ay1 - ty0 + 1, ax0 - tx0:ax1 - tx0 + 1]
+        return canvas
+
+    def _sample_area(pdf, fx0, fx1, fy0, fy1, method):
+        # source pixel c contributes when its center c+0.5 is in
+        # [f0, f1): c >= ceil(f0 - 0.5), c + 0.5 < f1 (strict)
+        ix0 = np.ceil(fx0 - 0.5).astype(np.int64)
+        iy0 = np.ceil(fy0 - 0.5).astype(np.int64)
+        gx0, gx1 = int(ix0.min()), int(np.ceil(fx1.max() - 0.5))
+        gy0, gy1 = int(iy0.min()), int(np.ceil(fy1.max() - 0.5))
+        canvas = _mosaic(pdf, gx0, gx1, gy0, gy1)
+        kx = int(np.max(np.ceil(fx1 - 0.5) - ix0)) + 1
+        ky = int(np.max(np.ceil(fy1 - 0.5) - iy0)) + 1
+        acc = None
+        cnt = np.zeros(fx0.shape)
+        for oy in range(ky):
+            for ox in range(kx):
+                cx = ix0 + ox
+                cy = iy0 + oy
+                inside = ((cx + 0.5 < fx1) & (cy + 0.5 < fy1)
+                          & (cx >= gx0) & (cx <= gx1)
+                          & (cy >= gy0) & (cy <= gy1))
+                v = canvas[np.clip(cy - gy0, 0, canvas.shape[0] - 1),
+                           np.clip(cx - gx0, 0, canvas.shape[1] - 1)]
+                ok = inside & ~np.isnan(v)
+                vv = np.where(ok, v, 0.0)
+                if method == "min":
+                    term = np.where(ok, v, np.inf)
+                    acc = term if acc is None else np.minimum(acc, term)
+                elif method == "max":
+                    term = np.where(ok, v, -np.inf)
+                    acc = term if acc is None else np.maximum(acc, term)
+                elif method == "rms":
+                    acc = vv * vv if acc is None else acc + vv * vv
+                else:                      # average / sum
+                    acc = vv if acc is None else acc + vv
+                cnt += ok
+        if method == "average":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return np.where(cnt > 0, acc / cnt, np.nan)
+        if method == "rms":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return np.where(cnt > 0, np.sqrt(acc / cnt), np.nan)
+        if method in ("min", "max"):
+            return np.where(cnt > 0, acc, np.nan)
+        return np.where(cnt > 0, acc, np.nan)   # sum
+
+    def _sample_kernel(pdf, sfx, sfy, method):
+        # assemble the source mosaic needed by this dst tile
+        fx = sfx - 0.5
+        fy = sfy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        k0, k1 = (-1, 3) if method == "cubic" else (0, 2)
+        gx0, gx1 = int(x0.min()) + k0, int(x0.max()) + k1
+        gy0, gy1 = int(y0.min()) + k0, int(y0.max()) + k1
+        canvas = _mosaic(pdf, gx0, gx1, gy0, gy1)
         dx = fx - x0
         dy = fy - y0
         if method == "bilinear":

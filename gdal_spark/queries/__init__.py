@@ -83,6 +83,7 @@ _DEFERRED = [
     "point_sample_near",             # bilinear is the superset path
     "reclassify",                    # raster_calc covers the map stage
     "grid_nearest",                  # idw/moving_average/metrics stay
+    "la_erase",                      # anti-join shape == la_symdifference's
 ]
 
 

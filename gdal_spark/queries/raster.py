@@ -701,10 +701,10 @@ def _warp_query(method):
 
     def q(spark, sf_dir):
         src_grid = _TG(0.0, float(GW), float(GW), GW // 2)
-        if method == "bilinear":
-            dst_grid = _TG(0.0, 64.0, 50.0, _WARP_DTS)
-        else:
+        if method == "cubic":
             dst_grid = _TG(4.0, 60.0, 50.0, _WARP_DTS)
+        else:
+            dst_grid = _TG(0.0, 64.0, 50.0, _WARP_DTS)
         out = warp_tiles(_pixel_tiles_df(spark), src_grid, 1, dst_grid, 0,
                          direction="identity", dtype="uint8",
                          src_tile_size=GW // 2,
@@ -822,3 +822,32 @@ register(
          "gdalwarpkernel.cpp:2931, A=-0.5): 4x4 window from the halo'd "
          "mosaic; 16-term weighted sum bit-matched in SQL",
 )(_warp_query("cubic"))
+
+
+_AVG_SQL = f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c, ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    q AS (
+      SELECT r.i AS r, c.i AS c
+      FROM generate_series(0, {_WARP_DTS - 1}) r(i),
+           generate_series(0, {_WARP_DTS - 1}) c(i)
+    )
+    SELECT q.r, q.c,
+           CAST(FLOOR(CAST(SUM(g.v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             AS value
+    FROM q JOIN gpx g
+      ON  g.c + 0.5e0 >= 2.5e0 * q.c AND g.c + 0.5e0 < 2.5e0 * q.c + 2.5e0
+      AND g.r + 0.5e0 >= 2.5e0 * q.r AND g.r + 0.5e0 < 2.5e0 * q.r + 2.5e0
+    GROUP BY q.r, q.c
+    ORDER BY q.r, q.c
+"""
+
+register(
+    "warp_average",
+    sql=_AVG_SQL,
+    desc="tile warp, area-average kernel (GWKAverageOrMode role, "
+         "gdalwarpkernel.cpp:101-180): mean of source pixels whose "
+         "centers fall in the dst pixel's back-projected footprint",
+)(_warp_query("average"))

@@ -180,3 +180,40 @@ def test_pyramid_rms_and_mode(spark):
         :ts // 2, :ts // 2]
     assert gm[0, 0] == 9          # 9 appears twice
     assert gm[0, 1] == a[0, 2]    # all distinct -> first in raster order
+
+
+def test_warp_area_kernels_vs_numpy(spark):
+    """average/sum/min/max/rms over an exact 2x downsample window
+    must equal the naive numpy reduction of each 2x2 block."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.kernels.cells import TileGrid
+    from gdal_spark.operators.warp import warp_tiles
+
+    ts = 16
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    tiles = [{"tx": tx, "ty": ty,
+              "px": full[ty * ts:(ty + 1) * ts,
+                         tx * ts:(tx + 1) * ts].tobytes()}
+             for ty in range(2) for tx in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(tiles))
+    src = TileGrid(0.0, 32.0, 32.0, ts)
+    dst = TileGrid(0.0, 32.0, 32.0, 16)   # zoom0 16px -> res 2: 2x2 windows
+    blocks = full.astype(np.float64).reshape(16, 2, 16, 2).transpose(
+        0, 2, 1, 3).reshape(16, 16, 4)
+    want = {
+        "average": np.floor(blocks.mean(axis=2) + 0.5),
+        "sum": np.minimum(np.floor(blocks.sum(axis=2) + 0.5), 255),
+        "min": blocks.min(axis=2),
+        "max": blocks.max(axis=2),
+        "rms": np.floor(np.sqrt((blocks ** 2).mean(axis=2)) + 0.5),
+    }
+    for method, exp in want.items():
+        out = warp_tiles(df, src, 1, dst, 0, dtype="uint8",
+                         src_tile_size=ts, dst_tile_size=16,
+                         method=method).collect()
+        assert len(out) == 1, method
+        got = np.frombuffer(out[0]["px"], dtype=np.uint8).reshape(16, 16)
+        assert (got == exp.astype(np.uint8)).all(), method
