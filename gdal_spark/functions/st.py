@@ -371,22 +371,32 @@ N_BUFFER_SEG = 32
 
 
 def _st_buffer(bs: pd.Series, dist: pd.Series) -> pd.Series:
-    """Point buffer: an N_BUFFER_SEG-gon disc (OGRGeometry::Buffer
-    role for the point case; polygon offsetting is future work and
-    raises)."""
+    """ST_Buffer (OGRGeometry::Buffer role, ogrgeometry.cpp:4772):
+    point -> N_BUFFER_SEG-gon disc; linestring -> capsule; polygon ->
+    piecewise Minkowski union (region + edge quads + vertex discs) on
+    the overlay kernel.  Positive distances only."""
     ang = np.linspace(0.0, 2 * math.pi, N_BUFFER_SEG + 1)
 
     def one(b, d):
         if b is None:
             return None
         t, p = _parse(b)
-        if t != kwkb.POINT:
-            raise ValueError("ST_Buffer: point subset only (v2: offsets)")
         d = float(d)
-        ring = np.column_stack(
-            [p[0] + d * np.cos(ang), p[1] + d * np.sin(ang)])
-        ring[-1] = ring[0]
-        return kwkb.wkb_polygon([ring])
+        if t == kwkb.POINT:
+            ring = np.column_stack(
+                [p[0] + d * np.cos(ang), p[1] + d * np.sin(ang)])
+            ring[-1] = ring[0]
+            return kwkb.wkb_polygon([ring])
+        if t == kwkb.LINESTRING:
+            polys = kclip.buffer_region([p], d, N_BUFFER_SEG,
+                                        closed=False)
+        elif t in (kwkb.POLYGON, kwkb.MULTIPOLYGON):
+            polys = kclip.buffer_region(
+                kwkb.polygon_rings(bytes(b)), d, N_BUFFER_SEG,
+                closed=True)
+        else:
+            raise ValueError(f"ST_Buffer: unsupported geometry {t}")
+        return kclip.wkb_of_polys(polys) if polys else None
     return pd.Series([one(b, d) for b, d in zip(bs, dist)], dtype=object)
 
 

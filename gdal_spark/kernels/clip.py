@@ -51,6 +51,18 @@ from .pip import points_in_polygon, points_in_ring
 
 EPS_T = 1e-12
 
+# Vertex snap quantum: every point entering an overlay (input vertices
+# and computed crossings) is rounded to multiples of 2^-33.  Exact
+# test fixtures (dyadic coordinates with <= 33 fractional bits) pass
+# through unchanged; nearly-coincident points from near-tangent
+# intersections (buffer discs grazing edges) merge instead of leaving
+# hairline gaps that break ring chaining.
+SNAP = 2.0 ** 33
+
+
+def _snap(p):
+    return (round(p[0] * SNAP) / SNAP, round(p[1] * SNAP) / SNAP)
+
 
 def even_odd_inside(px, py, rings):
     """True even-odd membership over an ARBITRARY ring set (disjoint
@@ -98,8 +110,8 @@ def region_edges(rings):
     edges = []
     for r in rings:
         for i in range(len(r) - 1):
-            p = (float(r[i, 0]), float(r[i, 1]))
-            q = (float(r[i + 1, 0]), float(r[i + 1, 1]))
+            p = _snap((float(r[i, 0]), float(r[i, 1])))
+            q = _snap((float(r[i + 1, 0]), float(r[i + 1, 1])))
             if p != q:
                 edges.append((p, q))
     return edges
@@ -182,6 +194,7 @@ def split_edges(edges_a, edges_b):
             pts = [p]
             for t, pt in sorted(
                     (tp for tp in ts if EPS_T < tp[0] < 1 - EPS_T)):
+                pt = _snap(pt)
                 if pt != pts[-1] and pt != q:
                     pts.append(pt)
             pts.append(q)
@@ -377,6 +390,46 @@ def make_valid(rings):
         if even_odd_inside(np.array([cx]), np.array([cy]), rs)[0]:
             keep.append(f)
     return _nest_polygons(keep)
+
+
+def buffer_region(rings, dist: float, n_seg: int = 32,
+                  closed: bool = True):
+    """Positive buffer via piecewise Minkowski sum: the region (when
+    closed) unioned with one rectangle per boundary edge and one
+    n_seg-gon disc per vertex — OGRGeometry::Buffer role
+    (ogrgeometry.cpp:4772, GEOS there; round joins approximated by
+    the disc polygons).  ``closed=False`` buffers a polyline into a
+    capsule.  Negative distances are not supported."""
+    if dist <= 0:
+        raise ValueError("buffer_region: positive distances only")
+    ang = np.linspace(0.0, 2 * math.pi, n_seg + 1)
+    cosang = np.cos(ang)
+    sinang = np.sin(ang)
+    pieces = []
+    if closed:
+        pieces.append([np.asarray(r, dtype=np.float64) for r in rings])
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        m = len(r) - 1 if closed else len(r)
+        for i in range(m if closed else len(r) - 1):
+            p, q = r[i], r[i + 1]
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            ln = math.hypot(dx, dy)
+            if ln == 0.0:
+                continue
+            nx, ny = -dy / ln * dist, dx / ln * dist
+            quad = np.array([
+                (p[0] + nx, p[1] + ny), (q[0] + nx, q[1] + ny),
+                (q[0] - nx, q[1] - ny), (p[0] - nx, p[1] - ny),
+                (p[0] + nx, p[1] + ny)])
+            pieces.append([quad])
+        for i in range(m):
+            v = r[i]
+            disc = np.column_stack(
+                [v[0] + dist * cosang, v[1] + dist * sinang])
+            disc[-1] = disc[0]
+            pieces.append([disc])
+    return union_all(pieces)
 
 
 def union_all(ring_sets):

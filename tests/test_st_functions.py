@@ -159,3 +159,31 @@ def test_st_spheroid_measures(st):
     df.createOrReplaceTempView("geo_l")
     ln = st.sql("SELECT st_length_spheroid(line) AS v FROM geo_l").collect()[0]["v"]
     assert ln == pytest.approx(111195, rel=0.001)  # 1 deg of longitude at equator
+
+
+def test_st_buffer_polygon_and_line(st):
+    """Polygon buffer area ~= A + P*d + pi*d^2 (Minkowski with a
+    32-gon disc, slightly under pi); line capsule ~= 2*L*d + pi*d^2."""
+    a = _one(st, f"st_area(st_buffer({SQ_A}, 1.0))")
+    # square 4x4: A=16, P=16, d=1
+    approx_pi = 16 * math.sin(2 * math.pi / 32)  # 32-gon "pi"
+    assert abs(a - (16 + 16 + approx_pi)) < 0.2
+
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.kernels import wkb as kwkb2
+
+    df = st.createDataFrame(pd.DataFrame({
+        "line": [kwkb2.wkb_linestring(
+            np.array([(0.0, 0.0), (10.0, 0.0)]))]}))
+    df.createOrReplaceTempView("bl")
+    cap = st.sql("SELECT st_area(st_buffer(line, 1.0)) AS v FROM bl"
+                 ).collect()[0]["v"]
+    assert abs(cap - (2 * 10 * 1 + approx_pi)) < 0.2
+    # hole shrinks from both sides: donut buffer keeps the hole if wide
+    donut = ("st_geomfromtext('POLYGON((0 0,10 0,10 10,0 10,0 0),"
+             "(4 4,6 4,6 6,4 6,4 4))')")
+    ad = _one(st, f"st_area(st_buffer({donut}, 0.5))")
+    # outer grows to ~11x11-ish, hole shrinks to ~1x1
+    assert 110 < ad < 125
