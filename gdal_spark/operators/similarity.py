@@ -107,6 +107,58 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 3,
     )
 
 
+def dist2_scaled(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance of two scaled vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 3,
+             nprobe: int = 2, centroid_stride: int = 50,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Inverted-file ANN: coarse centroids partition the corpus into
+    lists; queries probe their ``nprobe`` nearest lists and rank only
+    those candidates.  The IVF scale shape: the corpus shuffles once
+    by centroid id, never all-pairs.
+
+    Centroids are a deterministic corpus subset (id % stride == 0) so
+    the whole path is exact integer math (scaled vectors, L2 via
+    sum-of-squared-diffs) and oracle-checkable; a production build
+    would drop in k-means centroids without changing the plan.
+    Ties break (dist2 asc, cid asc) / (dot desc, id asc).
+    """
+    v = vectors.select(F.col(id_col), scaled_col(F.col(vec_col)).alias("_sv"))
+    cents = v.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col("_sv").alias("_cv"))
+
+    def assign(df, key, vec, n):
+        d = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_d2", dist2_scaled(F.col(vec), F.col("_cv")))
+        w = Window.partitionBy(key).orderBy(
+            F.col("_d2").asc(), F.col("cid").asc())
+        return (df.sparkSession,
+                d.withColumn("_cr", F.row_number().over(w))
+                .filter(F.col("_cr") <= n).drop("_cv", "_d2", "_cr"))
+
+    _, corpus = assign(v, id_col, "_sv", 1)
+    q = queries.select(F.col(qid_col), scaled_col(F.col(qvec_col)).alias("_sq"))
+    _, probes = assign(q, qid_col, "_sq", nprobe)
+
+    scored = corpus.join(F.broadcast(probes), "cid").withColumn(
+        "dot", dot_scaled(F.col("_sq"), F.col("_sv")))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dot").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, "rnk", id_col, "cid", "dot")
+    )
+
+
 def cosine_neardup_pairs(vectors: DataFrame, dim: int,
                          threshold: float = 0.99,
                          id_col: str = "vec_id",

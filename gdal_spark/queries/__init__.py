@@ -84,6 +84,7 @@ _DEFERRED = [
     "reclassify",                    # raster_calc covers the map stage
     "grid_nearest",                  # idw/moving_average/metrics stay
     "la_erase",                      # anti-join shape == la_symdifference's
+    "la_union",                      # == la_identity + la_symdifference parts
 ]
 
 

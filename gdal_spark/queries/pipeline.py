@@ -347,6 +347,63 @@ def lsh_ann(spark, sf_dir):
                       "bucket", "dot").orderBy("qid", "rnk")
 
 
+IVF_STRIDE = 50
+IVF_NPROBE = 2
+
+@register(
+    "ivf_ann",
+    sql=f"""
+    WITH {_SCALED_SQL},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM sv WHERE vec_id % {IVF_STRIDE} = 0),
+    cd AS (
+      SELECT s.vec_id, c.cid,
+             CAST(SUM((s.v[t.i] - c.cv[t.i]) * (s.v[t.i] - c.cv[t.i])) AS BIGINT) AS d2
+      FROM sv s, cent c, generate_series(1, {DIM}) t(i)
+      GROUP BY s.vec_id, c.cid
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM cd WHERE vec_id % 100 = 0) WHERE rn <= {IVF_NPROBE}
+    ),
+    d AS (
+      SELECT p.qid, s.vec_id, a.cid,
+             CAST(SUM(q.v[t.i] * s.v[t.i]) AS BIGINT) AS dot
+      FROM probes p
+      JOIN asg a ON a.cid = p.cid
+      JOIN sv s ON s.vec_id = a.vec_id
+      JOIN sv q ON q.vec_id = p.qid,
+      generate_series(1, {DIM}) t(i)
+      GROUP BY p.qid, s.vec_id, a.cid
+    ),
+    r AS (
+      SELECT qid, vec_id, cid, dot,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rnk
+      FROM d
+    )
+    SELECT qid, rnk, vec_id, cid, dot FROM r WHERE rnk <= 3 ORDER BY qid, rnk
+    """,
+    desc="inverted-file ANN: deterministic coarse centroids, corpus "
+         "sharded by nearest centroid, queries probe nprobe=2 lists — "
+         "the IVF scale path next to the LSH sign-bucket one",
+)
+def ivf_ann(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = sim.ivf_topk(emb, qs, dim=DIM, k=3, nprobe=IVF_NPROBE,
+                       centroid_stride=IVF_STRIDE)
+    return out.select("qid", F.col("rnk").cast("long").alias("rnk"),
+                      "vec_id", "cid", "dot").orderBy("qid", "rnk")
+
+
 @register(
     "cosine_neardup",
     sql=f"""
