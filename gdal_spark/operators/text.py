@@ -39,6 +39,22 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style pretokenizer classes (letters / digits / punctuation
+# runs, each optionally preceded by one space) — the BPE-ish token
+# estimate a training pipeline budgets by.  Plain character classes
+# only, so Java regex (Spark) and RE2 (DuckDB) match identically.
+BPE_RE = "( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +)"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """BPE-ish pretokens via regexp_extract_all (JVM-side)."""
+    return F.regexp_extract_all(text, F.lit(BPE_RE), 1)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    return F.size(bpe_tokens_col(text))
+
+
 def stop_ratio_col(toks: Column, words: list[str] | None = None) -> Column:
     """Fraction of tokens found in a stopword lexicon."""
     words = words or STOPWORDS

@@ -85,6 +85,7 @@ _DEFERRED = [
     "grid_nearest",                  # idw/moving_average/metrics stay
     "la_erase",                      # anti-join shape == la_symdifference's
     "la_union",                      # == la_identity + la_symdifference parts
+    "la_clip",                       # semi-join; la_poly_clip keeps the row
 ]
 
 

@@ -100,6 +100,28 @@ def text_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "bpe_token_count",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{tx.BPE_RE}', 1)) AS INT)
+             AS n_bpe,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws
+    FROM documents ORDER BY doc_id
+    """,
+    desc="BPE-ish token counting: GPT-2-style pretokenizer regex "
+         "(letters/digits/punct runs) vs whitespace count — JVM "
+         "regexp_extract_all, no Python",
+)
+def bpe_token_count(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.bpe_token_count_col(F.col("text")).alias("n_bpe"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    ).orderBy("doc_id")
+
+
 _LANG_SCORES = ", ".join(
     f"""ROUND(CAST(len(list_filter(string_split(text, ' '),
         tok -> tok IN ({", ".join("'" + w + "'" for w in ws)}))) AS DOUBLE)

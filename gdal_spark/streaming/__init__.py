@@ -11,6 +11,7 @@ twin of ``gdal raster tile --resume``).
 """
 
 from .pipeline import (
+    dedup_stream,
     cell_stream,
     stream_docs_from_files,
     windowed_cell_counts,
@@ -18,6 +19,7 @@ from .pipeline import (
 )
 
 __all__ = [
+    "dedup_stream",
     "stream_docs_from_files",
     "cell_stream",
     "windowed_cell_counts",

@@ -77,3 +77,55 @@ def write_stream_with_lineage(df: DataFrame, out_dir: str, run_id: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(docs: DataFrame, text_col: str = "text",
+                 watermark: str | None = None,
+                 ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each
+    text digest across all micro-batches — a custom stateful operator
+    on ``applyInPandasWithState`` (the engine's §2.10/§2.11 surface
+    for state Spark's built-ins can't express).
+
+    State is one boolean per digest group ("seen"), so state size is
+    O(distinct digests); at 10^12 docs the key space shards across
+    executors by the digest hash like any streaming aggregation.
+    Emits (text_md5, doc_id, first_ts) for unseen digests only.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("text_md5"), "doc_id",
+        F.col(ts_col).alias("first_ts"))
+    if watermark:
+        keyed = keyed.withWatermark("first_ts", watermark)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:
+                pass
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            cand = pdf.sort_values(["first_ts", "doc_id"]).iloc[0]
+            if first is None or (cand["first_ts"], cand["doc_id"]) < (
+                    first["first_ts"], first["doc_id"]):
+                first = cand
+        state.update((True,))
+        if first is None:
+            return iter(())
+        return iter([pd.DataFrame([{
+            "text_md5": key[0],
+            "doc_id": int(first["doc_id"]),
+            "first_ts": first["first_ts"],
+        }])])
+
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        fn,
+        outputStructType="text_md5 string, doc_id bigint, first_ts timestamp",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -90,3 +90,44 @@ def test_stream_resume_no_duplicates(spark, dirs):
     )
     assert latest == want
     assert n1 is not None and total is not None
+
+
+def test_stateful_dedup_stream(spark, dirs):
+    """applyInPandasWithState dedup: duplicates inside a batch AND
+    re-sent texts in a later restarted run are both suppressed
+    (state survives via the checkpoint)."""
+    import os
+
+    from gdal_spark.streaming import dedup_stream, stream_docs_from_files
+
+    in_dir, out_dir, ckpt = dirs
+    schema = "doc_id bigint, text string, ts timestamp"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, None) for i, t in rows], schema).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")))
+
+    mk([(1, "aaa"), (2, "bbb"), (3, "aaa")]).write.mode(
+        "overwrite").parquet(in_dir)
+
+    def run_once():
+        stream = stream_docs_from_files(spark, in_dir, schema)
+        q = (dedup_stream(stream).writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {(r["text_md5"], r["doc_id"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert {d for _, d in got1} == {1, 2}   # first occurrence of each text
+
+    # restart with re-sent "aaa" + new "ccc": only ccc emits
+    mk([(10, "aaa"), (11, "ccc")]).write.mode("append").parquet(in_dir)
+    run_once()
+    got2 = {(r["text_md5"], r["doc_id"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert {d for _, d in got2} == {1, 2, 11}
+    assert os.path.isdir(ckpt)
