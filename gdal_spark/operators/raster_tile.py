@@ -142,6 +142,110 @@ def _mode_2x2(canvas, np_dtype):
     return best_val.astype(np_dtype)
 
 
+# 2:1 cubic decimation weights: the convolution overview path scales
+# the kernel by 1/ratio (anti-aliasing, overview.cpp:2519-2810
+# GDALResampleConvolution* + the scaled-radius setup), so each dst
+# pixel spans 8 source taps at phases +/-0.25,0.75,1.25,1.75 of the
+# A=-0.5 cubic.  All dyadic -> exact in binary FP; sum = 2.0.
+_CUBIC2X_W = np.array([-0.0234375, -0.0703125, 0.2265625, 0.8671875,
+                       0.8671875, 0.2265625, -0.0703125, -0.0234375])
+_CUBIC2X_K = 3          # halo width: taps reach 3 px past the 2x2 block
+
+
+def _conv2x_pass(padded: np.ndarray, k: int) -> np.ndarray:
+    """One separable horizontal pass of the scaled cubic filter with
+    stride 2; NaN-aware weight renormalization at data edges (the
+    convolution base clamps its window to the chunk and divides by
+    the sum of used weights)."""
+    n_out = (padded.shape[1] - 2 * k) // 2
+    num = np.zeros((padded.shape[0], n_out))
+    den = np.zeros((padded.shape[0], n_out))
+    for m, w in enumerate(_CUBIC2X_W):
+        v = padded[:, m:m + 2 * n_out:2]
+        ok = ~np.isnan(v)
+        num += np.where(ok, w * np.where(ok, v, 0.0), 0.0)
+        den += np.where(ok, w, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(den != 0.0, num / den, np.nan)
+
+
+def _pyramid_reduce_cubic(tiles: DataFrame, zoom: int, dtype: str,
+                          tile_size: int) -> DataFrame:
+    """Cubic 2:1 decimation: k=3 halo exchange (taps cross tile
+    borders), separable horizontal-then-vertical scaled-cubic passes
+    per tile, then a 2x2 quarter assembly into the parent tile."""
+    np_dtype = np.dtype(dtype)
+    is_float = np.issubdtype(np_dtype, np.floating)
+    ts, k = tile_size, _CUBIC2X_K
+    hs = ts // 2
+
+    def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r["px"], dtype=np_dtype).reshape(ts, ts)
+                tx, ty = int(r["tx"]), int(r["ty"])
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ys = np.s_[-k:] if dy == 1 else (
+                            np.s_[:k] if dy == -1 else np.s_[:])
+                        xs = np.s_[-k:] if dx == 1 else (
+                            np.s_[:k] if dx == -1 else np.s_[:])
+                        rows.append((tx + dx, ty + dy, -dx, -dy,
+                                     arr[ys, xs].tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["dtx", "dty", "ox", "oy", "payload"])
+
+    halo = tiles.select("tx", "ty", "px").mapInPandas(
+        _emit, "dtx long, dty long, ox int, oy int, payload binary")
+
+    def _reduce(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        has_center = ((pdf["ox"] == 0) & (pdf["oy"] == 0)).any()
+        if not has_center:
+            return pd.DataFrame(
+                [], columns=["ptx", "pty", "qx", "qy", "px"])
+        padded = np.full((ts + 2 * k, ts + 2 * k), np.nan)
+        for _, r in pdf.iterrows():
+            ox, oy = int(r["ox"]), int(r["oy"])
+            h = ts if ox == 0 else k
+            v = ts if oy == 0 else k
+            arr = np.frombuffer(r["payload"], dtype=np_dtype).reshape(v, h)
+            y0 = k if oy == 0 else (0 if oy == -1 else ts + k)
+            x0 = k if ox == 0 else (0 if ox == -1 else ts + k)
+            padded[y0:y0 + v, x0:x0 + h] = arr
+        hpass = _conv2x_pass(padded, k)              # (ts+2k, hs)
+        out = _conv2x_pass(hpass.T, k).T             # (hs, hs)
+        out = np.where(np.isnan(out), 0.0, out)
+        if not is_float:
+            info = np.iinfo(np_dtype)
+            out = np.clip(np.floor(out + 0.5), info.min, info.max)
+        return pd.DataFrame({
+            "ptx": [tx >> 1], "pty": [ty >> 1],
+            "qx": [tx & 1], "qy": [ty & 1],
+            "px": [out.astype(np_dtype).tobytes()],
+        })
+
+    quarters = halo.groupBy("dtx", "dty").applyInPandas(
+        _reduce, "ptx long, pty long, qx int, qy int, px binary")
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty = int(key[0]), int(key[1])
+        canvas = np.zeros((ts, ts), dtype=np_dtype)
+        for _, r in pdf.iterrows():
+            arr = np.frombuffer(r["px"], dtype=np_dtype).reshape(hs, hs)
+            canvas[int(r["qy"]) * hs:(int(r["qy"]) + 1) * hs,
+                   int(r["qx"]) * hs:(int(r["qx"]) + 1) * hs] = arr
+        return pd.DataFrame({
+            "z": [zoom - 1], "tx": [ptx], "ty": [pty], "band": [1],
+            "px": [canvas.tobytes()],
+            "checksum": [kck.checksum(canvas, is_float=is_float)],
+        })
+
+    return quarters.groupBy("ptx", "pty").applyInPandas(
+        _assemble, TILE_SCHEMA)
+
+
 def pyramid_reduce(tiles: DataFrame, zoom: int, method: str = "average",
                    dtype: str = "uint8", tile_size: int = 256) -> DataFrame:
     """One pyramid level: tiles at ``zoom`` -> tiles at ``zoom - 1``.
@@ -150,8 +254,11 @@ def pyramid_reduce(tiles: DataFrame, zoom: int, method: str = "average",
     into a 2x-size canvas, decimate with the reference kernel:
     'near' -> top-left pixel of each 2x2 (overview.cpp:120),
     'average' -> integer (sum+2)/4 (:1375-1380), float 0.25*sum
-    (:1437-1441).
+    (:1437-1441), 'cubic' -> scaled 8-tap convolution with halo
+    exchange (overview.cpp:2519-2810 convolution path).
     """
+    if method == "cubic":
+        return _pyramid_reduce_cubic(tiles, zoom, dtype, tile_size)
     np_dtype = np.dtype(dtype)
     is_float = np.issubdtype(np_dtype, np.floating)
     ts = tile_size

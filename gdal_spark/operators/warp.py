@@ -70,9 +70,35 @@ def cubic_convolution(d1, d2, d3, f0, f1, f2, f3):
                        + d3 * (3 * (f1 - f2) + f3 - f0))
 
 
+def bspline_weight(d):
+    """Cubic B-spline via truncated powers (GWKBSpline,
+    gdalwarpkernel.cpp:3523-3545) — the reference omits the 1/6
+    factor too; it cancels in the weight normalization."""
+    return (np.maximum(d + 2.0, 0.0) ** 3
+            - 4.0 * np.maximum(d + 1.0, 0.0) ** 3
+            + 6.0 * np.maximum(d, 0.0) ** 3
+            - 4.0 * np.maximum(d - 1.0, 0.0) ** 3)
+
+
+def lanczos_weight(d):
+    """Lanczos windowed sinc, radius 3 (GWKLanczosSinc,
+    gdalwarpkernel.cpp:3383-3398): sinc(x)*sinc(x/3) for |x|<3."""
+    d = np.asarray(d, dtype=np.float64)
+    out = np.zeros_like(d)
+    nz = (d != 0.0) & (np.abs(d) < 3.0)
+    pix = np.pi * d[nz]
+    out[nz] = 3.0 * np.sin(pix) * np.sin(pix / 3.0) / (pix * pix)
+    out[d == 0.0] = 1.0
+    return out
+
+
 _METHOD_PAD = {"near": 0, "bilinear": 1, "cubic": 2,
-               "average": 1, "sum": 1, "min": 1, "max": 1, "rms": 1}
-_AREA_METHODS = ("average", "sum", "min", "max", "rms")
+               "cubicspline": 2, "lanczos": 3,
+               "average": 1, "sum": 1, "min": 1, "max": 1, "rms": 1,
+               "mode": 1, "med": 1, "q1": 1, "q3": 1}
+_AREA_METHODS = ("average", "sum", "min", "max", "rms",
+                 "mode", "med", "q1", "q3")
+_QUANT = {"med": 0.5, "q1": 0.25, "q3": 0.75}
 
 
 def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
@@ -86,10 +112,17 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
     direction: how dst world coords map to src world coords —
     'identity' (same CRS, regridding/resampling), 'dst_merc_src_ll'
     (dst is EPSG:3857, src EPSG:4326), or 'dst_ll_src_merc'.
-    method: 'near' | 'bilinear' | 'cubic' | 'average' | 'sum' |
-    'min' | 'max' | 'rms' — the GWKNearest / GWKBilinearResample /
-    GWKCubicResample / GWKAverageOrMode kernel family
-    (alg/gdalwarpkernel.cpp:101-180).  bilinear/cubic sample a source
+    method: 'near' | 'bilinear' | 'cubic' | 'cubicspline' |
+    'lanczos' | 'average' | 'sum' | 'min' | 'max' | 'rms' | 'mode' |
+    'med' | 'q1' | 'q3' — the full GWKNearest / GWKBilinearResample /
+    GWKCubicResample / GWKBSpline / GWKLanczosSinc /
+    GWKAverageOrMode kernel family (alg/gdalwarpkernel.cpp:101-180).
+    mode follows GDAL's tie strategy GWKTS_First (first value to
+    reach the max count in the y-major source scan wins,
+    gdalwarpkernel.cpp:7396-7427); med/q1/q3 take the sorted
+    footprint value at index ceil(q*n - 1) — no interpolation
+    (gdalwarpkernel.cpp:7603-7607).  bilinear/cubic/spline/lanczos
+    sample a source
     MOSAIC assembled per destination tile (halo pixels come from the
     padded fan-out), weights renormalized over valid cells at dataset
     edges (the reference falls back near/bilinear there).  The area
@@ -229,6 +262,7 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
         ky = int(np.max(np.ceil(fy1 - 0.5) - iy0)) + 1
         acc = None
         cnt = np.zeros(fx0.shape)
+        taps = []           # (value, ok) per tap, y-major scan order
         for oy in range(ky):
             for ox in range(kx):
                 cx = ix0 + ox
@@ -240,6 +274,10 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
                            np.clip(cx - gx0, 0, canvas.shape[1] - 1)]
                 ok = inside & ~np.isnan(v)
                 vv = np.where(ok, v, 0.0)
+                if method in ("mode", "med", "q1", "q3"):
+                    taps.append((v, ok))
+                    cnt += ok
+                    continue
                 if method == "min":
                     term = np.where(ok, v, np.inf)
                     acc = term if acc is None else np.minimum(acc, term)
@@ -251,6 +289,30 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
                 else:                      # average / sum
                     acc = vv if acc is None else acc + vv
                 cnt += ok
+        if method == "mode":
+            # faithful transcription of the reference's running-count
+            # update with GWKTS_First ties (gdalwarpkernel.cpp:
+            # 7396-7427): tap k's count after its own increment must
+            # STRICTLY exceed the running max to steal the mode, so a
+            # tie goes to the value that reached the max count
+            # earliest in the y-major scan.
+            mode = np.full(fx0.shape, np.nan)
+            max_cnt = np.zeros(fx0.shape)
+            for k, (vk, okk) in enumerate(taps):
+                ck = np.zeros(fx0.shape)
+                for vj, okj in taps[:k + 1]:
+                    ck += okj & okk & (vj == vk)
+                upd = okk & (ck > max_cnt)
+                mode = np.where(upd, vk, mode)
+                max_cnt = np.where(upd, ck, max_cnt)
+            return mode
+        if method in _QUANT:
+            stack = np.stack([np.where(ok, v, np.nan) for v, ok in taps])
+            stack = np.sort(stack, axis=0)      # NaN sorts last
+            idx = np.ceil(_QUANT[method] * cnt - 1).astype(np.int64)
+            idx = np.clip(idx, 0, len(taps) - 1)
+            out = np.take_along_axis(stack, idx[None, :], axis=0)[0]
+            return np.where(cnt > 0, out, np.nan)
         if method == "average":
             with np.errstate(invalid="ignore", divide="ignore"):
                 return np.where(cnt > 0, acc / cnt, np.nan)
@@ -267,7 +329,9 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
         fy = sfy - 0.5
         x0 = np.floor(fx).astype(np.int64)
         y0 = np.floor(fy).astype(np.int64)
-        k0, k1 = (-1, 3) if method == "cubic" else (0, 2)
+        _TAPS = {"bilinear": (0, 2), "cubic": (-1, 3),
+                 "cubicspline": (-1, 3), "lanczos": (-2, 4)}
+        k0, k1 = _TAPS[method]
         gx0, gx1 = int(x0.min()) + k0, int(x0.max()) + k1
         gy0, gy1 = int(y0.min()) + k0, int(y0.max()) + k1
         canvas = _mosaic(pdf, gx0, gx1, gy0, gy1)
@@ -278,14 +342,22 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
             wts = [(1 - dx) * (1 - dy), dx * (1 - dy),
                    (1 - dx) * dy, dx * dy]
         else:
-            wx = [cubic_convolution(dx, dx * dx, dx ** 3,
-                                    *(1.0 * (np.arange(4) == k))
-                                    ) for k in range(4)]
-            wy = [cubic_convolution(dy, dy * dy, dy ** 3,
-                                    *(1.0 * (np.arange(4) == k))
-                                    ) for k in range(4)]
-            offs = [(ix - 1, iy - 1) for iy in range(4) for ix in range(4)]
-            wts = [wx[ix] * wy[iy] for iy in range(4) for ix in range(4)]
+            nk = k1 - k0
+            if method == "cubic":
+                wx = [cubic_convolution(dx, dx * dx, dx ** 3,
+                                        *(1.0 * (np.arange(4) == k))
+                                        ) for k in range(4)]
+                wy = [cubic_convolution(dy, dy * dy, dy ** 3,
+                                        *(1.0 * (np.arange(4) == k))
+                                        ) for k in range(4)]
+            else:
+                wfun = (bspline_weight if method == "cubicspline"
+                        else lanczos_weight)
+                wx = [wfun((k + k0) - dx) for k in range(nk)]
+                wy = [wfun((k + k0) - dy) for k in range(nk)]
+            offs = [(ix + k0, iy + k0) for iy in range(nk)
+                    for ix in range(nk)]
+            wts = [wx[ix] * wy[iy] for iy in range(nk) for ix in range(nk)]
         num = np.zeros(fx.shape)
         den = np.zeros(fx.shape)
         for (ox, oy), w in zip(offs, wts):

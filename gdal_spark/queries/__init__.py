@@ -86,6 +86,11 @@ _DEFERRED = [
     "la_erase",                      # anti-join shape == la_symdifference's
     "la_union",                      # == la_identity + la_symdifference parts
     "la_clip",                       # semi-join; la_poly_clip keeps the row
+    # round-2 additions past the window: the warp FAMILY keeps
+    # bilinear/cubic/average driver rows; these five share the same
+    # mosaic/footprint machinery and are oracle-checked locally
+    "warp_cubicspline", "warp_lanczos", "warp_mode",
+    "warp_med", "warp_q1", "warp_q3",
 ]
 
 

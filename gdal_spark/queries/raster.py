@@ -695,17 +695,29 @@ def fill_nodata_q(spark, sf_dir):
 _WARP_DTS = 20
 
 
-def _warp_query(method):
+def _warp_query(method, quantize=False):
     from ..kernels.cells import TileGrid as _TG
     from ..operators.warp import warp_tiles
 
     def q(spark, sf_dir):
         src_grid = _TG(0.0, float(GW), float(GW), GW // 2)
-        if method == "cubic":
+        if method in ("cubic", "cubicspline", "lanczos"):
             dst_grid = _TG(4.0, 60.0, 50.0, _WARP_DTS)
         else:
             dst_grid = _TG(0.0, 64.0, 50.0, _WARP_DTS)
-        out = warp_tiles(_pixel_tiles_df(spark), src_grid, 1, dst_grid, 0,
+        tiles = _pixel_tiles_df(spark)
+        if quantize:
+            # coarsen to 8 levels so 2.5x-downscale footprints hold
+            # genuine duplicates and the mode path is non-trivial
+            def _q(batches):
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf["px"] = [
+                        (np.frombuffer(b, dtype=np.uint8) // 32).tobytes()
+                        for b in pdf["px"]]
+                    yield pdf
+            tiles = tiles.mapInPandas(_q, "tx long, ty long, px binary")
+        out = warp_tiles(tiles, src_grid, 1, dst_grid, 0,
                          direction="identity", dtype="uint8",
                          src_tile_size=GW // 2,
                          dst_tile_size=_WARP_DTS, method=method)
@@ -851,3 +863,198 @@ register(
          "gdalwarpkernel.cpp:101-180): mean of source pixels whose "
          "centers fall in the dst pixel's back-projected footprint",
 )(_warp_query("average"))
+
+
+# ---- separable-kernel SQL (cubicspline / lanczos): same joined-window
+# shape as _CUBIC_SQL, weights written as the exact FP expression the
+# numpy kernel evaluates (dyadic dx/dy = 0.25/0.75 keep the B-spline
+# algebra exact in both engines; lanczos goes through libm sin in
+# both).  Normalized by the same-order weight sum, as the kernel does.
+def _bspline_w_sql(var: str, i: int) -> str:
+    d = f"(({i}) - {var})"
+    def cube(e):
+        return f"(({e}) * ({e}) * ({e}))"
+    return (f"({cube(f'GREATEST({d} + 2.0, 0.0)')}"
+            f" - 4.0 * {cube(f'GREATEST({d} + 1.0, 0.0)')}"
+            f" + 6.0 * {cube(f'GREATEST({d}, 0.0)')}"
+            f" - 4.0 * {cube(f'GREATEST({d} - 1.0, 0.0)')})")
+
+
+def _lanczos_w_sql(var: str, i: int) -> str:
+    d = f"(({i}) - {var})"
+    pix = f"(PI() * {d})"
+    return (f"(3.0 * SIN({pix}) * SIN({pix} / 3.0)"
+            f" / ({pix} * {pix}))")
+
+
+def _sep_kernel_sql(method: str) -> str:
+    # ONE range-join into the nk x nk window, each tap pivoted out by
+    # a single-element SUM(CASE) (n-way join version planned fine at
+    # 16 relations but DuckDB's join-order search chokes at 36), then
+    # an explicitly-ordered term chain that reproduces the numpy
+    # kernel's left-fold (iy outer, ix inner) bit-for-bit.
+    k0, k1 = (-1, 3) if method == "cubicspline" else (-2, 4)
+    nk = k1 - k0
+    wfn = _bspline_w_sql if method == "cubicspline" else _lanczos_w_sql
+    wx = ",\n             ".join(
+        f"{wfn('dx', k + k0)} AS wx{k}" for k in range(nk))
+    wy = ",\n             ".join(
+        f"{wfn('dy', k + k0)} AS wy{k}" for k in range(nk))
+    wcarry = ",\n             ".join(
+        [f"ANY_VALUE(wx{k}) AS wx{k}" for k in range(nk)]
+        + [f"ANY_VALUE(wy{k}) AS wy{k}" for k in range(nk)])
+    piv = ",\n             ".join(
+        f"SUM(CASE WHEN gr = y0 + ({iy + k0}) AND gc = x0 + ({ix + k0}) "
+        f"THEN v END) AS v{ix}_{iy}"
+        for iy in range(nk) for ix in range(nk))
+    num = " + ".join(f"(wx{ix} * wy{iy}) * v{ix}_{iy}"
+                     for iy in range(nk) for ix in range(nk))
+    den = " + ".join(f"(wx{ix} * wy{iy})"
+                     for iy in range(nk) for ix in range(nk))
+    return f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    q AS (
+      SELECT r.i AS r, c.i AS c,
+             (4.0 + 2.5 * c.i + 1.25) - 0.5 AS fx0,
+             (64.0 - (60.0 - (2.5 * r.i + 1.25))) - 0.5 AS fy0
+      FROM generate_series(0, {_WARP_DTS - 1}) r(i),
+           generate_series(0, {_WARP_DTS - 1}) c(i)
+    ),
+    base AS (
+      SELECT r, c,
+             CAST(FLOOR(fx0) AS BIGINT) AS x0, fx0 - FLOOR(fx0) AS dx,
+             CAST(FLOOR(fy0) AS BIGINT) AS y0, fy0 - FLOOR(fy0) AS dy
+      FROM q
+    ),
+    ww AS (
+      SELECT r, c, x0, y0,
+             {wx},
+             {wy}
+      FROM base
+    ),
+    win AS (
+      SELECT w.*, g.r AS gr, g.c AS gc, g.v AS v
+      FROM ww w JOIN gpx g
+        ON  g.r >= w.y0 + ({k0}) AND g.r <= w.y0 + ({k1 - 1})
+        AND g.c >= w.x0 + ({k0}) AND g.c <= w.x0 + ({k1 - 1})
+    ),
+    piv AS (
+      SELECT r, c,
+             {wcarry},
+             {piv}
+      FROM win
+      GROUP BY r, c, x0, y0
+    )
+    SELECT r, c,
+           LEAST(GREATEST(CAST(FLOOR(({num}) / ({den}) + 0.5) AS BIGINT),
+                          0), 255) AS value
+    FROM piv
+    ORDER BY r, c
+"""
+
+
+register(
+    "warp_cubicspline",
+    sql=_sep_kernel_sql("cubicspline"),
+    desc="tile warp, cubic B-spline kernel (GWKBSpline, "
+         "gdalwarpkernel.cpp:3523-3545): truncated-power weights over "
+         "the 4x4 halo'd mosaic window, normalized by the weight sum",
+)(_warp_query("cubicspline"))
+
+register(
+    "warp_lanczos",
+    sql=_sep_kernel_sql("lanczos"),
+    desc="tile warp, Lanczos windowed-sinc kernel radius 3 "
+         "(GWKLanczosSinc, gdalwarpkernel.cpp:3383-3398): 6x6 window, "
+         "sinc(x)*sinc(x/3) weights normalized by the weight sum",
+)(_warp_query("lanczos"))
+
+
+# area-footprint oracles: mode (GDAL GWKTS_First tie strategy — among
+# max-count values the earliest to REACH that count in the y-major
+# scan wins, i.e. smallest last-occurrence scan position) and the
+# med/q1/q3 quantiles (sorted footprint value at ceil(q*n - 1),
+# gdalwarpkernel.cpp:7603-7607 — no interpolation).
+_FOOTPRINT_ON = """
+      ON  g.c + 0.5e0 >= 2.5e0 * q.c AND g.c + 0.5e0 < 2.5e0 * q.c + 2.5e0
+      AND g.r + 0.5e0 >= 2.5e0 * q.r AND g.r + 0.5e0 < 2.5e0 * q.r + 2.5e0
+"""
+
+_MODE_SQL = f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c, (((r.i * {GW} + c.i) * 7) % 256) // 32 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    q AS (
+      SELECT r.i AS r, c.i AS c
+      FROM generate_series(0, {_WARP_DTS - 1}) r(i),
+           generate_series(0, {_WARP_DTS - 1}) c(i)
+    ),
+    counts AS (
+      SELECT q.r AS r, q.c AS c, CAST(g.v AS BIGINT) AS value,
+             COUNT(*) AS cnt, MAX(g.r * {GW} + g.c) AS last_s
+      FROM q JOIN gpx g
+      {_FOOTPRINT_ON}
+      GROUP BY q.r, q.c, g.v
+    )
+    SELECT r, c, value
+    FROM counts
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY r, c ORDER BY cnt DESC, last_s ASC) = 1
+    ORDER BY r, c
+"""
+
+register(
+    "warp_mode",
+    sql=_MODE_SQL,
+    desc="tile warp, mode kernel (GWKAverageOrMode GWKAOM_Imode, "
+         "gdalwarpkernel.cpp:7396-7427): most frequent footprint value "
+         "on an 8-level quantized grid, GWKTS_First tie strategy",
+)(_warp_query("mode", quantize=True))
+
+
+def _quant_sql(quant: float) -> str:
+    return f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c, ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    q AS (
+      SELECT r.i AS r, c.i AS c
+      FROM generate_series(0, {_WARP_DTS - 1}) r(i),
+           generate_series(0, {_WARP_DTS - 1}) c(i)
+    )
+    SELECT q.r, q.c,
+           CAST(LIST(g.v ORDER BY g.v)
+                [CAST(CEIL({quant} * COUNT(*) - 1) AS BIGINT) + 1]
+                AS BIGINT) AS value
+    FROM q JOIN gpx g
+    {_FOOTPRINT_ON}
+    GROUP BY q.r, q.c
+    ORDER BY q.r, q.c
+"""
+
+
+register(
+    "warp_med",
+    sql=_quant_sql(0.5),
+    desc="tile warp, median kernel (GWKAOM_Quant quant=0.5, "
+         "gdalwarpkernel.cpp:7603-7607): sorted footprint value at "
+         "ceil(0.5*n - 1), no interpolation",
+)(_warp_query("med"))
+
+register(
+    "warp_q1",
+    sql=_quant_sql(0.25),
+    desc="tile warp, Q1 kernel (GWKAOM_Quant quant=0.25)",
+)(_warp_query("q1"))
+
+register(
+    "warp_q3",
+    sql=_quant_sql(0.75),
+    desc="tile warp, Q3 kernel (GWKAOM_Quant quant=0.75)",
+)(_warp_query("q3"))

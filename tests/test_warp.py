@@ -217,3 +217,102 @@ def test_warp_area_kernels_vs_numpy(spark):
         assert len(out) == 1, method
         got = np.frombuffer(out[0]["px"], dtype=np.uint8).reshape(16, 16)
         assert (got == exp.astype(np.uint8)).all(), method
+
+
+def test_warp_spline_lanczos_constant_field(spark):
+    """B-spline / Lanczos of a constant field is the constant
+    (weight normalization makes the kernels exact on constants)."""
+    ts = 16
+    tiles = [{"tx": tx, "ty": ty,
+              "px": np.full((ts, ts), 99, dtype=np.uint8).tobytes()}
+             for ty in range(2) for tx in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(tiles))
+    src = TileGrid(0.0, 32.0, 32.0, ts)
+    dst = TileGrid(8.0, 24.0, 16.0, 8)
+    for method in ("cubicspline", "lanczos"):
+        out = warp_tiles(df, src, 1, dst, 0, dtype="uint8",
+                         src_tile_size=ts, dst_tile_size=8, method=method)
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert (np.frombuffer(r["px"], dtype=np.uint8) == 99).all()
+
+
+def test_warp_mode_tie_first_in_scan(spark):
+    """GDAL GWKTS_First mode ties: the value that reaches the max
+    count earliest in the y-major source scan wins
+    (gdalwarpkernel.cpp:7396-7427).  Source 2x2 block [5,3;3,5]:
+    counts tie 2-2, 3 reaches count 2 at scan pos 2 < 5's pos 3."""
+    ts = 8
+    arr = np.zeros((ts, ts), dtype=np.uint8)
+    arr[0:2, 0:2] = [[5, 3], [3, 5]]
+    arr[2:4, 2:4] = [[9, 9], [4, 4]]   # tie 2-2: 9 finishes first
+    df = spark.createDataFrame(pd.DataFrame(
+        [{"tx": 0, "ty": 0, "px": arr.tobytes()}]))
+    g = TileGrid(0.0, 8.0, 8.0, ts)
+    dst = TileGrid(0.0, 8.0, 8.0, 4)          # 2:1 -> 2x2 footprints
+    out = warp_tiles(df, g, 0, dst, 0, dtype="uint8", src_tile_size=ts,
+                     dst_tile_size=4, method="mode").collect()
+    got = np.frombuffer(out[0]["px"], dtype=np.uint8).reshape(4, 4)
+    assert got[0, 0] == 3
+    assert got[1, 1] == 9
+
+
+def test_warp_quantile_rule(spark):
+    """med/q1/q3 pick sorted[ceil(q*n - 1)] with NO interpolation
+    (gdalwarpkernel.cpp:7603-7607).  2x2 footprint {10,20,30,40}:
+    med -> ceil(1) = idx 1 -> 20; q1 -> idx 0 -> 10; q3 -> idx 2 -> 30."""
+    ts = 8
+    arr = np.zeros((ts, ts), dtype=np.uint8)
+    arr[0:2, 0:2] = [[10, 20], [30, 40]]
+    df = spark.createDataFrame(pd.DataFrame(
+        [{"tx": 0, "ty": 0, "px": arr.tobytes()}]))
+    g = TileGrid(0.0, 8.0, 8.0, ts)
+    dst = TileGrid(0.0, 8.0, 8.0, 4)
+    want = {"med": 20, "q1": 10, "q3": 30}
+    for method, exp in want.items():
+        out = warp_tiles(df, g, 0, dst, 0, dtype="uint8", src_tile_size=ts,
+                         dst_tile_size=4, method=method).collect()
+        got = np.frombuffer(out[0]["px"], dtype=np.uint8).reshape(4, 4)
+        assert got[0, 0] == exp, method
+
+
+def test_pyramid_cubic_interior_matches_serial(spark):
+    """Cubic 2:1 decimation (overview.cpp convolution path, scaled
+    8-tap dyadic weights): the distributed halo-exchange result must
+    equal a serial separable convolution of the full mosaic away from
+    the global edge (and at the edge, renormalized over valid taps)."""
+    from gdal_spark.operators.raster_tile import (
+        _CUBIC2X_W, build_pyramid)
+
+    ts, n = 16, 2
+    rng = np.random.RandomState(3)
+    full = rng.randint(0, 255, size=(n * ts, n * ts)).astype(np.uint8)
+    tiles = [{"z": 1, "tx": tx, "ty": ty, "band": 1,
+              "px": full[ty * ts:(ty + 1) * ts,
+                         tx * ts:(tx + 1) * ts].tobytes(), "checksum": 0}
+             for ty in range(n) for tx in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(tiles))
+    pyr = build_pyramid(df, 1, down_to=0, method="cubic", tile_size=ts)
+    got_rows = [r for r in pyr.collect() if r["z"] == 0]
+    assert len(got_rows) == 1
+    got = np.frombuffer(got_rows[0]["px"], dtype=np.uint8).reshape(ts, ts)
+
+    # serial twin over the full mosaic with the same edge renorm
+    pad = np.full((n * ts + 6, n * ts + 6), np.nan)
+    pad[3:-3, 3:-3] = full
+
+    def conv(p):
+        n_out = (p.shape[1] - 6) // 2
+        num = np.zeros((p.shape[0], n_out))
+        den = np.zeros((p.shape[0], n_out))
+        for m, w in enumerate(_CUBIC2X_W):
+            v = p[:, m:m + 2 * n_out:2]
+            ok = ~np.isnan(v)
+            num += np.where(ok, w * np.where(ok, v, 0.0), 0.0)
+            den += np.where(ok, w, 0.0)
+        return num / den
+
+    want = conv(conv(pad).T).T
+    want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
