@@ -1,0 +1,207 @@
+"""Viewshed + line-of-sight kernels (pure numpy/python, serial per
+observer — distribution happens ACROSS observers in the operator).
+
+Faithful transcriptions of the reference algorithms:
+
+* ``viewshed``: the Wang-et-al reference-plane sweep of
+  /root/reference/alg/viewshed/viewshed_executor.cpp — lines processed
+  outward from the observer row, each cell's minimum visible height
+  derived from its one/two already-processed neighbors toward the
+  observer (CalcHeightLine :52, CalcHeightDiagonal :63, CalcHeightEdge
+  :72, cell-mode dispatch doEdge/doDiagonal/doMin/doMax :77-106,
+  setOutput max-propagation :179-192, per-line recurrence
+  processLineLeft/Right :687-830).  Heights are normalized to the
+  observer (adjustHeight :244, no-curvature branch); Normal output
+  mode: visible where cell + target_height >= minimum visible height.
+
+* ``line_of_sight``: GDALIsLineOfSightVisible
+  (/root/reference/alg/los.cpp:136-370): endpoint pre-checks, exact
+  vertical/horizontal scans, otherwise Bresenham2D (:37-108) with the
+  interpolated test height lerp(zA, zB, sqrt(r2/R2)) (:330-346);
+  z must be STRICTLY above terrain (IsAboveTerrain :120-133).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def calc_height_line(n: int, za: float) -> float:
+    n = abs(n)
+    return za * n / (n - 1)
+
+
+def calc_height_diagonal(i: int, j: int, za: float, zb: float) -> float:
+    return (za * i + zb * j) / (i + j - 1)
+
+
+def calc_height_edge(i: int, j: int, za: float, zb: float) -> float:
+    return (za * i + zb * (j - i)) / (j - 1)
+
+
+def _zcalc(mode: str, nx: int, ny: int, this_prev: float, last: float,
+           last_prev: float) -> float:
+    """doEdge/doDiagonal/doMin/doMax dispatch (viewshed_executor.cpp:
+    77-106); args mirror oZcalc(nXOffset, nYOffset, *(pThis+-1),
+    *pLast, *(pLast+-1)) with 'prev' = toward the observer."""
+    if mode == "edge" or mode in ("min", "max"):
+        if nx >= ny:
+            edge = calc_height_edge(ny, nx, last_prev, this_prev)
+        else:
+            edge = calc_height_edge(nx, ny, last_prev, last)
+        if mode == "edge":
+            return edge
+    diag = calc_height_diagonal(nx, ny, this_prev, last)
+    if mode == "diagonal":
+        return diag
+    return min(edge, diag) if mode == "min" else max(edge, diag)
+
+
+def viewshed(dem: np.ndarray, ox: int, oy: int, observer_z: float = 0.0,
+             target_height: float = 0.0, cell_mode: str = "edge",
+             visible: int = 255, invisible: int = 0) -> np.ndarray:
+    """Visibility mask (Normal output mode) for one observer at pixel
+    (ox, oy) inside ``dem``; observer height = dem[oy, ox] +
+    observer_z.  Curvature adjustment off (abstract grid, no SRS)."""
+    h_rows, w_cols = dem.shape
+    if not (0 <= ox < w_cols and 0 <= oy < h_rows):
+        raise ValueError("observer must be inside the DEM window")
+    zobs = float(dem[oy, ox]) + observer_z
+    out = np.full((h_rows, w_cols), invisible, dtype=np.float64)
+    th = target_height
+
+    def first_line() -> list:
+        hline = [float(v) - zobs for v in dem[oy]]
+        out[oy, ox] = visible
+        # left (processFirstLineLeft): adjacent cell always visible
+        if ox - 1 >= 0:
+            out[oy, ox - 1] = visible
+            for x in range(ox - 2, -1, -1):
+                z = calc_height_line(ox - x, hline[x + 1])
+                out[oy, x] = invisible if hline[x] + th < z else visible
+                if z > hline[x]:
+                    hline[x] = z
+        if ox + 1 < w_cols:
+            out[oy, ox + 1] = visible
+            for x in range(ox + 2, w_cols):
+                z = calc_height_line(x - ox, hline[x - 1])
+                out[oy, x] = invisible if hline[x] + th < z else visible
+                if z > hline[x]:
+                    hline[x] = z
+        return hline
+
+    def process_line(y: int, last: list) -> list:
+        m = abs(y - oy)
+        hline = [float(v) - zobs for v in dem[y]]
+        # center column (processLine :856-874)
+        z = hline[ox] if m == 1 else calc_height_line(m, last[ox])
+        out[y, ox] = invisible if hline[ox] + th < z else visible
+        if z > hline[ox]:
+            hline[ox] = z
+        # left of observer (processLineLeft :723-741)
+        for x in range(ox - 1, -1, -1):
+            nx = ox - x
+            if nx == m:
+                z = hline[x] if nx == 1 else calc_height_line(nx, last[x + 1])
+            else:
+                z = _zcalc(cell_mode, nx, m, hline[x + 1], last[x],
+                           last[x + 1])
+            out[y, x] = invisible if hline[x] + th < z else visible
+            if z > hline[x]:
+                hline[x] = z
+        # right of observer (processLineRight :789-807)
+        for x in range(ox + 1, w_cols):
+            nx = x - ox
+            if nx == m:
+                z = hline[x] if nx == 1 else calc_height_line(nx, last[x - 1])
+            else:
+                z = _zcalc(cell_mode, nx, m, hline[x - 1], last[x],
+                           last[x - 1])
+            out[y, x] = invisible if hline[x] + th < z else visible
+            if z > hline[x]:
+                hline[x] = z
+        return hline
+
+    base = first_line()
+    last = base
+    for y in range(oy - 1, -1, -1):          # upward sweep
+        last = process_line(y, last)
+    last = base
+    for y in range(oy + 1, h_rows):          # downward sweep
+        last = process_line(y, last)
+    return out.astype(np.uint8)
+
+
+def line_of_sight(dem: np.ndarray, xa: int, ya: int, za: float,
+                  xb: int, yb: int, zb: float) -> tuple[bool, int, int]:
+    """GDALIsLineOfSightVisible twin.  Returns (visible, ix, iy) with
+    (ix, iy) = first terrain intersection or (-1, -1)."""
+    def above(x, y, z):
+        return z > float(dem[y, x])
+
+    if not above(xa, ya, za):
+        return False, xa, ya
+    if not above(xb, yb, zb):
+        return False, xb, yb
+    if xa == xb and ya == yb:
+        return True, -1, -1
+
+    def lerp(a, b, t):
+        return a + t * (b - a)
+
+    if xa == xb:                              # vertical scan (los.cpp:249)
+        step = 1 if yb > ya else -1
+        for y in range(ya, yb + step, step):
+            zt = lerp(za, zb, (y - ya) / (yb - ya))
+            if not above(xa, y, zt):
+                return False, xa, y
+        return True, -1, -1
+    if ya == yb:                              # horizontal scan (:283)
+        step = 1 if xb > xa else -1
+        for x in range(xa, xb + step, step):
+            zt = lerp(za, zb, (x - xa) / (xb - xa))
+            if not above(x, ya, zt):
+                return False, x, ya
+        return True, -1, -1
+
+    # Bresenham2D (:37-108) with lerp(zA, zB, sqrt(r2/R2)) test height
+    r_denom = float((xb - xa) ** 2 + (yb - ya) ** 2)
+
+    def z_at(x, y):
+        r_num = float((x - xa) ** 2 + (y - ya) ** 2)
+        return lerp(za, zb, math.sqrt(r_num / r_denom))
+
+    dx, incx = (xb - xa, 1) if xb >= xa else (xa - xb, -1)
+    dy, incy = (yb - ya, 1) if yb >= ya else (ya - yb, -1)
+    x, y = xa, ya
+    if dx >= dy:
+        dy2 = dy * 2
+        balance = dy2 - dx
+        dx2 = dx * 2
+        while x != xb:
+            if not above(x, y, z_at(x, y)):
+                return False, x, y
+            if balance >= 0:
+                y += incy
+                balance -= dx2
+            balance += dy2
+            x += incx
+        if not above(x, y, z_at(x, y)):
+            return False, x, y
+    else:
+        dx2 = dx * 2
+        balance = dx2 - dy
+        dy2 = dy * 2
+        while y != yb:
+            if not above(x, y, z_at(x, y)):
+                return False, x, y
+            if balance >= 0:
+                x += incx
+                balance -= dy2
+            balance += dx2
+            y += incy
+        if not above(x, y, z_at(x, y)):
+            return False, x, y
+    return True, -1, -1

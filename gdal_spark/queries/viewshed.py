@@ -1,0 +1,207 @@
+"""Viewshed + line-of-sight catalog queries.
+
+``los`` carries a fully independent SQL oracle: the Bresenham2D
+traversal of /root/reference/alg/los.cpp:37-108 re-derived as a
+DuckDB RECURSIVE CTE (one walker per pair advancing a step per
+iteration), with GDAL's interpolated test height
+lerp(za, zb, sqrt(r2/R2)) (:330-346) and the strictly-above terrain
+test (:120-133) — both FP-order-matched to the numpy kernel.
+
+``viewshed`` is the reference-plane sweep (inherently sequential
+recurrence — not SQL-expressible); its oracle is the serial-golden
+VALUES pattern: the pytest-covered kernel run serially over the full
+derived grid, compressed to per-(observer, row) visible counts and
+column sums, which checks the distributed gather/assembly end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from . import register
+from .raster import GW, _pixel_tiles_df
+
+_N_PAIRS = 20
+_OBSERVERS = [(1, 16, 20), (2, 40, 44), (3, 60, 8)]
+_OBS_Z = 30.0
+
+
+def _pair_params(k: int):
+    xa, ya = (k * 7 + 3) % GW, (k * 11 + 5) % GW
+    xb, yb = (k * 29 + 1) % GW, (k * 17 + 2) % GW
+
+    def v(r, c):
+        return float(((r * GW + c) * 7) % 256)
+
+    za_off = -0.5 if k % 7 == 5 else 1.5 + k * 0.125
+    za = v(ya, xa) + za_off
+    zb = v(yb, xb) + 2.25 + k * 0.0625
+    return xa, ya, za, xb, yb, zb
+
+
+@register(
+    "los",
+    sql=f"""
+    WITH RECURSIVE
+    gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    pairs AS (
+      SELECT k.i AS pid,
+             (k.i * 7 + 3) % {GW} AS xa, (k.i * 11 + 5) % {GW} AS ya,
+             (k.i * 29 + 1) % {GW} AS xb, (k.i * 17 + 2) % {GW} AS yb
+      FROM generate_series(0, {_N_PAIRS - 1}) k(i)
+    ),
+    pz AS (
+      SELECT p.*,
+             ga.v + CASE WHEN p.pid % 7 = 5 THEN -0.5
+                         ELSE 1.5 + p.pid * 0.125 END AS za,
+             gb.v + 2.25 + p.pid * 0.0625 AS zb,
+             ga.v AS va, gb.v AS vb,
+             ABS(p.xb - p.xa) AS dx, ABS(p.yb - p.ya) AS dy,
+             CASE WHEN p.xb >= p.xa THEN 1 ELSE -1 END AS incx,
+             CASE WHEN p.yb >= p.ya THEN 1 ELSE -1 END AS incy
+      FROM pairs p
+      JOIN gpx ga ON ga.r = p.ya AND ga.c = p.xa
+      JOIN gpx gb ON gb.r = p.yb AND gb.c = p.xb
+    ),
+    walk AS (
+      SELECT pid, dx, dy, incx, incy, xa, ya, xb, yb, za, zb,
+             xa AS x, ya AS y,
+             CASE WHEN dx >= dy THEN 2*dy - dx ELSE 2*dx - dy END AS bal,
+             0 AS stp
+      FROM pz WHERE dx <> 0 AND dy <> 0
+      UNION ALL
+      SELECT pid, dx, dy, incx, incy, xa, ya, xb, yb, za, zb,
+             CASE WHEN dx >= dy THEN x + incx
+                  ELSE x + CASE WHEN bal >= 0 THEN incx ELSE 0 END END,
+             CASE WHEN dx >= dy
+                  THEN y + CASE WHEN bal >= 0 THEN incy ELSE 0 END
+                  ELSE y + incy END,
+             CASE WHEN dx >= dy
+                  THEN bal - CASE WHEN bal >= 0 THEN 2*dx ELSE 0 END + 2*dy
+                  ELSE bal - CASE WHEN bal >= 0 THEN 2*dy ELSE 0 END + 2*dx
+             END,
+             stp + 1
+      FROM walk WHERE (dx >= dy AND x <> xb) OR (dx < dy AND y <> yb)
+    ),
+    pts AS (
+      SELECT pid, x, y, stp,
+             za + SQRT(CAST((x - xa)*(x - xa) + (y - ya)*(y - ya) AS DOUBLE)
+                       / ((xb - xa)*(xb - xa) + (yb - ya)*(yb - ya)))
+                  * (zb - za) AS zt
+      FROM walk
+      UNION ALL
+      SELECT p.pid, s.i AS x, p.ya AS y, ABS(s.i - p.xa) AS stp,
+             p.za + (CAST(s.i - p.xa AS DOUBLE) / (p.xb - p.xa))
+                    * (p.zb - p.za) AS zt
+      FROM pz p, generate_series(0, {GW - 1}) s(i)
+      WHERE p.dy = 0 AND p.dx <> 0
+        AND s.i BETWEEN LEAST(p.xa, p.xb) AND GREATEST(p.xa, p.xb)
+      UNION ALL
+      SELECT p.pid, p.xa AS x, s.i AS y, ABS(s.i - p.ya) AS stp,
+             p.za + (CAST(s.i - p.ya AS DOUBLE) / (p.yb - p.ya))
+                    * (p.zb - p.za) AS zt
+      FROM pz p, generate_series(0, {GW - 1}) s(i)
+      WHERE p.dx = 0 AND p.dy <> 0
+        AND s.i BETWEEN LEAST(p.ya, p.yb) AND GREATEST(p.ya, p.yb)
+    ),
+    fails AS (
+      SELECT pts.pid, pts.x, pts.y, pts.stp
+      FROM pts JOIN gpx g ON g.r = pts.y AND g.c = pts.x
+      WHERE NOT (pts.zt > g.v)
+    ),
+    first_fail AS (
+      SELECT pid, x, y FROM fails
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY pid ORDER BY stp) = 1
+    )
+    SELECT p.pid,
+           (p.za > p.va AND p.zb > p.vb AND f.pid IS NULL) AS visible,
+           CAST(CASE WHEN NOT p.za > p.va THEN p.xa
+                     WHEN NOT p.zb > p.vb THEN p.xb
+                     WHEN f.pid IS NOT NULL THEN f.x
+                     ELSE -1 END AS BIGINT) AS ix,
+           CAST(CASE WHEN NOT p.za > p.va THEN p.ya
+                     WHEN NOT p.zb > p.vb THEN p.yb
+                     WHEN f.pid IS NOT NULL THEN f.y
+                     ELSE -1 END AS BIGINT) AS iy
+    FROM pz p LEFT JOIN first_fail f ON f.pid = p.pid
+    ORDER BY p.pid
+    """,
+    desc="batch line-of-sight (GDALIsLineOfSightVisible, alg/los.cpp:"
+         "136-370): per-pair bbox tile gather + Bresenham kernel; oracle "
+         "re-derives the Bresenham walk as a recursive CTE",
+)
+def los_q(spark, sf_dir):
+    from ..operators.viewshed import los_pairs
+
+    rows = []
+    for k in range(_N_PAIRS):
+        xa, ya, za, xb, yb, zb = _pair_params(k)
+        rows.append({"pid": k, "xa": xa, "ya": ya, "za": za,
+                     "xb": xb, "yb": yb, "zb": zb})
+    pairs = spark.createDataFrame(pd.DataFrame(rows))
+    out = los_pairs(_pixel_tiles_df(spark), pairs, tile_size=GW // 2)
+    return out.select("pid", "visible", "ix", "iy").orderBy("pid")
+
+
+def _viewshed_golden_sql() -> str:
+    from ..kernels import viewshed as kvs
+
+    grid = ((np.arange(GW * GW).reshape(GW, GW) * 7) % 256).astype(np.float64)
+    rows = []
+    for oid, opx, opy in _OBSERVERS:
+        vis = kvs.viewshed(grid, opx, opy, observer_z=_OBS_Z)
+        for r in range(GW):
+            mask = vis[r] != 0
+            rows.append((oid, r, int(mask.sum()),
+                         int(np.where(mask, np.arange(GW), 0).sum())))
+    vals = ", ".join(f"({o}, {r}, {n}, {s})" for o, r, n, s in rows)
+    return (f"SELECT CAST(oid AS BIGINT) AS oid, CAST(r AS BIGINT) AS r, "
+            f"CAST(visible_in_row AS BIGINT) AS visible_in_row, "
+            f"CAST(col_sum AS BIGINT) AS col_sum "
+            f"FROM (VALUES {vals}) AS t(oid, r, visible_in_row, col_sum) "
+            f"ORDER BY oid, r")
+
+
+@register(
+    "viewshed",
+    sql=_viewshed_golden_sql,
+    desc="multi-observer viewshed (alg/viewshed/viewshed_executor.cpp "
+         "reference-plane sweep, Edge cell mode): per-observer covering-"
+         "tile gather + serial kernel per Arrow group; sequential "
+         "recurrence is not SQL-expressible -> serial-golden VALUES "
+         "oracle over per-row visibility aggregates",
+)
+def viewshed_q(spark, sf_dir):
+    from ..operators.viewshed import viewshed_points
+
+    obs = spark.createDataFrame(pd.DataFrame(
+        [{"oid": o, "px": x, "py": y} for o, x, y in _OBSERVERS]))
+    out = viewshed_points(_pixel_tiles_df(spark), obs, tile_size=GW // 2,
+                          radius_px=GW, observer_z=_OBS_Z,
+                          raster_w=GW, raster_h=GW)
+
+    def _rows(batches):
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                vis = np.frombuffer(rr["vis"], dtype=np.uint8).reshape(
+                    int(rr["h"]), int(rr["w"]))
+                for r in range(int(rr["h"])):
+                    mask = vis[r] != 0
+                    yield pd.DataFrame({
+                        "oid": [int(rr["oid"])],
+                        "r": [int(rr["y0"]) + r],
+                        "visible_in_row": [int(mask.sum())],
+                        "col_sum": [int(np.where(
+                            mask, np.arange(int(rr["w"])) + int(rr["x0"]),
+                            0).sum())],
+                    })
+
+    return out.mapInPandas(
+        _rows, "oid long, r long, visible_in_row long, col_sum long"
+    ).orderBy("oid", "r")
