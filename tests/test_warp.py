@@ -316,3 +316,34 @@ def test_pyramid_cubic_interior_matches_serial(spark):
     want = conv(conv(pad).T).T
     want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pansharpen_identity_property(spark):
+    """Equal spectral bands with weights summing to 1: pseudo-pan ==
+    the band, factor == pan/band, output == pan exactly (WeightedBrovey3
+    algebra)."""
+    from gdal_spark.operators.pansharpen import pansharpen_tiles
+
+    ts = 16
+    rng = np.random.RandomState(2)
+    pan_full = rng.randint(1, 255, size=(2 * ts, 2 * ts)).astype(np.uint8)
+    pan = spark.createDataFrame(pd.DataFrame(
+        [{"tx": tx, "ty": ty,
+          "px": pan_full[ty * ts:(ty + 1) * ts,
+                         tx * ts:(tx + 1) * ts].tobytes()}
+         for ty in range(2) for tx in range(2)]))
+    ms = spark.createDataFrame(pd.DataFrame(
+        [{"band": b, "tx": 0, "ty": 0,
+          "px": np.full((ts, ts), 40, dtype=np.uint8).tobytes()}
+         for b in (0, 1)]))
+    grid = TileGrid(0.0, float(2 * ts), float(2 * ts), ts)
+    out = pansharpen_tiles(pan, ms, grid, ms_zoom=0, pan_zoom=1,
+                           weights=[0.5, 0.5], bands=[0, 1],
+                           method="bilinear", ms_tile_size=ts,
+                           pan_tile_size=ts).collect()
+    assert len(out) == 8          # 4 tiles x 2 bands
+    for r in out:
+        got = np.frombuffer(r["px"], dtype=np.uint8).reshape(ts, ts)
+        want = pan_full[r["ty"] * ts:(r["ty"] + 1) * ts,
+                        r["tx"] * ts:(r["tx"] + 1) * ts]
+        np.testing.assert_array_equal(got, want)
