@@ -150,18 +150,27 @@ def _mode_2x2(canvas, np_dtype):
 _CUBIC2X_W = np.array([-0.0234375, -0.0703125, 0.2265625, 0.8671875,
                        0.8671875, 0.2265625, -0.0703125, -0.0234375])
 _CUBIC2X_K = 3          # halo width: taps reach 3 px past the 2x2 block
+# gauss 2:1: separable [1,2,1] over the FORWARD window 2j..2j+2
+# (GDALResampleChunk_Gauss, overview.cpp:1827-1960: nSrcYOff = 2j,
+# 3x3 matrix, normalized over in-bounds cells)
+_GAUSS2X_W = np.array([1.0, 2.0, 1.0])
+_CONV2X = {"cubic": (_CUBIC2X_W, _CUBIC2X_K, -3),
+           "gauss": (_GAUSS2X_W, 1, 0)}
 
 
-def _conv2x_pass(padded: np.ndarray, k: int) -> np.ndarray:
-    """One separable horizontal pass of the scaled cubic filter with
-    stride 2; NaN-aware weight renormalization at data edges (the
-    convolution base clamps its window to the chunk and divides by
-    the sum of used weights)."""
+def _conv2x_pass(padded: np.ndarray, k: int,
+                 weights: np.ndarray = _CUBIC2X_W,
+                 off: int = -3) -> np.ndarray:
+    """One separable horizontal decimation pass with stride 2 (tap m
+    reads source column 2j + off + m); NaN-aware weight
+    renormalization at data edges (the reference clamps its window to
+    the chunk and divides by the sum of used weights)."""
     n_out = (padded.shape[1] - 2 * k) // 2
     num = np.zeros((padded.shape[0], n_out))
     den = np.zeros((padded.shape[0], n_out))
-    for m, w in enumerate(_CUBIC2X_W):
-        v = padded[:, m:m + 2 * n_out:2]
+    for m, w in enumerate(weights):
+        c0 = m + off + k
+        v = padded[:, c0:c0 + 2 * n_out:2]
         ok = ~np.isnan(v)
         num += np.where(ok, w * np.where(ok, v, 0.0), 0.0)
         den += np.where(ok, w, 0.0)
@@ -169,14 +178,29 @@ def _conv2x_pass(padded: np.ndarray, k: int) -> np.ndarray:
         return np.where(den != 0.0, num / den, np.nan)
 
 
+def _conv2x_raw(a: np.ndarray, k: int, weights: np.ndarray,
+                off: int) -> np.ndarray:
+    """Plain strided weighted sum (no mask, no division) — used to
+    carry numerator and denominator separately so the final division
+    matches the reference's single JOINT 2D normalization (the gauss
+    chunk sums its 3x3 matrix directly, overview.cpp:1960-2040)."""
+    n_out = (a.shape[1] - 2 * k) // 2
+    out = np.zeros((a.shape[0], n_out))
+    for m, w in enumerate(weights):
+        c0 = m + off + k
+        out += w * a[:, c0:c0 + 2 * n_out:2]
+    return out
+
+
 def _pyramid_reduce_cubic(tiles: DataFrame, zoom: int, dtype: str,
-                          tile_size: int) -> DataFrame:
-    """Cubic 2:1 decimation: k=3 halo exchange (taps cross tile
-    borders), separable horizontal-then-vertical scaled-cubic passes
-    per tile, then a 2x2 quarter assembly into the parent tile."""
+                          tile_size: int, method: str = "cubic") -> DataFrame:
+    """Cubic/gauss 2:1 decimation: k-px halo exchange (taps cross
+    tile borders), separable horizontal-then-vertical passes per
+    tile, then a 2x2 quarter assembly into the parent tile."""
     np_dtype = np.dtype(dtype)
     is_float = np.issubdtype(np_dtype, np.floating)
-    ts, k = tile_size, _CUBIC2X_K
+    weights, k, off = _CONV2X[method]
+    ts = tile_size
     hs = ts // 2
 
     def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -214,8 +238,21 @@ def _pyramid_reduce_cubic(tiles: DataFrame, zoom: int, dtype: str,
             y0 = k if oy == 0 else (0 if oy == -1 else ts + k)
             x0 = k if ox == 0 else (0 if ox == -1 else ts + k)
             padded[y0:y0 + v, x0:x0 + h] = arr
-        hpass = _conv2x_pass(padded, k)              # (ts+2k, hs)
-        out = _conv2x_pass(hpass.T, k).T             # (hs, hs)
+        if method == "gauss":
+            # joint 2D normalization: num/den carried separately and
+            # divided ONCE (the reference sums its matrix directly)
+            ok = ~np.isnan(padded)
+            num0 = np.where(ok, padded, 0.0)
+            den0 = ok.astype(np.float64) * 1.0
+            num = _conv2x_raw(_conv2x_raw(num0, k, weights, off).T,
+                              k, weights, off).T
+            den = _conv2x_raw(_conv2x_raw(den0, k, weights, off).T,
+                              k, weights, off).T
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(den != 0.0, num / den, np.nan)
+        else:
+            hpass = _conv2x_pass(padded, k, weights, off)  # (ts+2k, hs)
+            out = _conv2x_pass(hpass.T, k, weights, off).T  # (hs, hs)
         out = np.where(np.isnan(out), 0.0, out)
         if not is_float:
             info = np.iinfo(np_dtype)
@@ -255,10 +292,11 @@ def pyramid_reduce(tiles: DataFrame, zoom: int, method: str = "average",
     'near' -> top-left pixel of each 2x2 (overview.cpp:120),
     'average' -> integer (sum+2)/4 (:1375-1380), float 0.25*sum
     (:1437-1441), 'cubic' -> scaled 8-tap convolution with halo
-    exchange (overview.cpp:2519-2810 convolution path).
+    exchange (overview.cpp:2519-2810 convolution path), 'gauss' ->
+    separable [1,2,1] over the forward 3x3 window (:1827-1960).
     """
-    if method == "cubic":
-        return _pyramid_reduce_cubic(tiles, zoom, dtype, tile_size)
+    if method in ("cubic", "gauss"):
+        return _pyramid_reduce_cubic(tiles, zoom, dtype, tile_size, method)
     np_dtype = np.dtype(dtype)
     is_float = np.issubdtype(np_dtype, np.floating)
     ts = tile_size

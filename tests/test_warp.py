@@ -347,3 +347,37 @@ def test_pansharpen_identity_property(spark):
         want = pan_full[r["ty"] * ts:(r["ty"] + 1) * ts,
                         r["tx"] * ts:(r["tx"] + 1) * ts]
         np.testing.assert_array_equal(got, want)
+
+
+def test_pyramid_gauss_interior_matches_serial(spark):
+    """Gauss 2:1 (overview.cpp:1827-1960): forward 3x3 [1,2,1]^2
+    window, renormalized at edges; distributed == serial."""
+    from gdal_spark.operators.raster_tile import build_pyramid
+
+    ts, n = 16, 2
+    rng = np.random.RandomState(8)
+    full = rng.randint(0, 255, size=(n * ts, n * ts)).astype(np.uint8)
+    tiles = [{"z": 1, "tx": tx, "ty": ty, "band": 1,
+              "px": full[ty * ts:(ty + 1) * ts,
+                         tx * ts:(tx + 1) * ts].tobytes(), "checksum": 0}
+             for ty in range(n) for tx in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(tiles))
+    pyr = build_pyramid(df, 1, down_to=0, method="gauss", tile_size=ts)
+    got_rows = [r for r in pyr.collect() if r["z"] == 0]
+    got = np.frombuffer(got_rows[0]["px"], dtype=np.uint8).reshape(ts, ts)
+
+    g = np.array([1, 2, 1], dtype=np.float64)
+    want = np.zeros((ts, ts))
+    for j in range(ts):
+        for i in range(ts):
+            num = den = 0.0
+            for m in range(3):
+                for nn in range(3):
+                    y, x = 2 * j + m, 2 * i + nn
+                    if y < n * ts and x < n * ts:
+                        w = g[m] * g[nn]
+                        num += w * full[y, x]
+                        den += w
+            want[j, i] = num / den
+    want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
