@@ -100,24 +100,58 @@ def viewshed_points(tiles: DataFrame, observers: DataFrame,
     return fan.groupBy("oid").applyInPandas(_run, VS_SCHEMA)
 
 
+def _line_tiles(xa: int, ya: int, xb: int, yb: int, ts: int):
+    """Tile keys whose pixels can appear on the Bresenham walk from A
+    to B: the exact segment padded by 1 px covers every walk cell
+    (the walk never strays further from the ideal line), so per
+    crossed tile-row band take the segment's x-interval +-1."""
+    ty0, ty1 = sorted((ya // ts, yb // ts))
+    out = set()
+    for ty in range(ty0, ty1 + 1):
+        if ya == yb:
+            seg = (min(xa, xb), max(xa, xb))
+        else:
+            # pixel-row extent of this band clipped to the segment
+            ry0 = max(ty * ts, min(ya, yb))
+            ry1 = min(ty * ts + ts - 1, max(ya, yb))
+            t0 = (ry0 - ya) / (yb - ya)
+            t1 = (ry1 - ya) / (yb - ya)
+            xs = (xa + t0 * (xb - xa), xa + t1 * (xb - xa))
+            seg = (min(xs), max(xs))
+        lo = int(np.floor(seg[0] - 1)) // ts
+        hi = int(np.floor(seg[1] + 1)) // ts
+        for tx in range(lo, hi + 1):
+            out.add((tx, ty))
+    return out
+
+
 def los_pairs(tiles: DataFrame, pairs: DataFrame,
               tile_size: int = 256, dtype: str = "uint8") -> DataFrame:
     """Batch GDALIsLineOfSightVisible over (pid, xa, ya, za, xb, yb,
-    zb) pairs; each pair gathers the tiles covering its bbox."""
+    zb) pairs.  Each pair gathers only the tiles its sight line
+    CROSSES (1-px-padded segment supercover) — O(line length / ts)
+    tiles per pair, never the bbox — and terrain lookups go through a
+    per-tile dict, so a long diagonal line over a continental raster
+    ships kilobytes, not the O(length^2) bounding canvas."""
     np_dtype = np.dtype(dtype)
     ts = tile_size
 
-    p = pairs.select(
-        "pid", "xa", "ya", "za", "xb", "yb", "zb",
-        F.explode(F.sequence(
-            F.floor(F.least("xa", "xb") / ts).cast("long"),
-            F.floor(F.greatest("xa", "xb") / ts).cast("long"))).alias("tx"),
-    ).select(
-        "*",
-        F.explode(F.sequence(
-            F.floor(F.least("ya", "yb") / ts).cast("long"),
-            F.floor(F.greatest("ya", "yb") / ts).cast("long"))).alias("ty"),
-    )
+    def _fan(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for tx, ty in sorted(_line_tiles(
+                        int(r["xa"]), int(r["ya"]), int(r["xb"]),
+                        int(r["yb"]), ts)):
+                    rows.append((int(r["pid"]), int(r["xa"]), int(r["ya"]),
+                                 float(r["za"]), int(r["xb"]), int(r["yb"]),
+                                 float(r["zb"]), tx, ty))
+            yield pd.DataFrame(rows, columns=[
+                "pid", "xa", "ya", "za", "xb", "yb", "zb", "tx", "ty"])
+
+    p = pairs.select("pid", "xa", "ya", "za", "xb", "yb", "zb").mapInPandas(
+        _fan, "pid long, xa long, ya long, za double, "
+              "xb long, yb long, zb double, tx long, ty long")
     fan = p.join(tiles.select("tx", "ty", F.col("px").alias("tile_px")),
                  on=["tx", "ty"])
 
@@ -125,25 +159,23 @@ def los_pairs(tiles: DataFrame, pairs: DataFrame,
         r0 = pdf.iloc[0]
         xa, ya, xb, yb = (int(r0["xa"]), int(r0["ya"]),
                           int(r0["xb"]), int(r0["yb"]))
-        x0, y0 = min(xa, xb), min(ya, yb)
-        w, h = abs(xb - xa) + 1, abs(yb - ya) + 1
-        canvas = np.zeros((h, w), dtype=np.float64)
-        for _, r in pdf.iterrows():
-            arr = np.frombuffer(r["tile_px"], dtype=np_dtype).reshape(ts, ts)
-            tx0, ty0 = int(r["tx"]) * ts, int(r["ty"]) * ts
-            ax0, ax1 = max(tx0, x0), min(tx0 + ts - 1, x0 + w - 1)
-            ay0, ay1 = max(ty0, y0), min(ty0 + ts - 1, y0 + h - 1)
-            if ax0 > ax1 or ay0 > ay1:
-                continue
-            canvas[ay0 - y0:ay1 - y0 + 1, ax0 - x0:ax1 - x0 + 1] = \
-                arr[ay0 - ty0:ay1 - ty0 + 1, ax0 - tx0:ax1 - tx0 + 1]
+        cache = {(int(r["tx"]), int(r["ty"])):
+                 np.frombuffer(r["tile_px"], dtype=np_dtype).reshape(ts, ts)
+                 for _, r in pdf.iterrows()}
+
+        class _TileDEM:
+            """dict-backed 2D view: missing tiles read as 0 terrain
+            (same contract as the previous dense-canvas fill)."""
+            def __getitem__(self, yx):
+                y, x = yx
+                arr = cache.get((x // ts, y // ts))
+                return 0.0 if arr is None else float(arr[y % ts, x % ts])
+
         ok, ix, iy = kvs.line_of_sight(
-            canvas, xa - x0, ya - y0, float(r0["za"]),
-            xb - x0, yb - y0, float(r0["zb"]))
+            _TileDEM(), xa, ya, float(r0["za"]), xb, yb, float(r0["zb"]))
         return pd.DataFrame({
             "pid": [int(key[0])], "visible": [ok],
-            "ix": [ix if ix < 0 else ix + x0],
-            "iy": [iy if iy < 0 else iy + y0],
+            "ix": [ix], "iy": [iy],
         })
 
     return fan.groupBy("pid").applyInPandas(_run, LOS_SCHEMA)
