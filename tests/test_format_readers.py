@@ -1,0 +1,171 @@
+"""Shapefile + GeoPackage readers: fixtures are hand-crafted binaries
+per the public specs (ESRI Shapefile Technical Description; OGC
+12-128r14), so the reader is checked against the format, not against
+its own writer."""
+
+from __future__ import annotations
+
+import sqlite3
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.kernels import wkb as kwkb
+
+
+def _shp_pair(shapes: list[bytes], shape_type: int):
+    """Build (.shp bytes, .shx bytes) from raw shape contents."""
+    recs = []
+    off_words = 50                       # 100-byte header
+    shx_entries = []
+    for i, content in enumerate(shapes):
+        recs.append(struct.pack(">ii", i + 1, len(content) // 2) + content)
+        shx_entries.append(struct.pack(">ii", off_words, len(content) // 2))
+        off_words += 4 + len(content) // 2
+    body = b"".join(recs)
+
+    def header(total_words):
+        return (struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+                + struct.pack(">i", total_words)
+                + struct.pack("<ii", 1000, shape_type)
+                + struct.pack("<8d", 0, 0, 100, 100, 0, 0, 0, 0))
+
+    shp = header(50 + len(body) // 2) + body
+    shx = header(50 + 4 * len(shapes)) + b"".join(shx_entries)
+    return shp, shx
+
+
+def _dbf(fields, rows):
+    fds = b""
+    rec_size = 1
+    for name, ftype, flen, fdec in fields:
+        fds += (name.encode().ljust(11, b"\x00") + ftype.encode()
+                + b"\x00" * 4 + bytes([flen, fdec]) + b"\x00" * 14)
+        rec_size += flen
+    hdr_size = 32 + len(fds) + 1
+    out = (bytes([0x03, 99, 1, 1]) + struct.pack("<IHH", len(rows),
+                                                 hdr_size, rec_size)
+           + b"\x00" * 20 + fds + b"\x0d")
+    for row in rows:
+        rec = b" "
+        for (name, ftype, flen, fdec), val in zip(fields, row):
+            rec += str(val).encode().ljust(flen)[:flen]
+        out += rec
+    return out + b"\x1a"
+
+
+def _polygon_content(rings):
+    pts = np.vstack(rings)
+    parts, acc = [], 0
+    for r in rings:
+        parts.append(acc)
+        acc += len(r)
+    return (struct.pack("<i", 5)
+            + struct.pack("<4d", pts[:, 0].min(), pts[:, 1].min(),
+                          pts[:, 0].max(), pts[:, 1].max())
+            + struct.pack("<ii", len(rings), len(pts))
+            + np.array(parts, dtype="<i4").tobytes()
+            + pts.astype("<f8").tobytes())
+
+
+def test_read_shapefile_polygons(spark, tmp_path):
+    from gdal_spark.sources.shapefile import read_shapefile
+
+    outer = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]],
+                     dtype=float)          # CW in shapefile convention
+    hole = outer[::-1] * 0.2 + 4           # CCW -> hole
+    cw2 = np.array([[20, 20], [20, 25], [25, 25], [25, 20], [20, 20]],
+                   dtype=float)
+    shapes = [
+        _polygon_content([outer, hole]),           # polygon with hole
+        _polygon_content([outer, cw2]),            # two CW -> multipolygon
+        struct.pack("<i", 0),                      # null shape
+    ]
+    shp, shx = _shp_pair(shapes, 5)
+    base = tmp_path / "layer"
+    (base.with_suffix(".shp")).write_bytes(shp)
+    (base.with_suffix(".shx")).write_bytes(shx)
+    (base.with_suffix(".dbf")).write_bytes(_dbf(
+        [("NAME", "C", 10, 0), ("VAL", "N", 8, 0), ("RATE", "N", 8, 3)],
+        [("alpha", 7, "1.500"), ("beta", -3, "0.250"), ("gap", 0, "0.000")]))
+
+    df = read_shapefile(spark, str(base.with_suffix(".shp")), n_partitions=2)
+    rows = {r["fid"]: r for r in df.collect()}
+    assert len(rows) == 3
+    g0 = kwkb.parse_wkb(bytes(rows[0]["wkb"]))
+    assert g0[0] == kwkb.POLYGON and len(g0[1]) == 2
+    g1 = kwkb.parse_wkb(bytes(rows[1]["wkb"]))
+    assert g1[0] == kwkb.MULTIPOLYGON and len(g1[1]) == 2
+    assert rows[2]["wkb"] is None
+    assert rows[0]["NAME"] == "alpha" and rows[0]["VAL"] == 7
+    assert rows[1]["VAL"] == -3 and abs(rows[1]["RATE"] - 0.25) < 1e-9
+    assert (rows[0]["xmin"], rows[0]["ymax"]) == (0.0, 10.0)
+
+
+def test_read_shapefile_points(spark, tmp_path):
+    from gdal_spark.sources.shapefile import read_shapefile
+
+    shapes = [struct.pack("<i2d", 1, 3.5, -2.25),
+              struct.pack("<i2d", 1, 40.0, 50.0)]
+    shp, shx = _shp_pair(shapes, 1)
+    base = tmp_path / "pts"
+    base.with_suffix(".shp").write_bytes(shp)
+    base.with_suffix(".shx").write_bytes(shx)
+    base.with_suffix(".dbf").write_bytes(_dbf(
+        [("ID", "N", 4, 0)], [(1,), (2,)]))
+    df = read_shapefile(spark, str(base.with_suffix(".shp")))
+    rows = sorted(df.collect(), key=lambda r: r["fid"])
+    assert kwkb.parse_wkb(bytes(rows[0]["wkb"]))[1] == (3.5, -2.25)
+    assert rows[1]["ID"] == 2
+
+
+def _make_gpkg(path, feats):
+    con = sqlite3.connect(path)
+    con.executescript("""
+        CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT,
+            identifier TEXT, srs_id INTEGER);
+        CREATE TABLE gpkg_geometry_columns (table_name TEXT,
+            column_name TEXT, geometry_type_name TEXT, srs_id INTEGER,
+            z TINYINT, m TINYINT);
+        CREATE TABLE roads (fid INTEGER PRIMARY KEY, geom BLOB,
+            name TEXT, lanes INTEGER, toll REAL);
+        INSERT INTO gpkg_contents VALUES ('roads', 'features', 'roads', 0);
+        INSERT INTO gpkg_geometry_columns VALUES
+            ('roads', 'geom', 'GEOMETRY', 0, 0, 0);
+    """)
+    for fid, wkb, bbox, name, lanes, toll in feats:
+        if wkb is None:
+            blob = None
+        else:
+            flags = 0x01 | (1 << 1)          # little-endian, envelope xy
+            blob = (b"GP" + bytes([0, flags]) + struct.pack("<i", 0)
+                    + struct.pack("<4d", bbox[0], bbox[2], bbox[1], bbox[3])
+                    + wkb)
+        con.execute("INSERT INTO roads VALUES (?,?,?,?,?)",
+                    (fid, blob, name, lanes, toll))
+    con.commit()
+    con.close()
+
+
+def test_read_geopackage(spark, tmp_path):
+    from gdal_spark.sources.geopackage import (list_feature_tables,
+                                               read_geopackage)
+
+    p = str(tmp_path / "db.gpkg")
+    line = kwkb.wkb_linestring(np.array([[0.0, 0.0], [5.0, 5.0]]))
+    pt = kwkb.wkb_point(9.0, -1.0)
+    _make_gpkg(p, [
+        (1, line, (0.0, 0.0, 5.0, 5.0), "a", 2, 0.5),
+        (2, pt, (9.0, -1.0, 9.0, -1.0), "b", 4, 1.25),
+        (3, None, None, "c", 1, 0.0),
+    ])
+    assert list_feature_tables(p) == ["roads"]
+    df = read_geopackage(spark, p, n_partitions=2)
+    rows = {r["fid"]: r for r in df.collect()}
+    assert len(rows) == 3
+    assert kwkb.parse_wkb(bytes(rows[2]["wkb"]))[1] == (9.0, -1.0)
+    assert rows[1]["xmin"] == 0.0 and rows[1]["ymax"] == 5.0
+    assert rows[3]["wkb"] is None and rows[3]["name"] == "c"
+    assert rows[2]["lanes"] == 4 and abs(rows[2]["toll"] - 1.25) < 1e-9
