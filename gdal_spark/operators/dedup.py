@@ -110,6 +110,12 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
             ])
         ).alias("b"),
     ).select("id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    # the band rows feed THREE consumers (counts, join left, join
+    # right); without a persist the whole shingle->minhash lineage
+    # runs three times.  MEMORY_AND_DISK keeps the reuse
+    # fault-tolerant at cluster scale (spills, recomputes on loss)
+    from pyspark import StorageLevel
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     # per-bucket salt factor: 1 for light buckets, ceil(n/threshold)
     # (clamped) for hot ones; the counts aggregate is map-side partial
     # and shuffles on the same (bi,bv) key as the join itself
