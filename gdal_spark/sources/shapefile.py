@@ -181,3 +181,145 @@ def read_shapefile(spark: SparkSession, path: str,
     for name, ftype, _off, _flen, fdec in fields:
         schema += f", {name} {_sql_type(ftype, fdec)}"
     return rng_df.mapInPandas(_scan, schema)
+
+
+# ---------------------------------------------------------------- writer
+def _ensure_cw(ring: np.ndarray) -> np.ndarray:
+    return ring if _ring_is_cw(ring) else ring[::-1]
+
+
+def _ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    return ring[::-1] if _ring_is_cw(ring) else ring
+
+
+def _wkb_to_shape(wkb: bytes) -> tuple[int, bytes]:
+    """WKB -> (shape_type, .shp record content, spec byte layout).
+    Polygon rings are re-oriented to the shapefile convention
+    (outer CW, holes CCW) like SHPWriteObject does."""
+    gtype, payload = kwkb.parse_wkb(wkb)
+    if gtype == kwkb.POINT:
+        return _SHP_POINT, struct.pack("<i2d", _SHP_POINT, *payload)
+    if gtype == kwkb.MULTIPOINT:
+        pts = np.asarray(payload, dtype=float).reshape(-1, 2)
+        return _SHP_MULTIPOINT, (
+            struct.pack("<i", _SHP_MULTIPOINT)
+            + struct.pack("<4d", pts[:, 0].min(), pts[:, 1].min(),
+                          pts[:, 0].max(), pts[:, 1].max())
+            + struct.pack("<i", len(pts)) + pts.astype("<f8").tobytes())
+    if gtype in (kwkb.LINESTRING, kwkb.MULTILINESTRING):
+        parts = [np.asarray(payload, dtype=float)] if \
+            gtype == kwkb.LINESTRING else \
+            [np.asarray(p, dtype=float) for p in payload]
+        stype = _SHP_ARC
+    elif gtype in (kwkb.POLYGON, kwkb.MULTIPOLYGON):
+        polys = [payload] if gtype == kwkb.POLYGON else payload
+        parts = []
+        for rings in polys:
+            parts.append(_ensure_cw(np.asarray(rings[0], dtype=float)))
+            parts.extend(_ensure_ccw(np.asarray(h, dtype=float))
+                         for h in rings[1:])
+        stype = _SHP_POLYGON
+    else:
+        raise ValueError(f"unsupported geometry type {gtype}")
+    pts = np.vstack(parts)
+    offs, acc = [], 0
+    for p in parts:
+        offs.append(acc)
+        acc += len(p)
+    content = (struct.pack("<i", stype)
+               + struct.pack("<4d", pts[:, 0].min(), pts[:, 1].min(),
+                             pts[:, 0].max(), pts[:, 1].max())
+               + struct.pack("<ii", len(parts), len(pts))
+               + np.array(offs, dtype="<i4").tobytes()
+               + pts.astype("<f8").tobytes())
+    return stype, content
+
+
+def _shp_header(shape_type: int, total_words: int, bbox) -> bytes:
+    return (struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+            + struct.pack(">i", total_words)
+            + struct.pack("<ii", 1000, shape_type)
+            + struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3],
+                          0, 0, 0, 0))
+
+
+def write_shapefile(df: DataFrame, out_dir: str,
+                    attr_specs: list[tuple[str, str, int, int]]
+                    | None = None) -> None:
+    """Distributed sink: each partition writes one part-NNNNN shapefile
+    set (.shp/.shx/.dbf) under ``out_dir`` — the part-file layout
+    every Spark sink uses, so the write is embarrassingly parallel
+    and resumable at partition granularity.  df needs (wkb [, attr
+    columns named in attr_specs]); attr_specs entries are
+    (name, dbf_type C/N, length, decimals), default a single
+    ("FID", "N", 18, 0) taken from a ``fid`` column."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    specs = attr_specs or [("FID", "N", 18, 0)]
+    df_cols = set(df.columns)
+    src_col = {name: (name if name in df_cols else "fid")
+               for name, _t, _l, _d in specs}
+
+    def _fmt(val, ftype, flen, fdec) -> bytes:
+        if val is None:
+            s = ""
+        elif ftype == "N" and fdec > 0:
+            s = f"{float(val):.{fdec}f}"
+        elif ftype == "N":
+            s = str(int(val))
+        else:
+            s = str(val)
+        return s.encode("ascii", "replace").ljust(flen)[:flen]
+
+    def _write_part(pid: int, rows) -> "Iterator[tuple[int, int]]":
+        rows = list(rows)
+        base = os.path.join(out_dir, f"part-{pid:05d}")
+        shapes, dbf_recs = [], []
+        stype = _SHP_NULL
+        for r in rows:
+            if r["wkb"] is None:
+                shapes.append(struct.pack("<i", _SHP_NULL))
+            else:
+                stype, content = _wkb_to_shape(bytes(r["wkb"]))
+                shapes.append(content)
+            dbf_recs.append(b" " + b"".join(
+                _fmt(r[src_col[name]], ftype, flen, fdec)
+                for name, ftype, flen, fdec in specs))
+        xs = []
+        for c in shapes:
+            t = struct.unpack_from("<i", c, 0)[0]
+            if _base(t) == _SHP_POINT:
+                px, py = struct.unpack_from("<2d", c, 4)
+                xs.append((px, py, px, py))
+            elif _base(t) != _SHP_NULL:
+                xs.append(struct.unpack_from("<4d", c, 4))
+        bbox = ((min(b[0] for b in xs), min(b[1] for b in xs),
+                 max(b[2] for b in xs), max(b[3] for b in xs))
+                if xs else (0.0, 0.0, 0.0, 0.0))
+        body, shx, off_words = b"", b"", 50
+        for i, c in enumerate(shapes):
+            body += struct.pack(">ii", i + 1, len(c) // 2) + c
+            shx += struct.pack(">ii", off_words, len(c) // 2)
+            off_words += 4 + len(c) // 2
+        with open(base + ".shp", "wb") as f:
+            f.write(_shp_header(stype, 50 + len(body) // 2, bbox) + body)
+        with open(base + ".shx", "wb") as f:
+            f.write(_shp_header(stype, 50 + 4 * len(shapes), bbox) + shx)
+        fds, rec_size = b"", 1
+        for name, ftype, flen, fdec in specs:
+            fds += (name.encode().ljust(11, b"\x00")[:11] + ftype.encode()
+                    + b"\x00" * 4 + bytes([flen, fdec]) + b"\x00" * 14)
+            rec_size += flen
+        with open(base + ".dbf", "wb") as f:
+            f.write(bytes([0x03, 99, 1, 1])
+                    + struct.pack("<IHH", len(dbf_recs),
+                                  32 + len(fds) + 1, rec_size)
+                    + b"\x00" * 20 + fds + b"\x0d"
+                    + b"".join(dbf_recs) + b"\x1a")
+        yield pid, len(rows)
+
+    parts = df.rdd.mapPartitionsWithIndex(
+        lambda pid, it: _write_part(pid, it)).collect()
+    if not parts:
+        raise ValueError("empty DataFrame")

@@ -169,3 +169,50 @@ def test_read_geopackage(spark, tmp_path):
     assert rows[1]["xmin"] == 0.0 and rows[1]["ymax"] == 5.0
     assert rows[3]["wkb"] is None and rows[3]["name"] == "c"
     assert rows[2]["lanes"] == 4 and abs(rows[2]["toll"] - 1.25) < 1e-9
+
+
+def test_shapefile_roundtrip_write_read(spark, tmp_path):
+    """Writer -> reader roundtrip (the reader is validated against
+    hand-crafted spec bytes above, so it anchors the writer)."""
+    import glob
+
+    from gdal_spark.sources.shapefile import read_shapefile, write_shapefile
+
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                     dtype=float)          # CCW input: writer flips to CW
+    hole = np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], dtype=float)
+    rows = [
+        {"fid": 0, "wkb": kwkb.wkb_point(1.5, -2.5)},
+        {"fid": 1, "wkb": kwkb.wkb_linestring(
+            np.array([[0.0, 0.0], [3.0, 4.0], [6.0, 0.0]]))},
+        {"fid": 2, "wkb": kwkb.wkb_polygon([outer, hole])},
+        {"fid": 3, "wkb": None},
+    ]
+    out_dirs = {}
+    for i, row in enumerate(rows):
+        # one geometry type per file (spec): write each alone
+        df = spark.createDataFrame(pd.DataFrame([row]))
+        d = str(tmp_path / f"out{i}")
+        write_shapefile(df.repartition(1), d)
+        out_dirs[i] = d
+    for i, row in enumerate(rows):
+        shp = glob.glob(out_dirs[i] + "/part-*.shp")[0]
+        got = read_shapefile(spark, shp, n_partitions=1).collect()
+        assert len(got) == 1
+        if row["wkb"] is None:
+            assert got[0]["wkb"] is None
+            continue
+        want_t, want_p = kwkb.parse_wkb(row["wkb"])
+        got_t, got_p = kwkb.parse_wkb(bytes(got[0]["wkb"]))
+        assert got_t == want_t
+        if want_t == kwkb.POINT:
+            assert got_p == want_p
+        elif want_t == kwkb.LINESTRING:
+            np.testing.assert_array_equal(np.asarray(got_p),
+                                          np.asarray(want_p))
+        else:                               # polygon: ring sets match
+            # outer re-oriented CW by the writer; compare as point sets
+            for wr, gr in zip(want_p, got_p):
+                assert {tuple(p) for p in np.asarray(wr)} == \
+                    {tuple(p) for p in np.asarray(gr)}
+        assert got[0]["FID"] == row["fid"]
