@@ -72,10 +72,14 @@ def big_join_docs_per_sec(spark):
     polys = spark.createDataFrame(fx.polygons_pandas())
     spatial_join(pts, polys, dv.GRID, zoom=6).write.mode(
         "overwrite").format("noop").save()   # warm-up
-    t0 = time.time()
-    spatial_join(pts, polys, dv.GRID, zoom=6).write.mode(
-        "overwrite").format("noop").save()
-    dt = time.time() - t0
+    # min of 2 timed runs: identical plans measure 2-20x apart on a
+    # bursty host (BENCH.md), so a single sample is a lower bound only
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spatial_join(pts, polys, dv.GRID, zoom=6).write.mode(
+            "overwrite").format("noop").save()
+        dt = min(dt, time.time() - t0)
     pts.unpersist()
     return round(BIG_JOIN_N / dt, 1), round(dt, 3)
 
