@@ -92,6 +92,36 @@ def lanczos_weight(d):
     return out
 
 
+def bilinear_weight(d):
+    return np.maximum(0.0, 1.0 - np.abs(np.asarray(d, dtype=np.float64)))
+
+
+def cubic_weight(d):
+    """A=-0.5 cubic kernel (GWKCubic filter form): matches
+    cubic_convolution at unit scale, usable at scaled arguments."""
+    ad = np.abs(np.asarray(d, dtype=np.float64))
+    w1 = (1.5 * ad - 2.5) * ad * ad + 1.0
+    w2 = -0.5 * (((ad - 5.0) * ad + 8.0) * ad - 4.0)
+    return np.where(ad <= 1.0, w1, np.where(ad < 2.0, w2, 0.0))
+
+
+_KERNEL_W = {"bilinear": bilinear_weight, "cubic": cubic_weight,
+             "cubicspline": bspline_weight, "lanczos": lanczos_weight}
+_FILTER_RADIUS = {"bilinear": 1, "cubic": 2, "cubicspline": 2, "lanczos": 3}
+
+
+def _snap_scale(scale: float) -> float:
+    """Near-integer reciprocal snapping (gdalwarpkernel.cpp:
+    1043-1058): 1/scale within 0.05 of an integer collapses to it."""
+    if scale >= 1.0:
+        return 1.0
+    recip = 1.0 / scale
+    n = int(recip + 0.5)
+    if n >= 1 and abs(recip - n) < 0.05:
+        return 1.0 / n
+    return scale
+
+
 _METHOD_PAD = {"near": 0, "bilinear": 1, "cubic": 2,
                "cubicspline": 2, "lanczos": 3,
                "average": 1, "sum": 1, "min": 1, "max": 1, "rms": 1,
@@ -106,7 +136,8 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
                direction: str = "identity", dtype: str = "uint8",
                src_tile_size: int | None = None,
                dst_tile_size: int | None = None,
-               nodata: float = 0.0, method: str = "near") -> DataFrame:
+               nodata: float = 0.0, method: str = "near",
+               anti_alias: bool = False) -> DataFrame:
     """Warp a tiled raster from src_grid to dst_grid.
 
     direction: how dst world coords map to src world coords —
@@ -125,7 +156,12 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
     sample a source
     MOSAIC assembled per destination tile (halo pixels come from the
     padded fan-out), weights renormalized over valid cells at dataset
-    edges (the reference falls back near/bilinear there).  The area
+    edges (the reference falls back near/bilinear there).
+    anti_alias=True switches the kernel methods to the reference's
+    scaled general resampler when downsampling (radius
+    ceil(filter/scale), weights K((i-dx)*scale), reciprocal-snapped
+    scale — gdalwarpkernel.cpp:1184-1190, GWKResample :3733-3860);
+    at unit scale or for non-kernel methods it is a no-op.  The area
     methods reduce every source pixel whose CENTER falls in the
     destination pixel's back-projected footprint (bbox of its 4
     corners), GDAL's average/sum/min/max/rms window semantics.
@@ -135,6 +171,22 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
     sts = src_tile_size or src_grid.tile_size
     dts = dst_tile_size or dst_grid.tile_size
     pad = _METHOD_PAD[method]
+
+    # anti-aliased downsampling (the general-resampler path,
+    # gdalwarpkernel.cpp:1184-1190 + GWKResample :3733-3860): kernel
+    # radius widens to ceil(filter/scale), weights evaluate at
+    # (i - dx) * scale, normalized over the window.  scale is the
+    # dst->src resolution ratio with GDAL's reciprocal snapping.
+    aa_scale = 1.0
+    aa_radius = aa_init = 0
+    if anti_alias and method in _FILTER_RADIUS:
+        aa_scale = _snap_scale(
+            src_grid.resolution(src_zoom) / dst_grid.resolution(dst_zoom))
+        if aa_scale < 1.0:
+            filt = _FILTER_RADIUS[method]
+            aa_radius = int(math.ceil(filt / aa_scale))
+            aa_init = ((filt + 1) % 2) - aa_radius
+            pad = aa_radius
 
     def to_src(xs, ys):
         if direction == "identity":
@@ -213,6 +265,8 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
             fy0 = (stly - np.maximum(ay0, ay1)) / sres
             fy1 = (stly - np.minimum(ay0, ay1)) / sres
             out = _sample_area(pdf, fx0, fx1, fy0, fy1, method)
+        elif aa_radius:
+            out = _sample_kernel_scaled(pdf, sfx, sfy, method)
         else:
             out = _sample_kernel(pdf, sfx, sfy, method)
         out = np.where(np.isnan(out), nodata, out)
@@ -322,6 +376,40 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
         if method in ("min", "max"):
             return np.where(cnt > 0, acc, np.nan)
         return np.where(cnt > 0, acc, np.nan)   # sum
+
+    def _sample_kernel_scaled(pdf, sfx, sfy, method):
+        """Scaled general resampler: taps i in [aa_init, aa_radius],
+        weight K((i - dx) * aa_scale) per axis, normalized over the
+        valid window (GWKResample :3813-3860)."""
+        wfun = _KERNEL_W[method]
+        fx = sfx - 0.5
+        fy = sfy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        gx0, gx1 = int(x0.min()) + aa_init, int(x0.max()) + aa_radius
+        gy0, gy1 = int(y0.min()) + aa_init, int(y0.max()) + aa_radius
+        canvas = _mosaic(pdf, gx0, gx1, gy0, gy1)
+        dx = fx - x0
+        dy = fy - y0
+        wx = {i: wfun((i - dx) * aa_scale)
+              for i in range(aa_init, aa_radius + 1)}
+        wy = {j: wfun((j - dy) * aa_scale)
+              for j in range(aa_init, aa_radius + 1)}
+        num = np.zeros(fx.shape)
+        den = np.zeros(fx.shape)
+        for oy in range(aa_init, aa_radius + 1):
+            for ox in range(aa_init, aa_radius + 1):
+                px = np.clip(x0 + ox - gx0, 0, canvas.shape[1] - 1)
+                py = np.clip(y0 + oy - gy0, 0, canvas.shape[0] - 1)
+                inb = ((x0 + ox >= gx0) & (x0 + ox <= gx1)
+                       & (y0 + oy >= gy0) & (y0 + oy <= gy1))
+                v = canvas[py, px]
+                ok = inb & ~np.isnan(v)
+                w = wx[ox] * wy[oy]
+                num += np.where(ok, w * np.where(ok, v, 0.0), 0.0)
+                den += np.where(ok, w, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(den != 0.0, num / den, np.nan)
 
     def _sample_kernel(pdf, sfx, sfy, method):
         # assemble the source mosaic needed by this dst tile

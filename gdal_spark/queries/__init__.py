@@ -111,6 +111,9 @@ _DEFERRED = [
     # their machinery -> makes room for shapefile_scan; gpkg_scan
     # shares the format-reader family row and stays local-checked
     "grid_moving_average", "gpkg_scan",
+    # warp_bilinear_aa shares the warp family row (warp_bilinear_aa's
+    # scaled-kernel path is oracle-checked locally)
+    "warp_bilinear_aa",
 ]
 
 

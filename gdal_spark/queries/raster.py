@@ -1058,3 +1058,110 @@ register(
     sql=_quant_sql(0.75),
     desc="tile warp, Q3 kernel (GWKAOM_Quant quant=0.75)",
 )(_warp_query("q3"))
+
+
+# anti-aliased downsample (general-resampler path): 2.5x ratio ->
+# scale 0.4, bilinear radius ceil(1/0.4)=3, taps -3..3 per axis,
+# weights max(0, 1-|(i-dx)*0.4|), normalized over the window.
+# Interior projection (r,c in 1..19) keeps every window in-grid.
+def _aa_bilinear_sql() -> str:
+    taps = list(range(-3, 4))
+
+    def w(var, i):
+        return f"GREATEST(0.0, 1.0 - ABS((({i}) - {var}) * 0.4))"
+
+    wx = ",\n             ".join(f"{w('dx', i)} AS wx{i + 3}" for i in taps)
+    wy = ",\n             ".join(f"{w('dy', i)} AS wy{i + 3}" for i in taps)
+    piv = ",\n             ".join(
+        f"SUM(CASE WHEN gr = y0 + ({iy}) AND gc = x0 + ({ix}) "
+        f"THEN v END) AS v{ix + 3}_{iy + 3}"
+        for iy in taps for ix in taps)
+    num = " + ".join(f"(wx{ix + 3} * wy{iy + 3}) * v{ix + 3}_{iy + 3}"
+                     for iy in taps for ix in taps)
+    den = " + ".join(f"(wx{ix + 3} * wy{iy + 3})"
+                     for iy in taps for ix in taps)
+    return f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    q AS (
+      SELECT r.i AS r, c.i AS c,
+             (2.5 * c.i + 1.25) - 0.5 AS fx0,
+             (2.5 * r.i + 1.25) - 0.5 AS fy0
+      FROM generate_series(1, {_WARP_DTS - 1}) r(i),
+           generate_series(1, {_WARP_DTS - 1}) c(i)
+    ),
+    base AS (
+      SELECT r, c,
+             CAST(FLOOR(fx0) AS BIGINT) AS x0, fx0 - FLOOR(fx0) AS dx,
+             CAST(FLOOR(fy0) AS BIGINT) AS y0, fy0 - FLOOR(fy0) AS dy
+      FROM q
+    ),
+    ww AS (
+      SELECT r, c, x0, y0,
+             {wx},
+             {wy}
+      FROM base
+    ),
+    win AS (
+      SELECT w.*, g.r AS gr, g.c AS gc, g.v AS v
+      FROM ww w JOIN gpx g
+        ON  g.r >= w.y0 - 3 AND g.r <= w.y0 + 3
+        AND g.c >= w.x0 - 3 AND g.c <= w.x0 + 3
+    ),
+    piv AS (
+      SELECT r, c,
+             {",".join(f"ANY_VALUE(wx{k}) AS wx{k}" for k in range(7))},
+             {",".join(f"ANY_VALUE(wy{k}) AS wy{k}" for k in range(7))},
+             {piv}
+      FROM win
+      GROUP BY r, c, x0, y0
+    )
+    SELECT r, c,
+           LEAST(GREATEST(CAST(FLOOR(({num}) / ({den}) + 0.5) AS BIGINT),
+                          0), 255) AS value
+    FROM piv
+    ORDER BY r, c
+"""
+
+
+def _warp_aa_query(method):
+    from ..kernels.cells import TileGrid as _TG
+    from ..operators.warp import warp_tiles
+
+    def q(spark, sf_dir):
+        src_grid = _TG(0.0, float(GW), float(GW), GW // 2)
+        dst_grid = _TG(0.0, 64.0, 50.0, _WARP_DTS)
+        out = warp_tiles(_pixel_tiles_df(spark), src_grid, 1, dst_grid, 0,
+                         direction="identity", dtype="uint8",
+                         src_tile_size=GW // 2, dst_tile_size=_WARP_DTS,
+                         method=method, anti_alias=True)
+
+        def _rows(batches):
+            for pdf in batches:
+                for _, rr in pdf.iterrows():
+                    t = np.frombuffer(rr["px"], dtype=np.uint8).reshape(
+                        _WARP_DTS, _WARP_DTS)
+                    ys, xs = np.mgrid[0:_WARP_DTS, 0:_WARP_DTS]
+                    m = (ys >= 1) & (xs >= 1)
+                    yield pd.DataFrame({
+                        "r": ys[m].ravel().astype(np.int64),
+                        "c": xs[m].ravel().astype(np.int64),
+                        "value": t[m].ravel().astype(np.int64),
+                    })
+
+        return out.select("px", "tx", "ty").mapInPandas(
+            _rows, "r long, c long, value long").orderBy("r", "c")
+
+    return q
+
+
+register(
+    "warp_bilinear_aa",
+    sql=_aa_bilinear_sql(),
+    desc="anti-aliased bilinear downsample (general resampler, "
+         "gdalwarpkernel.cpp:1184/3733): radius ceil(1/scale), weights "
+         "K((i-dx)*scale), window-normalized; 2.5x ratio fixture",
+)(_warp_aa_query("bilinear"))

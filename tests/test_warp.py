@@ -381,3 +381,33 @@ def test_pyramid_gauss_interior_matches_serial(spark):
             want[j, i] = num / den
     want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_warp_anti_alias_downsample(spark):
+    """Scaled general resampler: constant field stays constant for
+    every kernel; on a checkerboard the anti-aliased 4:1 downsample
+    converges to the mid-grey the unscaled kernel point-samples away
+    (the whole point of kernel scaling)."""
+    ts = 32
+    const = [{"tx": 0, "ty": 0,
+              "px": np.full((ts, ts), 55, dtype=np.uint8).tobytes()}]
+    checker = np.zeros((ts, ts), dtype=np.uint8)
+    checker[::2, ::2] = 200
+    checker[1::2, 1::2] = 200          # rows/cols alternate 200/0
+    cdf = spark.createDataFrame(pd.DataFrame(const))
+    kdf = spark.createDataFrame(pd.DataFrame(
+        [{"tx": 0, "ty": 0, "px": checker.tobytes()}]))
+    src = TileGrid(0.0, 32.0, 32.0, ts)
+    dst = TileGrid(0.0, 32.0, 32.0, 8)     # 4:1 downsample
+    for method in ("bilinear", "cubic", "cubicspline", "lanczos"):
+        out = warp_tiles(cdf, src, 0, dst, 0, dtype="uint8",
+                         src_tile_size=ts, dst_tile_size=8, method=method,
+                         anti_alias=True).collect()
+        assert (np.frombuffer(out[0]["px"], dtype=np.uint8) == 55).all(), \
+            method
+    aa = warp_tiles(kdf, src, 0, dst, 0, dtype="uint8", src_tile_size=ts,
+                    dst_tile_size=8, method="bilinear",
+                    anti_alias=True).collect()
+    vals = np.frombuffer(aa[0]["px"], dtype=np.uint8).astype(float)
+    assert abs(vals.mean() - 100) < 8      # averaged checkerboard
+    assert vals.std() < 15                 # no aliasing stripes
