@@ -62,8 +62,12 @@ def viewshed_points(tiles: DataFrame, observers: DataFrame,
         "oid", "px", "py", "tx",
         _tile_range(F.col("py"), radius_px, ts).alias("ty"),
     )
+    # LEFT join: sparse tile tables (rasterized layers only
+    # materialize touched tiles) must not drop an observer whose
+    # window is partly/fully empty — missing tiles read as 0, the
+    # same contract as reading an unwritten region of a raster
     fan = obs.join(tiles.select("tx", "ty", F.col("px").alias("tile_px")),
-                   on=["tx", "ty"])
+                   on=["tx", "ty"], how="left")
 
     def _run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         oid = int(key[0])
@@ -78,6 +82,8 @@ def viewshed_points(tiles: DataFrame, observers: DataFrame,
         w, h = x1 - x0 + 1, y1 - y0 + 1
         canvas = np.zeros((h, w), dtype=np.float64)
         for _, r in pdf.iterrows():
+            if r["tile_px"] is None:
+                continue
             arr = np.frombuffer(r["tile_px"], dtype=np_dtype).reshape(ts, ts)
             tx0, ty0 = int(r["tx"]) * ts, int(r["ty"]) * ts
             ax0, ax1 = max(tx0, x0), min(tx0 + ts - 1, x1)
@@ -153,7 +159,7 @@ def los_pairs(tiles: DataFrame, pairs: DataFrame,
         _fan, "pid long, xa long, ya long, za double, "
               "xb long, yb long, zb double, tx long, ty long")
     fan = p.join(tiles.select("tx", "ty", F.col("px").alias("tile_px")),
-                 on=["tx", "ty"])
+                 on=["tx", "ty"], how="left")
 
     def _run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         r0 = pdf.iloc[0]
@@ -161,7 +167,7 @@ def los_pairs(tiles: DataFrame, pairs: DataFrame,
                           int(r0["xb"]), int(r0["yb"]))
         cache = {(int(r["tx"]), int(r["ty"])):
                  np.frombuffer(r["tile_px"], dtype=np_dtype).reshape(ts, ts)
-                 for _, r in pdf.iterrows()}
+                 for _, r in pdf.iterrows() if r["tile_px"] is not None}
 
         class _TileDEM:
             """dict-backed 2D view: missing tiles read as 0 terrain
