@@ -117,9 +117,11 @@ def _line_tiles(xa: int, ya: int, xb: int, yb: int, ts: int):
         if ya == yb:
             seg = (min(xa, xb), max(xa, xb))
         else:
-            # pixel-row extent of this band clipped to the segment
-            ry0 = max(ty * ts, min(ya, yb))
-            ry1 = min(ty * ts + ts - 1, max(ya, yb))
+            # band's pixel-row extent padded by 1 (a shallow walk can
+            # enter the band one row early/late), clipped to the
+            # segment, then solved for the ideal x at both ends
+            ry0 = max(ty * ts - 1, min(ya, yb))
+            ry1 = min(ty * ts + ts, max(ya, yb))
             t0 = (ry0 - ya) / (yb - ya)
             t1 = (ry1 - ya) / (yb - ya)
             xs = (xa + t0 * (xb - xa), xa + t1 * (xb - xa))

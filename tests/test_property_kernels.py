@@ -1,0 +1,105 @@
+"""Hypothesis property tests for the round-2 kernels (no Spark —
+pure-kernel invariants, the breadth layer of the test strategy)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_spark.kernels import quantize as kq
+from gdal_spark.kernels import viewshed as kvs
+from gdal_spark.kernels import wkb as kwkb
+from gdal_spark.operators.viewshed import _line_tiles
+from gdal_spark.sources.shapefile import _shape_to_wkb, _wkb_to_shape
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(2, 12))
+def test_median_cut_palette_bounds(seed, n_colors):
+    rng = np.random.RandomState(seed % 2**31)
+    rgb = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    h = np.zeros((32, 32, 32), dtype=np.int64)
+    np.add.at(h, (rgb[..., 0].ravel() >> 3, rgb[..., 1].ravel() >> 3,
+                  rgb[..., 2].ravel() >> 3), 1)
+    pal = kq.median_cut(h, n_colors=n_colors)
+    assert 1 <= len(pal) <= n_colors
+    occ = np.argwhere(h > 0)
+    for ch in range(3):
+        lo, hi = occ[:, ch].min() << 3, (occ[:, ch].max() << 3) + 7
+        assert (pal[:, ch] >= lo).all() and (pal[:, ch] <= hi + 1).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_dither_indices_in_palette(seed):
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(rng.randint(2, 9), 3)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(10, 10, 3)).astype(np.uint8)
+    out = kq.dither(rgb, pal)
+    assert out.max() < len(pal)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_viewshed_monotone_in_observer_height(seed):
+    """Raising the observer never hides a visible cell (edge mode):
+    all relative heights drop by delta while every reference-plane
+    recurrence has positive coefficients summing to >= 1."""
+    rng = np.random.RandomState(seed)
+    dem = rng.rand(15, 15) * rng.randint(1, 20)
+    ox, oy = rng.randint(0, 15), rng.randint(0, 15)
+    lo = kvs.viewshed(dem, ox, oy, observer_z=1.0)
+    hi = kvs.viewshed(dem, ox, oy, observer_z=6.0)
+    assert (hi >= lo).all()
+    th = kvs.viewshed(dem, ox, oy, observer_z=1.0, target_height=10.0)
+    assert (th >= lo).all()
+
+
+class _RecordingDEM:
+    """Terrain-0 DEM that records every (y, x) lookup."""
+    def __init__(self):
+        self.cells = []
+
+    def __getitem__(self, yx):
+        self.cells.append(yx)
+        return 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 99), st.integers(0, 99),
+       st.integers(0, 99), st.integers(0, 99),
+       st.sampled_from([4, 16, 32]))
+def test_los_walk_stays_inside_supercover(xa, ya, xb, yb, ts):
+    """Every cell the Bresenham walk touches lies in the 1-px-padded
+    segment supercover the operator fans out — the invariant that
+    makes the line-tile gather sufficient."""
+    rec = _RecordingDEM()
+    kvs.line_of_sight(rec, xa, ya, 5.0, xb, yb, 5.0)
+    tiles = _line_tiles(xa, ya, xb, yb, ts)
+    for y, x in rec.cells:
+        assert (x // ts, y // ts) in tiles, (x, y, ts)
+
+
+_coord = st.floats(-1e5, 1e5, allow_nan=False).map(lambda v: round(v, 6))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_coord, _coord), min_size=2, max_size=12,
+                unique=True))
+def test_shapefile_linestring_roundtrip(coords):
+    wkb = kwkb.wkb_linestring(np.array(coords, dtype=float))
+    _stype, content = _wkb_to_shape(wkb)
+    back = _shape_to_wkb(content)
+    t, p = kwkb.parse_wkb(back)
+    assert t == kwkb.LINESTRING
+    np.testing.assert_array_equal(np.asarray(p), np.array(coords))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.tuples(_coord, _coord))
+def test_shapefile_point_roundtrip(pt):
+    wkb = kwkb.wkb_point(*pt)
+    _stype, content = _wkb_to_shape(wkb)
+    t, p = kwkb.parse_wkb(_shape_to_wkb(content))
+    assert t == kwkb.POINT and p == pt

@@ -145,3 +145,17 @@ def test_distributed_los_matches_serial(spark):
             p["xb"], p["yb"], p["zb"])
         r = out[p["pid"]]
         assert (r["visible"], r["ix"], r["iy"]) == (ok, ix, iy), p["pid"]
+
+
+def test_los_reference_autotest_cases():
+    """Transcription of autotest/alg/los.py::test_los_basic on the
+    2x1 zero DEM: z above terrain is visible, a below-terrain
+    endpoint is not."""
+    dem = np.zeros((1, 2))
+    assert kvs.line_of_sight(dem, 0, 0, 1.0, 1, 0, 1.0) == (True, -1, -1)
+    ok_a, ix_a, iy_a = kvs.line_of_sight(dem, 0, 0, -1.0, 1, 0, 1.0)
+    assert (ok_a, ix_a, iy_a) == (False, 0, 0)
+    ok_b, ix_b, iy_b = kvs.line_of_sight(dem, 0, 0, 1.0, 1, 0, -1.0)
+    assert (ok_b, ix_b, iy_b) == (False, 1, 0)
+    # degenerate same-point case
+    assert kvs.line_of_sight(dem, 0, 0, 1.0, 0, 0, 1.0) == (True, -1, -1)
