@@ -125,3 +125,64 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     out = df.withColumn("wkb", gj_wkb("geom_json")).drop("geom_json")
     return out.withColumn("_bb", bbox(F.col("wkb"))).select(
         "*", "_bb.xmin", "_bb.ymin", "_bb.xmax", "_bb.ymax").drop("_bb")
+
+
+def wkb_to_geojson_geom(wkb: bytes | None) -> str | None:
+    """WKB -> GeoJSON geometry object (RFC 7946 subset mirroring the
+    reader; MultiPoint/MultiLineString/MultiPolygon included)."""
+    if wkb is None:
+        return None
+    gtype, payload = kwkb.parse_wkb(bytes(wkb))
+
+    def ring(r):
+        return [[float(x), float(y)] for x, y in np.asarray(r)]
+
+    if gtype == kwkb.POINT:
+        o = {"type": "Point", "coordinates": [float(payload[0]),
+                                              float(payload[1])]}
+    elif gtype == kwkb.LINESTRING:
+        o = {"type": "LineString", "coordinates": ring(payload)}
+    elif gtype == kwkb.POLYGON:
+        o = {"type": "Polygon", "coordinates": [ring(r) for r in payload]}
+    elif gtype == kwkb.MULTIPOINT:
+        o = {"type": "MultiPoint",
+             "coordinates": [[float(x), float(y)] for x, y in payload]}
+    elif gtype == kwkb.MULTILINESTRING:
+        o = {"type": "MultiLineString",
+             "coordinates": [ring(p) for p in payload]}
+    elif gtype == kwkb.MULTIPOLYGON:
+        o = {"type": "MultiPolygon",
+             "coordinates": [[ring(r) for r in poly] for poly in payload]}
+    else:
+        raise ValueError(f"unsupported geometry type {gtype}")
+    return json.dumps(o)
+
+
+def write_geojson(df: DataFrame, out_dir: str,
+                  prop_cols: list[str] | None = None) -> None:
+    """Distributed GeoJSON sink: one FeatureCollection file per
+    partition (part-file layout, same contract as write_shapefile).
+    df needs (wkb [, property columns])."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = prop_cols if prop_cols is not None else [
+        c for c in df.columns
+        if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")]
+
+    def _write_part(pid: int, rows):
+        feats = []
+        for r in rows:
+            feats.append({
+                "type": "Feature",
+                "geometry": (None if r["wkb"] is None else
+                             json.loads(wkb_to_geojson_geom(r["wkb"]))),
+                "properties": {c: r[c] for c in cols},
+            })
+        path = os.path.join(out_dir, f"part-{pid:05d}.geojson")
+        with open(path, "w") as f:
+            json.dump({"type": "FeatureCollection", "features": feats}, f)
+        yield pid, len(feats)
+
+    df.rdd.mapPartitionsWithIndex(
+        lambda pid, it: _write_part(pid, it)).collect()

@@ -5,6 +5,7 @@ its own writer."""
 
 from __future__ import annotations
 
+import json
 import sqlite3
 import struct
 
@@ -216,3 +217,32 @@ def test_shapefile_roundtrip_write_read(spark, tmp_path):
                 assert {tuple(p) for p in np.asarray(wr)} == \
                     {tuple(p) for p in np.asarray(gr)}
         assert got[0]["FID"] == row["fid"]
+
+
+def test_geojson_roundtrip_write_read(spark, tmp_path):
+    import glob
+
+    from gdal_spark.sources.readers import read_geojson, write_geojson
+
+    rows = [
+        {"fid": 0, "name": "pt",
+         "wkb": kwkb.wkb_point(2.5, 3.5)},
+        {"fid": 1, "name": "ln",
+         "wkb": kwkb.wkb_linestring(np.array([[0.0, 0.0], [7.0, 8.0]]))},
+        {"fid": 2, "name": "pg",
+         "wkb": kwkb.wkb_polygon([np.array(
+             [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 0.0]])])},
+    ]
+    d = str(tmp_path / "gj")
+    write_geojson(
+        spark.createDataFrame(pd.DataFrame(rows)).repartition(1), d)
+    part = glob.glob(d + "/part-*.geojson")[0]
+    back = sorted(read_geojson(spark, part).collect(),
+                  key=lambda r: r["fid"])
+    assert len(back) == 3
+    for want, got in zip(rows, back):
+        wt, wp = kwkb.parse_wkb(want["wkb"])
+        gt, gp = kwkb.parse_wkb(bytes(got["wkb"]))
+        assert wt == gt
+        assert json.loads(got["props"])["name"] == want["name"]
+    assert kwkb.parse_wkb(bytes(back[0]["wkb"]))[1] == (2.5, 3.5)
