@@ -203,32 +203,36 @@ def _pyramid_reduce_cubic(tiles: DataFrame, zoom: int, dtype: str,
     ts = tile_size
     hs = ts // 2
 
+    src = tiles if "band" in tiles.columns else tiles.withColumn(
+        "band", F.lit(1))
+
     def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 arr = np.frombuffer(r["px"], dtype=np_dtype).reshape(ts, ts)
                 tx, ty = int(r["tx"]), int(r["ty"])
+                band = int(r["band"])
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):
                         ys = np.s_[-k:] if dy == 1 else (
                             np.s_[:k] if dy == -1 else np.s_[:])
                         xs = np.s_[-k:] if dx == 1 else (
                             np.s_[:k] if dx == -1 else np.s_[:])
-                        rows.append((tx + dx, ty + dy, -dx, -dy,
+                        rows.append((tx + dx, ty + dy, band, -dx, -dy,
                                      arr[ys, xs].tobytes()))
             yield pd.DataFrame(
-                rows, columns=["dtx", "dty", "ox", "oy", "payload"])
+                rows, columns=["dtx", "dty", "band", "ox", "oy", "payload"])
 
-    halo = tiles.select("tx", "ty", "px").mapInPandas(
-        _emit, "dtx long, dty long, ox int, oy int, payload binary")
+    halo = src.select("tx", "ty", "band", "px").mapInPandas(
+        _emit, "dtx long, dty long, band int, ox int, oy int, payload binary")
 
     def _reduce(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        tx, ty = int(key[0]), int(key[1])
+        tx, ty, band = int(key[0]), int(key[1]), int(key[2])
         has_center = ((pdf["ox"] == 0) & (pdf["oy"] == 0)).any()
         if not has_center:
             return pd.DataFrame(
-                [], columns=["ptx", "pty", "qx", "qy", "px"])
+                [], columns=["ptx", "pty", "band", "qx", "qy", "px"])
         padded = np.full((ts + 2 * k, ts + 2 * k), np.nan)
         for _, r in pdf.iterrows():
             ox, oy = int(r["ox"]), int(r["oy"])
@@ -258,28 +262,28 @@ def _pyramid_reduce_cubic(tiles: DataFrame, zoom: int, dtype: str,
             info = np.iinfo(np_dtype)
             out = np.clip(np.floor(out + 0.5), info.min, info.max)
         return pd.DataFrame({
-            "ptx": [tx >> 1], "pty": [ty >> 1],
+            "ptx": [tx >> 1], "pty": [ty >> 1], "band": [band],
             "qx": [tx & 1], "qy": [ty & 1],
             "px": [out.astype(np_dtype).tobytes()],
         })
 
-    quarters = halo.groupBy("dtx", "dty").applyInPandas(
-        _reduce, "ptx long, pty long, qx int, qy int, px binary")
+    quarters = halo.groupBy("dtx", "dty", "band").applyInPandas(
+        _reduce, "ptx long, pty long, band int, qx int, qy int, px binary")
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ptx, pty = int(key[0]), int(key[1])
+        ptx, pty, band = int(key[0]), int(key[1]), int(key[2])
         canvas = np.zeros((ts, ts), dtype=np_dtype)
         for _, r in pdf.iterrows():
             arr = np.frombuffer(r["px"], dtype=np_dtype).reshape(hs, hs)
             canvas[int(r["qy"]) * hs:(int(r["qy"]) + 1) * hs,
                    int(r["qx"]) * hs:(int(r["qx"]) + 1) * hs] = arr
         return pd.DataFrame({
-            "z": [zoom - 1], "tx": [ptx], "ty": [pty], "band": [1],
+            "z": [zoom - 1], "tx": [ptx], "ty": [pty], "band": [band],
             "px": [canvas.tobytes()],
             "checksum": [kck.checksum(canvas, is_float=is_float)],
         })
 
-    return quarters.groupBy("ptx", "pty").applyInPandas(
+    return quarters.groupBy("ptx", "pty", "band").applyInPandas(
         _assemble, TILE_SCHEMA)
 
 
@@ -303,9 +307,11 @@ def pyramid_reduce(tiles: DataFrame, zoom: int, method: str = "average",
 
     child = tiles.withColumn("ptx", F.shiftrightunsigned("tx", 1)).withColumn(
         "pty", F.shiftrightunsigned("ty", 1))
+    if "band" not in child.columns:
+        child = child.withColumn("band", F.lit(1))
 
     def _reduce(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ptx, pty = int(key[0]), int(key[1])
+        ptx, pty, band = int(key[0]), int(key[1]), int(key[2])
         canvas = np.zeros((2 * ts, 2 * ts), dtype=np_dtype)
         for _, row in pdf.iterrows():
             qx = int(row["tx"]) - 2 * ptx
@@ -327,12 +333,15 @@ def pyramid_reduce(tiles: DataFrame, zoom: int, method: str = "average",
             tot = c[::2, ::2] + c[::2, 1::2] + c[1::2, ::2] + c[1::2, 1::2]
             out = ((tot + 2) // 4).astype(np_dtype)
         return pd.DataFrame({
-            "z": [zoom - 1], "tx": [ptx], "ty": [pty], "band": [1],
+            "z": [zoom - 1], "tx": [ptx], "ty": [pty], "band": [band],
             "px": [out.tobytes()],
             "checksum": [kck.checksum(out, is_float=is_float)],
         })
 
-    return child.groupBy("ptx", "pty").applyInPandas(_reduce, TILE_SCHEMA)
+    # band is part of the grouping key: a multi-band tile table must
+    # never mosaic bands into one canvas
+    return child.groupBy("ptx", "pty", "band").applyInPandas(
+        _reduce, TILE_SCHEMA)
 
 
 def build_pyramid(tiles: DataFrame, zoom: int, down_to: int = 0,

@@ -411,3 +411,24 @@ def test_warp_anti_alias_downsample(spark):
     vals = np.frombuffer(aa[0]["px"], dtype=np.uint8).astype(float)
     assert abs(vals.mean() - 100) < 8      # averaged checkerboard
     assert vals.std() < 15                 # no aliasing stripes
+
+
+def test_pyramid_multiband_no_cross_band_mixing(spark):
+    """Two bands pyramid independently — the grouping key includes
+    band, so band canvases never mosaic together."""
+    from gdal_spark.operators.raster_tile import build_pyramid
+
+    ts = 8
+    t1 = np.full((ts, ts), 10, dtype=np.uint8)
+    t2 = np.full((ts, ts), 200, dtype=np.uint8)
+    df = spark.createDataFrame(pd.DataFrame([
+        {"z": 1, "tx": tx, "ty": ty, "band": b,
+         "px": (t1 if b == 1 else t2).tobytes(), "checksum": 0}
+        for b in (1, 2) for ty in range(2) for tx in range(2)]))
+    for method in ("average", "cubic", "gauss"):
+        pyr = build_pyramid(df, 1, down_to=0, method=method,
+                            tile_size=ts).collect()
+        l0 = {r["band"]: np.frombuffer(r["px"], dtype=np.uint8)
+              for r in pyr if r["z"] == 0}
+        assert set(l0) == {1, 2}, method
+        assert (l0[1] == 10).all() and (l0[2] == 200).all(), method
