@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from ..kernels import checksum as kck
 from ..kernels import focal as kf
 
-HALO_SCHEMA = "dtx long, dty long, part string, payload binary"
+HALO_SCHEMA = "dtx long, dty long, band int, part string, payload binary"
 OUT_SCHEMA = "z int, tx bigint, ty bigint, band int, px binary, checksum long"
 
 # part -> (slice of source tile, placement in padded dest)
@@ -61,6 +61,10 @@ def focal_tiles(tiles: DataFrame, kernel: str, zoom: int,
     np_out = np.dtype(out_dtype)
     ts = tile_size
 
+    from pyspark.sql import functions as F
+    src_df = tiles if "band" in tiles.columns else tiles.withColumn(
+        "band", F.lit(1))
+
     def _emit_halo(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -70,15 +74,16 @@ def focal_tiles(tiles: DataFrame, kernel: str, zoom: int,
                     dx, dy = _OFFSETS[part]
                     rows.append((
                         int(r["tx"]) + dx, int(r["ty"]) + dy,
-                        part, arr[src].tobytes(),
+                        int(r["band"]), part, arr[src].tobytes(),
                     ))
             yield pd.DataFrame(
-                rows, columns=["dtx", "dty", "part", "payload"])
+                rows, columns=["dtx", "dty", "band", "part", "payload"])
 
-    halo = tiles.select("tx", "ty", "px").mapInPandas(_emit_halo, HALO_SCHEMA)
+    halo = src_df.select("tx", "ty", "band", "px").mapInPandas(
+        _emit_halo, HALO_SCHEMA)
 
     def _apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        tx, ty = int(key[0]), int(key[1])
+        tx, ty, band = int(key[0]), int(key[1]), int(key[2])
         parts = dict(zip(pdf["part"], pdf["payload"]))
         if "c" not in parts:        # pure-neighbor group: no center tile
             return pd.DataFrame(
@@ -90,9 +95,11 @@ def focal_tiles(tiles: DataFrame, kernel: str, zoom: int,
             padded[dst] = np.frombuffer(raw, dtype=np_dtype).reshape(shape)
         out = kf.KERNELS[kernel](padded, ewres, nsres).astype(np_out)
         return pd.DataFrame({
-            "z": [zoom], "tx": [tx], "ty": [ty], "band": [1],
+            "z": [zoom], "tx": [tx], "ty": [ty], "band": [band],
             "px": [out.tobytes()],
             "checksum": [kck.checksum(out.astype(np.float64), is_float=True)],
         })
 
-    return halo.groupBy("dtx", "dty").applyInPandas(_apply, OUT_SCHEMA)
+    # band in the key: multi-band inputs filter per band
+    return halo.groupBy("dtx", "dty", "band").applyInPandas(
+        _apply, OUT_SCHEMA)

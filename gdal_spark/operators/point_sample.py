@@ -22,9 +22,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from .. import functions as gf
 from ..kernels.cells import TileGrid
-from .focal import HALO_SCHEMA, _OFFSETS, _PARTS
+from .focal import _OFFSETS, _PARTS
 
 SAMPLE_SCHEMA = "pid long, value double"
+_PS_HALO_SCHEMA = "dtx long, dty long, part string, payload binary"
 
 
 def _padded_tiles(tiles: DataFrame, np_dtype, ts: int) -> DataFrame:
@@ -42,7 +43,8 @@ def _padded_tiles(tiles: DataFrame, np_dtype, ts: int) -> DataFrame:
                                  part, arr[src].tobytes()))
             yield pd.DataFrame(rows, columns=["dtx", "dty", "part", "payload"])
 
-    halo = tiles.select("tx", "ty", "px").mapInPandas(_emit, HALO_SCHEMA)
+    halo = tiles.select("tx", "ty", "px").mapInPandas(
+        _emit, _PS_HALO_SCHEMA)
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         parts = dict(zip(pdf["part"], pdf["payload"]))

@@ -32,7 +32,7 @@ from ..kernels.cells import TileGrid
 
 R_MERC = 6378137.0
 
-OUT_SCHEMA = "tx long, ty long, px binary, checksum long"
+OUT_SCHEMA = "tx long, ty long, band int, px binary, checksum long"
 
 
 # ---- Column-level point reprojection ------------------------------------
@@ -203,6 +203,7 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                band = int(r["band"])
                 minx, miny, maxx, maxy = src_grid.tile_bounds(
                     src_zoom, int(r["tx"]), int(r["ty"]))
                 if pad:
@@ -228,19 +229,21 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
                     dst_zoom, dminx, dminy, dmaxx, dmaxy)
                 for dty in range(ty0, ty1 + 1):
                     for dtx in range(tx0, tx1 + 1):
-                        rows.append((dtx, dty, int(r["tx"]), int(r["ty"]),
-                                     r["px"]))
+                        rows.append((dtx, dty, band, int(r["tx"]),
+                                     int(r["ty"]), r["px"]))
             yield pd.DataFrame(
-                rows, columns=["dtx", "dty", "stx", "sty", "px"])
+                rows, columns=["dtx", "dty", "band", "stx", "sty", "px"])
 
-    fanout = src_tiles.select("tx", "ty", "px").mapInPandas(
-        _dst_of_src, "dtx long, dty long, stx long, sty long, px binary")
+    src_in = src_tiles if "band" in src_tiles.columns else         src_tiles.withColumn("band", F.lit(1))
+    fanout = src_in.select("tx", "ty", "band", "px").mapInPandas(
+        _dst_of_src,
+        "dtx long, dty long, band int, stx long, sty long, px binary")
 
     sres = src_grid.resolution(src_zoom)
     stlx, stly = src_grid.top_left_x, src_grid.top_left_y
 
     def _warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        dtx, dty = int(key[0]), int(key[1])
+        dtx, dty, band = int(key[0]), int(key[1]), int(key[2])
         # back-project the dst tile's pixel centers
         minx, miny, maxx, maxy = dst_grid.tile_bounds(dst_zoom, dtx, dty)
         res = dst_grid.resolution(dst_zoom)
@@ -275,7 +278,8 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
             out = np.clip(np.floor(out + 0.5), info.min, info.max)
         res_arr = out.astype(np_dtype).reshape(dts, dts)
         return pd.DataFrame({
-            "tx": [dtx], "ty": [dty], "px": [res_arr.tobytes()],
+            "tx": [dtx], "ty": [dty], "band": [band],
+            "px": [res_arr.tobytes()],
             "checksum": [kck.checksum(res_arr, is_float=is_float)],
         })
 
@@ -460,4 +464,6 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
         with np.errstate(invalid="ignore", divide="ignore"):
             return np.where(den != 0.0, num / den, np.nan)
 
-    return fanout.groupBy("dtx", "dty").applyInPandas(_warp, OUT_SCHEMA)
+    # band in the key: a multi-band source warps each band alone
+    return fanout.groupBy("dtx", "dty", "band").applyInPandas(
+        _warp, OUT_SCHEMA)
