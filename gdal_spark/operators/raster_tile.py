@@ -436,3 +436,39 @@ def raster_stats(tiles: DataFrame, dtype: str = "uint8",
     return partials.groupBy("band").applyInPandas(
         _merge, "band int, n long, vmin double, vmax double, "
                 "mean double, stddev double")
+
+
+def mosaic_tiles(tiles: DataFrame, nodata: float = 0.0,
+                 dtype: str = "uint8", tile_size: int = 256) -> DataFrame:
+    """gdal_merge.py semantics (osgeo_utils/gdal_merge.py:126-157):
+    inputs overlay in ``src`` order, later sources overwrite EXCEPT
+    where the later pixel equals nodata (np.choose keep-dst branch).
+
+    tiles: (src int, tx, ty, px [, band]) — src is the file order of
+    the merge.  One groupBy per output tile; a tile covered by k
+    sources does O(k) vectorized overlays in its task.
+    """
+    np_dtype = np.dtype(dtype)
+    is_float = np.issubdtype(np_dtype, np.floating)
+    ts = tile_size
+    src_df = tiles if "band" in tiles.columns else tiles.withColumn(
+        "band", F.lit(1))
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, band = int(key[0]), int(key[1]), int(key[2])
+        canvas = np.full((ts, ts), nodata, dtype=np_dtype)
+        for _, r in pdf.sort_values("src").iterrows():
+            arr = np.frombuffer(r["px"], dtype=np_dtype).reshape(ts, ts)
+            if is_float and np.isnan(nodata):
+                keep = np.isnan(arr)
+            else:
+                keep = arr == np_dtype.type(nodata)
+            canvas = np.where(keep, canvas, arr)
+        return pd.DataFrame({
+            "z": [0], "tx": [tx], "ty": [ty], "band": [band],
+            "px": [canvas.tobytes()],
+            "checksum": [kck.checksum(canvas, is_float=is_float)],
+        })
+
+    return src_df.groupBy("tx", "ty", "band").applyInPandas(
+        _merge, TILE_SCHEMA)

@@ -114,6 +114,9 @@ _DEFERRED = [
     # warp_bilinear_aa shares the warp family row (warp_bilinear_aa's
     # scaled-kernel path is oracle-checked locally)
     "warp_bilinear_aa",
+    # mosaic shares the tile-overlay machinery rasterize_tiles/
+    # tile_pyramid keep driver rows for
+    "mosaic",
 ]
 
 

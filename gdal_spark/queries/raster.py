@@ -1165,3 +1165,67 @@ register(
          "gdalwarpkernel.cpp:1184/3733): radius ceil(1/scale), weights "
          "K((i-dx)*scale), window-normalized; 2.5x ratio fixture",
 )(_warp_aa_query("bilinear"))
+
+
+_MOSAIC_SQL = f"""
+    WITH a AS (
+      SELECT r.i AS r, c.i AS c, ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    b AS (
+      SELECT r.i AS r, c.i AS c,
+             CASE WHEN (((r.i * {GW} + c.i) * 11) % 256) % 4 = 0 THEN 0
+                  ELSE ((r.i * {GW} + c.i) * 11) % 256 END AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    )
+    SELECT a.r, a.c,
+           CAST(CASE WHEN b.v <> 0 THEN b.v ELSE a.v END AS BIGINT) AS value
+    FROM a JOIN b ON b.r = a.r AND b.c = a.c
+    ORDER BY a.r, a.c
+"""
+
+
+@register(
+    "mosaic",
+    sql=_MOSAIC_SQL,
+    desc="gdal_merge.py overlay (osgeo_utils/gdal_merge.py:126-157): "
+         "later source wins except where it equals nodata; one Arrow "
+         "group per output tile, k vectorized overlays",
+)
+def mosaic_q(spark, sf_dir):
+    from ..operators.raster_tile import mosaic_tiles
+
+    ts = GW // 2
+    idx = np.arange(GW * GW).reshape(GW, GW)
+    a = ((idx * 7) % 256).astype(np.uint8)
+    bv = ((idx * 11) % 256)
+    b = np.where(bv % 4 == 0, 0, bv).astype(np.uint8)
+
+    def _mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in ((0, a), (1, b)):
+            for tyy in range(2):
+                for txx in range(2):
+                    rows.append({
+                        "src": src, "tx": txx, "ty": tyy,
+                        "px": g[tyy * ts:(tyy + 1) * ts,
+                                txx * ts:(txx + 1) * ts].tobytes()})
+        return pd.DataFrame(rows)
+
+    tiles = spark.range(1).withColumn("_g", F.lit(1)).groupBy(
+        "_g").applyInPandas(_mk, "src int, tx long, ty long, px binary")
+    out = mosaic_tiles(tiles, nodata=0.0, dtype="uint8", tile_size=ts)
+
+    def _rows(batches):
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.uint8).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                yield pd.DataFrame({
+                    "r": (int(rr["ty"]) * ts + ys).ravel(),
+                    "c": (int(rr["tx"]) * ts + xs).ravel(),
+                    "value": t.ravel().astype(np.int64),
+                })
+
+    return out.mapInPandas(
+        _rows, "r long, c long, value long").orderBy("r", "c")
