@@ -246,3 +246,32 @@ def test_geojson_roundtrip_write_read(spark, tmp_path):
         assert wt == gt
         assert json.loads(got["props"])["name"] == want["name"]
     assert kwkb.parse_wkb(bytes(back[0]["wkb"]))[1] == (2.5, 3.5)
+
+
+def test_shapefile_through_ogr_dialect(spark, tmp_path):
+    """Integration: a shapefile layer registered for the OGR SQL
+    dialect — special fields + WHERE over dbf attributes."""
+    from gdal_spark.sources.shapefile import read_shapefile
+    from gdal_spark.sql.ogr_dialect import ogr_sql, register_layer
+
+    outer = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]],
+                     dtype=float)
+    cw2 = np.array([[20, 20], [20, 24], [25, 24], [25, 20], [20, 20]],
+                   dtype=float)
+    shapes = [_polygon_content([outer]), _polygon_content([cw2])]
+    shp, shx = _shp_pair(shapes, 5)
+    base = tmp_path / "zones"
+    base.with_suffix(".shp").write_bytes(shp)
+    base.with_suffix(".shx").write_bytes(shx)
+    base.with_suffix(".dbf").write_bytes(_dbf(
+        [("NAME", "C", 10, 0), ("POP", "N", 8, 0)],
+        [("big", 100), ("small", 7)]))
+
+    layer = read_shapefile(spark, str(base.with_suffix(".shp")))
+    register_layer(spark, "zones", layer)
+    out = ogr_sql(spark, "SELECT FID, NAME, OGR_GEOMETRY, OGR_GEOM_AREA "
+                         "FROM zones WHERE POP > 50").collect()
+    assert len(out) == 1
+    assert out[0]["NAME"] == "big"
+    assert out[0]["OGR_GEOMETRY"] == "POLYGON"
+    assert abs(out[0]["OGR_GEOM_AREA"] - 100.0) < 1e-9
