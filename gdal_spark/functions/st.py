@@ -239,15 +239,55 @@ def _rings(b):
     return kclip.rings_of_wkb(bytes(b))
 
 
+def _line_pieces_wkb(pieces):
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return kwkb.wkb_linestring(np.array(pieces[0]))
+    import struct
+    return struct.pack("<BII", 1, kwkb.MULTILINESTRING,
+                       len(pieces)) + b"".join(
+        kwkb.wkb_linestring(np.array(p)) for p in pieces)
+
+
+def _line_coords(w):
+    gtype, payload = kwkb.parse_wkb(bytes(w))
+    if gtype == kwkb.LINESTRING:
+        return [np.asarray(payload)]
+    return [np.asarray(p) for p in payload]
+
+
 def _set_op_factory(op: str):
     """ST_Intersection/Union/Difference/SymDifference for polygon WKBs
     (OGRGeometry Intersection :4895 / Union :5080 / Difference :5333 /
-    SymDifference :5406 in ogrgeometry.cpp, GEOS role).  NULL when the
-    areal result is empty."""
+    SymDifference :5406 in ogrgeometry.cpp, GEOS role).  Mixed
+    line x polygon pairs take the line-areal overlay (clip kernel)
+    for intersection/difference.  NULL when the result is empty."""
+    _LINES = (kwkb.LINESTRING, kwkb.MULTILINESTRING)
+
     def fn(a: pd.Series, b: pd.Series) -> pd.Series:
         def one(wa, wb):
             if wa is None or wb is None:
                 return None
+            ta = kwkb.parse_wkb(bytes(wa))[0]
+            tb = kwkb.parse_wkb(bytes(wb))[0]
+            if op in ("intersection", "difference") and (
+                    ta in _LINES or tb in _LINES):
+                if ta in _LINES and tb not in _LINES:
+                    lines, region = wa, wb
+                    keep = op == "intersection"
+                elif tb in _LINES and ta not in _LINES:
+                    if op == "difference":   # areal minus line = areal
+                        return bytes(wa)
+                    lines, region = wb, wa
+                    keep = True
+                else:
+                    return None              # line x line: out of scope
+                pieces = []
+                for part in _line_coords(lines):
+                    pieces.extend(kclip.clip_line_by_region(
+                        part, _rings(region), keep_inside=keep))
+                return _line_pieces_wkb(pieces)
             polys = kclip.boolean_op(_rings(wa), _rings(wb), op)
             return kclip.wkb_of_polys(polys) if polys else None
         return pd.Series([one(x, y) for x, y in zip(a, b)],

@@ -444,3 +444,66 @@ def union_all(ring_sets):
         acc = flatten(boolean_op(acc, rings, "union"))
     return _nest_polygons(_chain_rings(region_edges(orient_region(acc)))) \
         if acc is not None else []
+
+
+# ------------------------------------------------- line x region clip
+def clip_line_by_region(coords, rings, keep_inside: bool = True):
+    """Linestring x polygon intersection (keep_inside) / difference:
+    every polyline segment is split at region-edge crossings, the
+    sub-segments classified by their midpoint's even-odd containment,
+    and consecutive kept sub-segments chained back into linestrings —
+    the line-areal role of OGRGeometry::Intersection/Difference
+    (ogrgeometry.cpp:4895/:5333, GEOS overlay).  Pieces collinear
+    with the boundary follow the even-odd midpoint test.
+
+    coords: (N, 2) array-like; rings: region rings (outer + holes).
+    Returns a list of coordinate lists (each a linestring piece).
+    """
+    edges = region_edges(rings)
+    pieces = []
+    cur = None
+
+    def flush():
+        nonlocal cur
+        if cur is not None and len(cur) >= 2:
+            pieces.append(cur)
+        cur = None
+
+    n = len(coords)
+    for i in range(n - 1):
+        a = (float(coords[i][0]), float(coords[i][1]))
+        b = (float(coords[i + 1][0]), float(coords[i + 1][1]))
+        if a == b:
+            continue
+        ts = []
+        for (c, d) in edges:
+            if (min(a[0], b[0]) > max(c[0], d[0])
+                    or max(a[0], b[0]) < min(c[0], d[0])
+                    or min(a[1], b[1]) > max(c[1], d[1])
+                    or max(a[1], b[1]) < min(c[1], d[1])):
+                continue
+            sa, _sb = _seg_splits(a, b, c, d)
+            ts.extend(t for t, _p in sa if EPS_T < t < 1 - EPS_T)
+        cuts = [0.0] + sorted(set(ts)) + [1.0]
+        spans = [(t0, t1) for t0, t1 in zip(cuts[:-1], cuts[1:])
+                 if t1 - t0 > EPS_T]
+        if not spans:
+            continue
+        tm = np.array([0.5 * (t0 + t1) for t0, t1 in spans])
+        ins = even_odd_inside(a[0] + tm * (b[0] - a[0]),
+                              a[1] + tm * (b[1] - a[1]), rings)
+        for (t0, t1), inside in zip(spans, ins):
+            if bool(inside) != keep_inside:
+                flush()
+                continue
+            p0 = a if t0 == 0.0 else (a[0] + t0 * (b[0] - a[0]),
+                                      a[1] + t0 * (b[1] - a[1]))
+            p1 = b if t1 == 1.0 else (a[0] + t1 * (b[0] - a[0]),
+                                      a[1] + t1 * (b[1] - a[1]))
+            if cur is not None and cur[-1] == p0:
+                cur.append(p1)
+            else:
+                flush()
+                cur = [p0, p1]
+    flush()
+    return pieces

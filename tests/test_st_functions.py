@@ -187,3 +187,32 @@ def test_st_buffer_polygon_and_line(st):
     ad = _one(st, f"st_area(st_buffer({donut}, 0.5))")
     # outer grows to ~11x11-ish, hole shrinks to ~1x1
     assert 110 < ad < 125
+
+
+def test_st_intersection_line_polygon(st):
+    """Mixed-type overlay: a line crossing a square is clipped to the
+    inside span; difference keeps the outside spans; areal minus line
+    is the areal operand unchanged."""
+    import numpy as np
+
+    from gdal_spark.kernels import wkb as kwkb
+
+    sq = kwkb.wkb_polygon([np.array(
+        [[2.0, 0.0], [6.0, 0.0], [6.0, 10.0], [2.0, 10.0], [2.0, 0.0]])])
+    line = kwkb.wkb_linestring(np.array([[0.0, 5.0], [10.0, 5.0]]))
+    df = st.createDataFrame([(bytearray(line), bytearray(sq))],
+                            "l binary, p binary")
+    df.createOrReplaceTempView("lp")
+    row = st.sql(
+        "SELECT st_astext(st_intersection(l, p)) AS i, "
+        "       st_astext(st_intersection(p, l)) AS i2, "
+        "       st_astext(st_difference(l, p)) AS d, "
+        "       st_length(st_intersection(l, p)) AS len_in, "
+        "       st_length(st_difference(l, p)) AS len_out, "
+        "       st_area(st_difference(p, l)) AS area_keep "
+        "FROM lp").collect()[0]
+    assert "LINESTRING" in row["i"]
+    assert row["i"] == row["i2"]
+    assert abs(row["len_in"] - 4.0) < 1e-9
+    assert abs(row["len_out"] - 6.0) < 1e-9        # 2 + 4 outside
+    assert abs(row["area_keep"] - 40.0) < 1e-9
