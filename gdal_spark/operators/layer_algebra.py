@@ -317,3 +317,45 @@ def cascaded_union(df: DataFrame, n_partial: int = 16) -> DataFrame:
         partials.withColumn("_g", F.lit(1)).groupBy("_g")
         .applyInPandas(final, "wkb binary, area double")
     )
+
+
+def clip_lines(lines: DataFrame, polys: DataFrame, grid: TileGrid,
+               zoom: int = 6, keep_inside: bool = True) -> DataFrame:
+    """Line-layer x polygon-layer clip (keep_inside) / erase: the
+    line-areal role of OGRLayer::Clip/Erase (ogrlayer.cpp Clip :3580,
+    Erase :4103) for linestring inputs.
+
+    Same two-phase shape as the polygon algebra: covering-cell
+    candidate pairs, then one Arrow group per pair runs the line-clip
+    kernel (kernels.clip.clip_line_by_region).  Output one row per
+    clipped piece with its length.
+    """
+    import pandas as pd
+
+    from ..kernels import wkb as kwkb
+
+    pairs = candidate_pairs(lines, polys, grid, zoom)
+
+    def _clip(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        afid, bfid = int(key[0]), int(key[1])
+        rows = []
+        r0 = pdf.iloc[0]
+        rings = kclip.rings_of_wkb(bytes(r0["bwkb"]))
+        gtype, payload = kwkb.parse_wkb(bytes(r0["awkb"]))
+        parts = [payload] if gtype == kwkb.LINESTRING else payload
+        for part in parts:
+            for k, piece in enumerate(kclip.clip_line_by_region(
+                    np.asarray(part), rings, keep_inside=keep_inside)):
+                arr = np.asarray(piece)
+                seg = np.diff(arr, axis=0)
+                length = float(np.sqrt((seg ** 2).sum(axis=1)).sum())
+                rows.append({
+                    "afid": afid, "bfid": bfid, "piece": k,
+                    "wkb": kwkb.wkb_linestring(arr),
+                    "length": length,
+                })
+        return pd.DataFrame(
+            rows, columns=["afid", "bfid", "piece", "wkb", "length"])
+
+    return pairs.groupBy("afid", "bfid").applyInPandas(
+        _clip, "afid long, bfid long, piece int, wkb binary, length double")

@@ -117,6 +117,9 @@ _DEFERRED = [
     # mosaic shares the tile-overlay machinery rasterize_tiles/
     # tile_pyramid keep driver rows for
     "mosaic",
+    # la_poly_clip keeps the layer-algebra clip driver row; the line
+    # variant shares the candidate-pair machinery
+    "la_line_clip",
 ]
 
 

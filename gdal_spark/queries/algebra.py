@@ -12,6 +12,7 @@ from . import _derive as dv
 from .spatial import _points
 from ..operators import layer_algebra as la
 from ..sources import fixtures as fx
+import numpy as np
 
 Z = 6
 
@@ -161,3 +162,76 @@ def cascaded_union_q(spark, sf_dir):
     a, b = _poly_ab(spark)
     both = a.select("wkb").unionByName(b.select("wkb"))
     return la.cascaded_union(both).select("area").orderBy("area")
+
+
+# --------------------------------------------- line-layer clip (r2)
+_LC_N = 200
+
+_LA_LINE_CLIP_SQL = f"""
+    WITH seg AS (
+      SELECT k.i AS afid,
+             (k.i * 3) % 40 + 0.25 AS x0, (k.i * 7) % 40 + 0.5 AS y0,
+             (k.i * 11) % 40 + 0.75 AS x1, (k.i * 5) % 40 + 0.25 AS y1
+      FROM generate_series(0, {_LC_N - 1}) k(i)
+    ),
+    t AS (
+      SELECT afid, x0, y0, x1 - x0 AS dx, y1 - y0 AS dy FROM seg
+    ),
+    slab AS (
+      SELECT afid, dx, dy,
+             LEAST((10 - x0) / dx, (30 - x0) / dx) AS txl,
+             GREATEST((10 - x0) / dx, (30 - x0) / dx) AS txh,
+             LEAST((8 - y0) / dy, (28 - y0) / dy) AS tyl,
+             GREATEST((8 - y0) / dy, (28 - y0) / dy) AS tyh
+      FROM t
+    ),
+    iv AS (
+      SELECT afid, dx, dy,
+             GREATEST(0.0, txl, tyl) AS t0,
+             LEAST(1.0, txh, tyh) AS t1
+      FROM slab
+    )
+    SELECT afid, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           ROUND(SUM((t1 - t0) * SQRT(dx * dx + dy * dy)), 6) AS len
+    FROM iv WHERE t1 > t0
+    GROUP BY afid
+    ORDER BY afid
+"""
+
+
+@register(
+    "la_line_clip",
+    sql=_LA_LINE_CLIP_SQL,
+    desc="line-layer x polygon-layer Clip (ogrlayer.cpp Clip :3580, "
+         "line-areal role): covering-cell candidate pairs + line-clip "
+         "kernel per pair; oracle = independent Liang-Barsky slab "
+         "clipping of the same derived segments against the rectangle",
+)
+def la_line_clip_q(spark, sf_dir):
+    import pandas as pd
+
+    from ..kernels import wkb as kwkb
+    from ..kernels.cells import TileGrid
+    from ..operators.layer_algebra import clip_lines
+
+    rows = []
+    for k in range(_LC_N):
+        x0, y0 = (k * 3) % 40 + 0.25, (k * 7) % 40 + 0.5
+        x1, y1 = (k * 11) % 40 + 0.75, (k * 5) % 40 + 0.25
+        rows.append({"fid": k,
+                     "wkb": kwkb.wkb_linestring(
+                         np.array([[x0, y0], [x1, y1]])),
+                     "xmin": min(x0, x1), "ymin": min(y0, y1),
+                     "xmax": max(x0, x1), "ymax": max(y0, y1)})
+    lines = spark.createDataFrame(pd.DataFrame(rows))
+    rect = np.array([[10.0, 8.0], [30.0, 8.0], [30.0, 28.0],
+                     [10.0, 28.0], [10.0, 8.0]])
+    polys = spark.createDataFrame(pd.DataFrame([{
+        "fid": 0, "wkb": kwkb.wkb_polygon([rect]),
+        "xmin": 10.0, "ymin": 8.0, "xmax": 30.0, "ymax": 28.0}]))
+    grid = TileGrid.local(0.0, 0.0, 40.0, 40.0, tile_size=64)
+    out = clip_lines(lines, polys, grid, zoom=3)
+    return (out.groupBy("afid")
+            .agg(F.count("*").alias("n_pieces"),
+                 F.round(F.sum("length"), 6).alias("len"))
+            .orderBy("afid"))

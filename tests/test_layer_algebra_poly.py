@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from gdal_spark.kernels import clip as kclip
 from gdal_spark.kernels import wkb as kwkb
@@ -143,3 +144,44 @@ def test_kernel_hole_punch():
     region = kclip.flatten(got)
     part = kclip.boolean_op(region, clip_sq, "intersection")
     assert kclip.polygons_area(part) == pytest.approx(16.0 - 4.0)
+
+
+def test_clip_lines_and_erase_partition_length(spark):
+    """Clip + erase of a line layer partition every line's length."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.kernels import wkb as kwkb
+    from gdal_spark.kernels.cells import TileGrid
+    from gdal_spark.operators.layer_algebra import clip_lines
+
+    rows = []
+    rng = np.random.RandomState(4)
+    for k in range(30):
+        p = rng.rand(2, 2) * 40
+        rows.append({"fid": k, "wkb": kwkb.wkb_linestring(p),
+                     "xmin": p[:, 0].min(), "ymin": p[:, 1].min(),
+                     "xmax": p[:, 0].max(), "ymax": p[:, 1].max()})
+    lines = spark.createDataFrame(pd.DataFrame(rows))
+    rect = np.array([[10.0, 8.0], [30.0, 8.0], [30.0, 28.0],
+                     [10.0, 28.0], [10.0, 8.0]])
+    polys = spark.createDataFrame(pd.DataFrame([{
+        "fid": 0, "wkb": kwkb.wkb_polygon([rect]),
+        "xmin": 10.0, "ymin": 8.0, "xmax": 30.0, "ymax": 28.0}]))
+    grid = TileGrid.local(0.0, 0.0, 40.0, 40.0, tile_size=64)
+    inside = {r["afid"]: r["tot"] for r in clip_lines(
+        lines, polys, grid, zoom=3).groupBy("afid").agg(
+        F.sum("length").alias("tot")).collect()}
+    outside = {r["afid"]: r["tot"] for r in clip_lines(
+        lines, polys, grid, zoom=3, keep_inside=False).groupBy("afid").agg(
+        F.sum("length").alias("tot")).collect()}
+    for row in rows:
+        g = kwkb.parse_wkb(row["wkb"])[1]
+        seg = np.diff(np.asarray(g), axis=0)
+        total = float(np.sqrt((seg ** 2).sum(axis=1)).sum())
+        got = inside.get(row["fid"], 0.0) + outside.get(row["fid"], 0.0)
+        # candidate_pairs only yields bbox-overlapping pairs; lines
+        # fully outside never reach the kernel -> no inside OR
+        # outside rows; only check lines that produced SOMETHING
+        if row["fid"] in inside or row["fid"] in outside:
+            assert abs(got - total) < 1e-6, row["fid"]
