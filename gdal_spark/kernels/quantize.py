@@ -132,6 +132,8 @@ def dither(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
     h_rows, w_cols = rgb.shape[:2]
     out = np.zeros((h_rows, w_cols), dtype=np.uint8)
     pal = palette.astype(np.int64)
+    cache: dict = {}                     # exact-color memo, the role of
+    # the reference's ColorIndex hashmap (gdaldither.cpp:84-96)
     nxt = [0] * ((w_cols + 2) * 3)       # next-line error, +1 px offset
     for y in range(h_rows):
         err_line, nxt = nxt, [0] * ((w_cols + 2) * 3)
@@ -147,9 +149,13 @@ def dither(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
                 v = 0 if v < 0 else (255 if v > 255 else v)
                 v = v + last[c]
                 vals[c] = 0 if v < 0 else (255 if v > 255 else v)
-            d = ((pal[:, 0] - vals[0]) ** 2 + (pal[:, 1] - vals[1]) ** 2
-                 + (pal[:, 2] - vals[2]) ** 2)
-            idx = int(np.argmin(d))
+            key = (vals[0] << 16) | (vals[1] << 8) | vals[2]
+            idx = cache.get(key)
+            if idx is None:
+                d = ((pal[:, 0] - vals[0]) ** 2 + (pal[:, 1] - vals[1]) ** 2
+                     + (pal[:, 2] - vals[2]) ** 2)
+                idx = int(np.argmin(d))
+                cache[key] = idx
             out[y, x] = idx
             for c in range(3):
                 e = vals[c] - int(pal[idx, c])
