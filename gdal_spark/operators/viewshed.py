@@ -19,8 +19,6 @@ way over (A, B) point pairs with the pair's bbox as its window.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F

@@ -13,7 +13,6 @@ import struct
 import tempfile
 
 import numpy as np
-import pandas as pd
 
 from . import register
 from ..kernels import wkb as kwkb
