@@ -137,7 +137,8 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
                src_tile_size: int | None = None,
                dst_tile_size: int | None = None,
                nodata: float = 0.0, method: str = "near",
-               anti_alias: bool = False) -> DataFrame:
+               anti_alias: bool = False,
+               cutline: list | None = None) -> DataFrame:
     """Warp a tiled raster from src_grid to dst_grid.
 
     direction: how dst world coords map to src world coords —
@@ -161,7 +162,12 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
     scaled general resampler when downsampling (radius
     ceil(filter/scale), weights K((i-dx)*scale), reciprocal-snapped
     scale — gdalwarpkernel.cpp:1184-1190, GWKResample :3733-3860);
-    at unit scale or for non-kernel methods it is a no-op.  The area
+    at unit scale or for non-kernel methods it is a no-op.
+    cutline: optional polygon rings [outer, hole...] in DST world
+    coordinates — output pixels whose centers fall outside get
+    ``nodata`` (gdalwarp -cutline, gdalwarpoperation.cpp
+    ComputeSourceWindow + the cutline mask of gdalwarper.cpp:
+    GDALWarpCutlineMasker role, CUTLINE_ALL_TOUCHED off).  The area
     methods reduce every source pixel whose CENTER falls in the
     destination pixel's back-projected footprint (bbox of its 4
     corners), GDAL's average/sum/min/max/rms window semantics.
@@ -273,6 +279,11 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
         else:
             out = _sample_kernel(pdf, sfx, sfy, method)
         out = np.where(np.isnan(out), nodata, out)
+        if cutline is not None:
+            from ..kernels import pip as kpip
+            keep = kpip.points_in_polygon(gx.ravel(), gy.ravel(),
+                                          [np.asarray(r) for r in cutline])
+            out = np.where(keep, out, nodata)
         if not is_float:
             info = np.iinfo(np_dtype)
             out = np.clip(np.floor(out + 0.5), info.min, info.max)

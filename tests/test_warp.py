@@ -432,3 +432,27 @@ def test_pyramid_multiband_no_cross_band_mixing(spark):
               for r in pyr if r["z"] == 0}
         assert set(l0) == {1, 2}, method
         assert (l0[1] == 10).all() and (l0[2] == 200).all(), method
+
+
+def test_warp_cutline_masks_outside(spark):
+    """gdalwarp -cutline: pixels with centers outside the cutline
+    polygon become nodata; inside pixels match the unmasked warp."""
+    ts = 16
+    tiles = [{"tx": tx, "ty": ty,
+              "px": np.full((ts, ts), 77, dtype=np.uint8).tobytes()}
+             for ty in range(2) for tx in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(tiles))
+    g = TileGrid(0.0, 32.0, 32.0, ts)
+    cut = [np.array([[8.0, 8.0], [24.0, 8.0], [24.0, 24.0],
+                     [8.0, 24.0], [8.0, 8.0]])]
+    out = warp_tiles(df, g, 1, g, 1, dtype="uint8", src_tile_size=ts,
+                     dst_tile_size=ts, method="near", nodata=0,
+                     cutline=cut).collect()
+    full = np.zeros((32, 32), dtype=np.uint8)
+    for r in out:
+        full[r["ty"] * ts:(r["ty"] + 1) * ts,
+             r["tx"] * ts:(r["tx"] + 1) * ts] = np.frombuffer(
+            r["px"], dtype=np.uint8).reshape(ts, ts)
+    # world y axis points up: row 0 is the TOP (y near 32)
+    assert (full[:8, :] == 0).all() and (full[:, :8] == 0).all()
+    assert (full[10:22, 10:22] == 77).all()
