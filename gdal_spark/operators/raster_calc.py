@@ -98,3 +98,52 @@ def reclassify_tiles(tiles: DataFrame, ranges, default=0,
         })
 
     return tiles.groupBy("tx", "ty").applyInPandas(_re, OUT_SCHEMA)
+
+
+def color_relief_tiles(tiles, ramp, dtype: str = "uint8",
+                       tile_size: int = 256):
+    """gdaldem color-relief (apps/gdaldem_lib.cpp
+    GDALColorReliefGetRGBA, COLOR_SELECTION_INTERPOLATE): per pixel,
+    find the first ramp entry whose value is not smaller, clamp below
+    the first / above the last entry, otherwise linearly interpolate
+    each channel as clamp(int(0.5 + c0 + ratio*(c1-c0)), 0, 255).
+
+    ramp: sorted [(value, r, g, b), ...].  Emits one row per (tile,
+    band 1..3) in TILE_SCHEMA — tile-local, no shuffle.
+    """
+    import pandas as pd
+
+    from ..kernels import checksum as kck
+
+    np_dtype = np.dtype(dtype)
+    ts = tile_size
+    vals = np.array([e[0] for e in ramp], dtype=np.float64)
+    chans = np.array([[e[1], e[2], e[3]] for e in ramp], dtype=np.float64)
+
+    def _map(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                v = np.frombuffer(row["px"], dtype=np_dtype).astype(
+                    np.float64)
+                i = np.searchsorted(vals, v, side="left")
+                lo = np.clip(i - 1, 0, len(vals) - 1)
+                hi = np.clip(i, 0, len(vals) - 1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ratio = np.where(
+                        hi == lo, 0.0,
+                        (v - vals[lo]) / (vals[hi] - vals[lo]))
+                for b in range(3):
+                    c = chans[lo, b] + ratio * (chans[hi, b] - chans[lo, b])
+                    c = np.clip(np.floor(0.5 + c), 0, 255).astype(np.uint8)
+                    arr = c.reshape(ts, ts)
+                    out.append({
+                        "z": 0, "tx": int(row["tx"]), "ty": int(row["ty"]),
+                        "band": b + 1, "px": arr.tobytes(),
+                        "checksum": kck.checksum(arr),
+                    })
+            yield pd.DataFrame(out)
+
+    return tiles.select("tx", "ty", "px").mapInPandas(
+        _map, "z int, tx bigint, ty bigint, band int, px binary, "
+              "checksum long")

@@ -120,6 +120,8 @@ _DEFERRED = [
     # la_poly_clip keeps the layer-algebra clip driver row; the line
     # variant shares the candidate-pair machinery
     "la_line_clip",
+    # raster_calc/reclassify keep the per-pixel-map family rows
+    "color_relief",
 ]
 
 

@@ -1229,3 +1229,70 @@ def mosaic_q(spark, sf_dir):
 
     return out.mapInPandas(
         _rows, "r long, c long, value long").orderBy("r", "c")
+
+
+# ------------------------------------------------ color relief (r2)
+_RAMP = [(0.0, 0, 0, 255), (64.0, 255, 0, 0),
+         (160.0, 0, 255, 64), (255.0, 32, 64, 128)]
+
+
+def _relief_chan_sql(b: int) -> str:
+    """CASE chain mirroring GDALColorReliefGetRGBA interpolation."""
+    segs = []
+    c = [e[1 + b] for e in _RAMP]
+    v = [e[0] for e in _RAMP]
+    segs.append(f"WHEN v <= {v[0]} THEN CAST({c[0]} AS BIGINT)")
+    for i in range(1, len(_RAMP)):
+        expr = (f"LEAST(GREATEST(CAST(FLOOR(0.5 + {c[i-1]} + "
+                f"((v - {v[i-1]}) / ({v[i]} - {v[i-1]})) "
+                f"* ({c[i]} - {c[i-1]})) AS BIGINT), 0), 255)")
+        segs.append(f"WHEN v <= {v[i]} THEN {expr}")
+    segs.append(f"ELSE CAST({c[-1]} AS BIGINT)")
+    return "CASE " + " ".join(segs) + " END"
+
+
+_RELIEF_SQL = f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    )
+    SELECT b.i AS band, r, c,
+           CASE b.i WHEN 1 THEN {_relief_chan_sql(0)}
+                    WHEN 2 THEN {_relief_chan_sql(1)}
+                    ELSE {_relief_chan_sql(2)} END AS value
+    FROM gpx, generate_series(1, 3) b(i)
+    ORDER BY band, r, c
+"""
+
+
+@register(
+    "color_relief",
+    sql=_RELIEF_SQL,
+    desc="gdaldem color-relief (gdaldem_lib.cpp GDALColorReliefGetRGBA, "
+         "interpolate mode): ramp lookup + per-channel linear "
+         "interpolation clamp(int(0.5+...)), tile-local, no shuffle",
+)
+def color_relief_q(spark, sf_dir):
+    from ..operators.raster_calc import color_relief_tiles
+
+    out = color_relief_tiles(_pixel_tiles_df(spark), _RAMP,
+                             tile_size=GW // 2)
+    ts = GW // 2
+
+    def _rows(batches):
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.uint8).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                yield pd.DataFrame({
+                    "band": np.full(ts * ts, int(rr["band"]),
+                                    dtype=np.int64),
+                    "r": (int(rr["ty"]) * ts + ys).ravel(),
+                    "c": (int(rr["tx"]) * ts + xs).ravel(),
+                    "value": t.ravel().astype(np.int64),
+                })
+
+    return out.mapInPandas(
+        _rows, "band long, r long, c long, value long"
+    ).orderBy("band", "r", "c")
