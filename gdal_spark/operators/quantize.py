@@ -88,3 +88,28 @@ def rgb_to_pct(tiles: DataFrame, palette: np.ndarray,
 
     return tiles.select("tx", "ty", "px_r", "px_g", "px_b").mapInPandas(
         _map, PCT_SCHEMA)
+
+
+def pct_to_rgb(tiles: DataFrame, palette: np.ndarray,
+               tile_size: int = 256) -> DataFrame:
+    """pct2rgb.py role: expand palette-index tiles back to RGB bands
+    via the broadcast color table (pure lookup, tile-local)."""
+    ts = tile_size
+    pal = palette.copy()
+
+    def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                idx = np.frombuffer(row["px"], dtype=np.uint8)
+                for b in range(3):
+                    arr = pal[idx, b].astype(np.uint8).reshape(ts, ts)
+                    out.append({
+                        "tx": int(row["tx"]), "ty": int(row["ty"]),
+                        "band": b + 1, "px": arr.tobytes(),
+                        "checksum": kck.checksum(arr),
+                    })
+            yield pd.DataFrame(out)
+
+    return tiles.select("tx", "ty", "px").mapInPandas(
+        _expand, "tx long, ty long, band int, px binary, checksum long")

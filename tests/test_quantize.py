@@ -94,3 +94,27 @@ def test_distributed_palette_and_pct(spark):
         got = np.frombuffer(out[(row["tx"], row["ty"])]["px"],
                             dtype=np.uint8).reshape(ts, ts)
         np.testing.assert_array_equal(got, want)
+
+
+def test_pct_roundtrip_exact_palette(spark):
+    """rgb2pct -> pct2rgb is identity when the image only contains
+    palette colors."""
+    from gdal_spark.operators.quantize import pct_to_rgb, rgb_to_pct
+
+    ts = 16
+    pal = np.array([[10, 20, 30], [200, 100, 50], [0, 0, 0]],
+                   dtype=np.uint8)
+    rng = np.random.RandomState(6)
+    idx = rng.randint(0, 3, size=(ts, ts)).astype(np.uint8)
+    rgb = pal[idx]
+    tiles = spark.createDataFrame(pd.DataFrame([{
+        "tx": 0, "ty": 0,
+        "px_r": rgb[..., 0].tobytes(), "px_g": rgb[..., 1].tobytes(),
+        "px_b": rgb[..., 2].tobytes()}]))
+    pct = rgb_to_pct(tiles, pal, tile_size=ts, dither=False)
+    back = pct_to_rgb(pct, pal, tile_size=ts).collect()
+    got = {r["band"]: np.frombuffer(r["px"], np.uint8).reshape(ts, ts)
+           for r in back}
+    np.testing.assert_array_equal(got[1], rgb[..., 0])
+    np.testing.assert_array_equal(got[2], rgb[..., 1])
+    np.testing.assert_array_equal(got[3], rgb[..., 2])
