@@ -103,3 +103,77 @@ def test_shapefile_point_roundtrip(pt):
     _stype, content = _wkb_to_shape(wkb)
     t, p = kwkb.parse_wkb(_shape_to_wkb(content))
     assert t == kwkb.POINT and p == pt
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(5, 25), st.integers(5, 25))
+def test_viewshed_edge_fast_path_equals_generic(seed, h, w):
+    """The vectorized edge-mode line is bit-identical to the generic
+    sequential transcription (same arithmetic, different execution
+    order only where cells are independent)."""
+    rng = np.random.RandomState(seed)
+    dem = (rng.rand(h, w) * rng.randint(1, 30)).round(3)
+    ox, oy = rng.randint(0, w), rng.randint(0, h)
+    oz = float(rng.rand() * 4)
+    fast = kvs.viewshed(dem, ox, oy, observer_z=oz, cell_mode="edge")
+    want = _serial_edge_viewshed(dem, ox, oy, oz)
+    np.testing.assert_array_equal(fast, want)
+
+
+def _serial_edge_viewshed(dem, ox, oy, oz):
+    """Independent sequential transcription of the edge-mode sweep
+    (duplicated here on purpose, as the test oracle)."""
+    h_rows, w_cols = dem.shape
+    zobs = float(dem[oy, ox]) + oz
+    out = np.zeros((h_rows, w_cols))
+
+    def setout(y, x, hl, z):
+        out[y, x] = 0 if hl[x] < z else 255
+        if z > hl[x]:
+            hl[x] = z
+
+    base = [float(v) - zobs for v in dem[oy]]
+    out[oy, ox] = 255
+    if ox - 1 >= 0:
+        out[oy, ox - 1] = 255
+        for x in range(ox - 2, -1, -1):
+            setout(oy, x, base, kvs.calc_height_line(ox - x, base[x + 1]))
+    if ox + 1 < w_cols:
+        out[oy, ox + 1] = 255
+        for x in range(ox + 2, w_cols):
+            setout(oy, x, base, kvs.calc_height_line(x - ox, base[x - 1]))
+
+    def line(y, last):
+        m = abs(y - oy)
+        hl = [float(v) - zobs for v in dem[y]]
+        z = hl[ox] if m == 1 else kvs.calc_height_line(m, last[ox])
+        setout(y, ox, hl, z)
+        for x in range(ox - 1, -1, -1):
+            nx = ox - x
+            if nx == m:
+                z = hl[x] if nx == 1 else kvs.calc_height_line(
+                    nx, last[x + 1])
+            elif nx >= m:
+                z = kvs.calc_height_edge(m, nx, last[x + 1], hl[x + 1])
+            else:
+                z = kvs.calc_height_edge(nx, m, last[x + 1], last[x])
+            setout(y, x, hl, z)
+        for x in range(ox + 1, w_cols):
+            nx = x - ox
+            if nx == m:
+                z = hl[x] if nx == 1 else kvs.calc_height_line(
+                    nx, last[x - 1])
+            elif nx >= m:
+                z = kvs.calc_height_edge(m, nx, last[x - 1], hl[x - 1])
+            else:
+                z = kvs.calc_height_edge(nx, m, last[x - 1], last[x])
+            setout(y, x, hl, z)
+        return hl
+
+    last = base
+    for y in range(oy - 1, -1, -1):
+        last = line(y, last)
+    last = base
+    for y in range(oy + 1, h_rows):
+        last = line(y, last)
+    return out.astype(np.uint8)
