@@ -56,6 +56,21 @@ def _st_astext(bs: pd.Series) -> pd.Series:
                 "(" + ",".join(f"{x:.15g} {y:.15g}" for x, y in r) + ")"
                 for r in p)
             return f"POLYGON ({rings})"
+        if t == kwkb.MULTIPOINT:
+            inner = ",".join(f"({x:.15g} {y:.15g})" for x, y in p)
+            return f"MULTIPOINT ({inner})"
+        if t == kwkb.MULTILINESTRING:
+            parts = ",".join(
+                "(" + ",".join(f"{x:.15g} {y:.15g}" for x, y in part) + ")"
+                for part in p)
+            return f"MULTILINESTRING ({parts})"
+        if t == kwkb.MULTIPOLYGON:
+            polys = ",".join(
+                "(" + ",".join(
+                    "(" + ",".join(f"{x:.15g} {y:.15g}" for x, y in r) + ")"
+                    for r in rings) + ")"
+                for rings in p)
+            return f"MULTIPOLYGON ({polys})"
         return f"GEOMETRY_{t}"
     return bs.map(one)
 
@@ -244,10 +259,7 @@ def _line_pieces_wkb(pieces):
         return None
     if len(pieces) == 1:
         return kwkb.wkb_linestring(np.array(pieces[0]))
-    import struct
-    return struct.pack("<BII", 1, kwkb.MULTILINESTRING,
-                       len(pieces)) + b"".join(
-        kwkb.wkb_linestring(np.array(p)) for p in pieces)
+    return kwkb.wkb_multilinestring([np.array(p) for p in pieces])
 
 
 def _line_coords(w):
@@ -269,8 +281,8 @@ def _set_op_factory(op: str):
         def one(wa, wb):
             if wa is None or wb is None:
                 return None
-            ta = kwkb.parse_wkb(bytes(wa))[0]
-            tb = kwkb.parse_wkb(bytes(wb))[0]
+            ta = kwkb.wkb_geom_type(bytes(wa))   # 5-byte header sniff
+            tb = kwkb.wkb_geom_type(bytes(wb))
             if op in ("intersection", "difference") and (
                     ta in _LINES or tb in _LINES):
                 if ta in _LINES and tb not in _LINES:

@@ -17,8 +17,9 @@ Faithful transcriptions of the reference:
   nSixth = nError / 6 (C TRUNCATING division), next-line carries
   (i-1 += sixth, i+1 = sixth, i += error - 5*sixth) and same-line
   carry 2*sixth; values clamped to [0,255] before the nearest-color
-  lookup (argmin of squared RGB distance, first index wins,
-  FindNearestColor :614-660).
+  lookup — MANHATTAN distance |dr|+|dg|+|db| with strict < so the
+  first best index wins (FindNearestColor :665-684, the scalar twin
+  of the SSE _mm_sad_epu8 path).
 """
 
 from __future__ import annotations
@@ -113,15 +114,16 @@ def median_cut(hist: np.ndarray, n_colors: int = 256,
 
 
 def find_nearest(palette: np.ndarray, r, g, b):
-    """argmin of squared RGB distance; numpy argmin returns the FIRST
-    minimum, matching FindNearestColor's strict <."""
+    """argmin of MANHATTAN RGB distance (|dr|+|dg|+|db|, the metric
+    of FindNearestColor, gdaldither.cpp:665-684); numpy argmin
+    returns the FIRST minimum, matching the strict <."""
     pr = palette[:, 0].astype(np.int64)
     pg = palette[:, 1].astype(np.int64)
     pb = palette[:, 2].astype(np.int64)
     r = np.asarray(r, dtype=np.int64)[..., None]
     g = np.asarray(g, dtype=np.int64)[..., None]
     b = np.asarray(b, dtype=np.int64)[..., None]
-    d = (r - pr) ** 2 + (g - pg) ** 2 + (b - pb) ** 2
+    d = np.abs(r - pr) + np.abs(g - pg) + np.abs(b - pb)
     return np.argmin(d, axis=-1).astype(np.uint8)
 
 
@@ -152,8 +154,9 @@ def dither(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
             key = (vals[0] << 16) | (vals[1] << 8) | vals[2]
             idx = cache.get(key)
             if idx is None:
-                d = ((pal[:, 0] - vals[0]) ** 2 + (pal[:, 1] - vals[1]) ** 2
-                     + (pal[:, 2] - vals[2]) ** 2)
+                d = (np.abs(pal[:, 0] - vals[0])
+                     + np.abs(pal[:, 1] - vals[1])
+                     + np.abs(pal[:, 2] - vals[2]))
                 idx = int(np.argmin(d))
                 cache[key] = idx
             out[y, x] = idx

@@ -224,35 +224,49 @@ def line_of_sight(dem: np.ndarray, xa: int, ya: int, za: float,
         r_num = float((x - xa) ** 2 + (y - ya) ** 2)
         return lerp(za, zb, math.sqrt(r_num / r_denom))
 
+    # Quirk transcribed faithfully: Bresenham2D accumulates with a
+    # non-short-circuiting `&=` and ALWAYS runs one final
+    # OnBresenhamPoint after the loop (los.cpp:76-87,106), so when the
+    # first blocking cell is found mid-walk the loop body still
+    # advances and the post-loop test runs on the NEXT cell — if that
+    # cell is also below the sight line, ITS coordinates overwrite
+    # the reported intersection.
     dx, incx = (xb - xa, 1) if xb >= xa else (xa - xb, -1)
     dy, incy = (yb - ya, 1) if yb >= ya else (ya - yb, -1)
     x, y = xa, ya
+    fail = None
     if dx >= dy:
         dy2 = dy * 2
         balance = dy2 - dx
         dx2 = dx * 2
         while x != xb:
-            if not above(x, y, z_at(x, y)):
-                return False, x, y
+            blocked = not above(x, y, z_at(x, y))
+            if blocked:
+                fail = (x, y)
             if balance >= 0:
                 y += incy
                 balance -= dx2
             balance += dy2
             x += incx
-        if not above(x, y, z_at(x, y)):
-            return False, x, y
+            if blocked:
+                break
     else:
         dx2 = dx * 2
         balance = dx2 - dy
         dy2 = dy * 2
         while y != yb:
-            if not above(x, y, z_at(x, y)):
-                return False, x, y
+            blocked = not above(x, y, z_at(x, y))
+            if blocked:
+                fail = (x, y)
             if balance >= 0:
                 x += incx
                 balance -= dy2
             balance += dx2
             y += incy
-        if not above(x, y, z_at(x, y)):
-            return False, x, y
+            if blocked:
+                break
+    if not above(x, y, z_at(x, y)):       # unconditional final test
+        fail = (x, y)
+    if fail is not None:
+        return False, fail[0], fail[1]
     return True, -1, -1

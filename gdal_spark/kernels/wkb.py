@@ -42,6 +42,25 @@ def wkb_polygon(rings) -> bytes:
     return struct.pack("<BI", _LE, POLYGON) + body
 
 
+def wkb_multipoint(points) -> bytes:
+    body = struct.pack("<I", len(points)) + b"".join(
+        wkb_point(float(x), float(y)) for x, y in points)
+    return struct.pack("<BI", _LE, MULTIPOINT) + body
+
+
+def wkb_multilinestring(lines) -> bytes:
+    body = struct.pack("<I", len(lines)) + b"".join(
+        wkb_linestring(ln) for ln in lines)
+    return struct.pack("<BI", _LE, MULTILINESTRING) + body
+
+
+def wkb_geom_type(data: bytes) -> int:
+    """Read just the geometry-type id from the 5-byte WKB header
+    (cheap dispatch; no payload parse)."""
+    order = data[0]
+    return struct.unpack_from("<I" if order == 1 else ">I", data, 1)[0]
+
+
 def wkb_multipolygon(polys) -> bytes:
     body = struct.pack("<I", len(polys)) + b"".join(wkb_polygon(p) for p in polys)
     return struct.pack("<BI", _LE, MULTIPOLYGON) + body

@@ -81,6 +81,9 @@ HOT_BAND_ROWS = 64     # bucket size above which the self-join is salted
 MAX_BAND_SALT = 16
 
 
+_LAST_BANDS = None
+
+
 def minhash_band_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        hot_threshold: int = HOT_BAND_ROWS) -> DataFrame:
@@ -113,9 +116,18 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
     # the band rows feed THREE consumers (counts, join left, join
     # right); without a persist the whole shingle->minhash lineage
     # runs three times.  MEMORY_AND_DISK keeps the reuse
-    # fault-tolerant at cluster scale (spills, recomputes on loss)
+    # fault-tolerant at cluster scale (spills, recomputes on loss).
+    # Repeated invocations would pin one cached lineage each, so the
+    # previous call's bands are released first (bounded at one).
     from pyspark import StorageLevel
+    global _LAST_BANDS
+    if _LAST_BANDS is not None:
+        try:
+            _LAST_BANDS.unpersist()
+        except Exception:
+            pass
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    _LAST_BANDS = bands
     # per-bucket salt factor: 1 for light buckets, ceil(n/threshold)
     # (clamped) for hot ones; the counts aggregate is map-side partial
     # and shuffles on the same (bi,bv) key as the join itself

@@ -41,6 +41,10 @@ def median_cut_palette(tiles: DataFrame, n_colors: int = 256,
         for pdf in batches:
             acc = np.zeros(levels ** 3, dtype=np.int64)
             for _, row in pdf.iterrows():
+                if len(row["px_r"]) != tile_size * tile_size:
+                    raise ValueError(
+                        f"tile buffer is {len(row['px_r'])} bytes, "
+                        f"expected {tile_size}^2")
                 r = np.frombuffer(row["px_r"], dtype=np.uint8) >> shift
                 g = np.frombuffer(row["px_g"], dtype=np.uint8) >> shift
                 b = np.frombuffer(row["px_b"], dtype=np.uint8) >> shift

@@ -367,6 +367,26 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
             # earliest in the y-major scan.
             mode = np.full(fx0.shape, np.nan)
             max_cnt = np.zeros(fx0.shape)
+            npix = int(np.prod(fx0.shape))
+            int_ok = (np.issubdtype(np_dtype, np.integer)
+                      and npix * (int(np.iinfo(np_dtype).max)
+                                  - int(np.iinfo(np_dtype).min) + 1)
+                      <= 8_000_000)
+            if int_ok:
+                # linear path: per-(pixel, bin) running counts, the
+                # vector analogue of the reference's pafCounts array
+                lo = int(np.iinfo(np_dtype).min)
+                nbins = int(np.iinfo(np_dtype).max) - lo + 1
+                counts = np.zeros((npix, nbins))
+                rows = np.arange(npix)
+                for vk, okk in taps:
+                    vi = np.where(okk, vk, lo).astype(np.int64) - lo
+                    counts[rows, vi] += okk
+                    ck = counts[rows, vi]
+                    upd = okk & (ck > max_cnt)
+                    mode = np.where(upd, vk, mode)
+                    max_cnt = np.where(upd, ck, max_cnt)
+                return mode
             for k, (vk, okk) in enumerate(taps):
                 ck = np.zeros(fx0.shape)
                 for vj, okj in taps[:k + 1]:

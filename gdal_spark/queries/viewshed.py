@@ -116,8 +116,23 @@ def _pair_params(k: int):
       WHERE NOT (pts.zt > g.v)
     ),
     first_fail AS (
-      SELECT pid, x, y FROM fails
+      SELECT pid, x, y, stp FROM fails
       QUALIFY ROW_NUMBER() OVER (PARTITION BY pid ORDER BY stp) = 1
+    ),
+    -- Bresenham2D quirk (los.cpp:76-87,106): after a mid-walk
+    -- failure the loop still advances and the unconditional
+    -- post-loop test runs on the NEXT cell; if that cell also fails
+    -- its coordinates OVERWRITE the intersection.  Axis-aligned
+    -- scans return immediately, so only the general path applies.
+    eff_fail AS (
+      SELECT f.pid,
+             CASE WHEN p.dx <> 0 AND p.dy <> 0 AND n.pid IS NOT NULL
+                  THEN n.x ELSE f.x END AS x,
+             CASE WHEN p.dx <> 0 AND p.dy <> 0 AND n.pid IS NOT NULL
+                  THEN n.y ELSE f.y END AS y
+      FROM first_fail f
+      JOIN pz p ON p.pid = f.pid
+      LEFT JOIN fails n ON n.pid = f.pid AND n.stp = f.stp + 1
     )
     SELECT p.pid,
            (p.za > p.va AND p.zb > p.vb AND f.pid IS NULL) AS visible,
@@ -129,7 +144,7 @@ def _pair_params(k: int):
                      WHEN NOT p.zb > p.vb THEN p.yb
                      WHEN f.pid IS NOT NULL THEN f.y
                      ELSE -1 END AS BIGINT) AS iy
-    FROM pz p LEFT JOIN first_fail f ON f.pid = p.pid
+    FROM pz p LEFT JOIN eff_fail f ON f.pid = p.pid
     ORDER BY p.pid
     """,
     desc="batch line-of-sight (GDALIsLineOfSightVisible, alg/los.cpp:"

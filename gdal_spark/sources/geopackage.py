@@ -34,6 +34,9 @@ def gpkg_blob_to_wkb(blob: bytes):
     if blob is None or len(blob) < 8 or blob[0:2] != b"GP":
         return None, None
     flags = blob[3]
+    if flags & 0x20:                   # ExtendedGeoPackageBinary: a
+        return None, None              # 4-byte extension code precedes
+                                       # the WKB; not parseable here
     if flags & 0x10:                   # empty-geometry flag
         return None, None
     env_type = (flags >> 1) & 0x07

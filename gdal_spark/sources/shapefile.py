@@ -61,9 +61,7 @@ def _shape_to_wkb(buf: bytes) -> bytes | None:
         n = struct.unpack_from("<i", buf, 36)[0]
         pts = np.frombuffer(buf, dtype="<f8", count=2 * n,
                             offset=40).reshape(n, 2)
-        body = struct.pack("<BII", 1, kwkb.MULTIPOINT, n) + b"".join(
-            kwkb.wkb_point(*p) for p in pts)
-        return body
+        return kwkb.wkb_multipoint(pts)
     # arc / polygon: bbox(32) numParts numPoints parts[] points[]
     n_parts, n_pts = struct.unpack_from("<2i", buf, 36)
     parts = np.frombuffer(buf, dtype="<i4", count=n_parts, offset=44)
@@ -74,9 +72,7 @@ def _shape_to_wkb(buf: bytes) -> bytes | None:
     if b == _SHP_ARC:
         if len(rings) == 1:
             return kwkb.wkb_linestring(rings[0])
-        return struct.pack("<BII", 1, kwkb.MULTILINESTRING,
-                           len(rings)) + b"".join(
-            kwkb.wkb_linestring(r) for r in rings)
+        return kwkb.wkb_multilinestring(rings)
     # polygon: group rings into polygons (CW opens, CCW is a hole)
     polys: list[list[np.ndarray]] = []
     for ring in rings:

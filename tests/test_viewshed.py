@@ -159,3 +159,19 @@ def test_los_reference_autotest_cases():
     assert (ok_b, ix_b, iy_b) == (False, 1, 0)
     # degenerate same-point case
     assert kvs.line_of_sight(dem, 0, 0, 1.0, 0, 0, 1.0) == (True, -1, -1)
+
+
+def test_los_double_block_reports_second_cell():
+    """Bresenham2D quirk (los.cpp:76-87,106): the unconditional
+    post-loop test overwrites the intersection with the NEXT cell
+    when it is also blocked."""
+    dem = np.zeros((5, 5))
+    dem[2, 2] = 50.0          # walk cell (2,2)
+    dem[2, 3] = 50.0          # next walk cell (3,2)
+    ok, ix, iy = kvs.line_of_sight(dem, 0, 0, 1.0, 4, 3, 1.0)
+    assert (ok, ix, iy) == (False, 3, 2)
+    # single block: the first (and only) blocked cell is reported
+    dem2 = np.zeros((5, 5))
+    dem2[2, 2] = 50.0
+    ok2, ix2, iy2 = kvs.line_of_sight(dem2, 0, 0, 1.0, 4, 3, 1.0)
+    assert (ok2, ix2, iy2) == (False, 2, 2)
