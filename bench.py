@@ -47,6 +47,10 @@ HEADLINE = [
     "viewshed",
     "los",
     "pansharpen",
+    "mediancut_dither",
+    "mosaic",
+    "shapefile_scan",
+    "la_line_clip",
 ]
 
 BIG_JOIN_N = 8_000_000
