@@ -85,6 +85,42 @@ def ring_signed_area(ring) -> float:
     return float(np.sum(x * y1 - x1 * y) / 2.0)
 
 
+def ring_interior_point(ring):
+    """A point STRICTLY inside a simple ring (the classic convex-
+    vertex/triangle construction GEOS uses for interior points):
+    take the lowest-then-leftmost vertex v (necessarily convex), its
+    neighbors a and b; if no other ring vertex intrudes into
+    triangle (a, v, b) its centroid is interior, else the midpoint
+    of v and the closest intruding vertex is.  Unlike probing a ring
+    VERTEX, the result never lies on a snapped shared vertex of
+    another ring, so even-odd depth tests stay stable."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and r[0][0] == r[-1][0] and r[0][1] == r[-1][1]:
+        r = r[:-1]
+    n = len(r)
+    i = int(np.lexsort((r[:, 0], r[:, 1]))[0])
+    v, a, b = r[i], r[(i - 1) % n], r[(i + 1) % n]
+    orient = (v[0] - a[0]) * (b[1] - a[1]) - (v[1] - a[1]) * (b[0] - a[0])
+    if orient == 0.0:                      # collinear: nudge off v
+        return (float(0.5 * v[0] + 0.25 * (a[0] + b[0])),
+                float(0.5 * v[1] + 0.25 * (a[1] + b[1])))
+    sgn = 1.0 if orient > 0 else -1.0
+
+    def _side(p, q):
+        return ((q[0] - p[0]) * (r[:, 1] - p[1])
+                - (q[1] - p[1]) * (r[:, 0] - p[0]))
+
+    inside = ((sgn * _side(a, v) > 0) & (sgn * _side(v, b) > 0)
+              & (sgn * _side(b, a) > 0))
+    cand = r[inside]
+    if len(cand) == 0:
+        return (float((a[0] + v[0] + b[0]) / 3.0),
+                float((a[1] + v[1] + b[1]) / 3.0))
+    d2 = ((cand - v) ** 2).sum(axis=1)
+    q = cand[int(np.argmin(d2))]
+    return (float((v[0] + q[0]) / 2.0), float((v[1] + q[1]) / 2.0))
+
+
 def orient_region(rings):
     """Normalize a ring set interior-left: rings at even even-odd
     nesting depth CCW, odd depth CW."""
@@ -94,8 +130,10 @@ def orient_region(rings):
         others = [o for j, o in enumerate(rs) if j != i]
         depth = 0
         if others:
-            # a vertex of r tests against every other ring (even-odd)
-            px, py = float(r[0, 0]), float(r[0, 1])
+            # probe a STRICT interior point of r (a ring vertex can
+            # sit exactly on another ring after snapping, making the
+            # even-odd depth arbitrary)
+            px, py = ring_interior_point(r)
             for o in others:
                 if points_in_polygon(np.array([px]), np.array([py]), [o])[0]:
                     depth += 1
@@ -249,7 +287,15 @@ def _chain_rings(edges):
         used.add(id(start_edge))
         prev = start_edge
         guard = 0
-        while ring[-1] != ring[0] and guard < 100000:
+        # a simple ring can use each directed edge at most once, so a
+        # walk longer than the edge count means an inconsistent edge
+        # set — raise instead of silently truncating a large ring
+        max_steps = len(edges) + 1
+        while ring[-1] != ring[0] and guard <= max_steps:
+            if guard == max_steps:
+                raise ValueError(
+                    "ring walk exceeded the edge count: "
+                    "inconsistent overlay edge set")
             guard += 1
             v = prev[1]
             cands = [e for e in out_map.get(v, ()) if id(e) not in used]
@@ -384,9 +430,9 @@ def make_valid(rings):
     for f in _chain_rings(both):
         if ring_signed_area(f) <= 0:
             continue
-        # area centroid as the interior probe (lobes are simple)
-        cx = float(f[:-1, 0].mean())
-        cy = float(f[:-1, 1].mean())
+        # strict interior point of the face (the vertex MEAN can
+        # fall outside a concave lobe)
+        cx, cy = ring_interior_point(f)
         if even_odd_inside(np.array([cx]), np.array([cy]), rs)[0]:
             keep.append(f)
     return _nest_polygons(keep)

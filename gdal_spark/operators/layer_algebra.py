@@ -164,11 +164,16 @@ def _pieces_rows(afid, bfid, polys):
 
 
 def pairwise_intersection(a: DataFrame, b: DataFrame, grid: TileGrid,
-                          zoom: int = 6) -> DataFrame:
+                          zoom: int = 6,
+                          pairs: DataFrame | None = None) -> DataFrame:
     """One output piece per (A feature, B feature) areal intersection
     — ogrlayer.cpp:3345 cardinality (KEEP_LOWER_DIMENSION=NO).
-    Fully pairwise-parallel: Arrow batches of joined WKB pairs."""
-    pairs = candidate_pairs(a, b, grid, zoom)
+    Fully pairwise-parallel: Arrow batches of joined WKB pairs.
+    ``pairs`` lets multi-consumer ops (identity/union) share ONE
+    candidate_pairs subplan (Catalyst ReuseExchange dedups the
+    explode+join+distinct shuffle across the union branches)."""
+    if pairs is None:
+        pairs = candidate_pairs(a, b, grid, zoom)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,12 +190,23 @@ def pairwise_intersection(a: DataFrame, b: DataFrame, grid: TileGrid,
     return pairs.mapInPandas(run, PIECE_SCHEMA)
 
 
+def _swap_pairs(pairs: DataFrame) -> DataFrame:
+    """candidate_pairs(b, a) derived from candidate_pairs(a, b) —
+    the cell join and bbox pretest are symmetric."""
+    return pairs.select(
+        F.col("bfid").alias("afid"), F.col("bwkb").alias("awkb"),
+        F.col("afid").alias("bfid"), F.col("awkb").alias("bwkb"))
+
+
 def _minus_all(a: DataFrame, b: DataFrame, grid: TileGrid,
-               zoom: int = 6, keep_unmatched: bool = True) -> DataFrame:
+               zoom: int = 6, keep_unmatched: bool = True,
+               pairs: DataFrame | None = None) -> DataFrame:
     """Per A feature: A minus the union of ALL its candidate B's —
     a cogroup keyed by afid (sequential difference fold in the task).
     keep_unmatched: emit A features with no candidate at all."""
-    pairs = candidate_pairs(a, b, grid, zoom).select("afid", "bfid", "bwkb")
+    if pairs is None:
+        pairs = candidate_pairs(a, b, grid, zoom)
+    pairs = pairs.select("afid", "bfid", "bwkb")
     asel = a.select(F.col("fid").alias("afid"), F.col("wkb").alias("awkb"))
 
     def run(key, apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
@@ -241,27 +257,35 @@ def poly_clip(a, b, grid, zoom=6):
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         afid = int(key[0])
-        pdf = pdf.sort_values("bfid")   # deterministic union-fold order
+        # total fold order (bfid, wkb bytes): a pair can contribute
+        # several pieces and shuffle arrival order is arbitrary, so
+        # bfid alone leaves the intra-pair order nondeterministic
+        pdf = pdf.assign(_w=[bytes(w) for w in pdf["wkb"]]).sort_values(
+            ["bfid", "_w"])
         polys = kclip.union_all(
-            [kclip.rings_of_wkb(bytes(w)) for w in pdf["wkb"]])
-        return pd.DataFrame(_pieces_rows(afid, None, polys))
+            [kclip.rings_of_wkb(w) for w in pdf["_w"]])
+        return pd.DataFrame(_pieces_rows(afid, None, polys),
+                            columns=["afid", "bfid", "wkb", "area"])
 
     return pieces.groupBy("afid").applyInPandas(merge, PIECE_SCHEMA)
 
 
 def poly_identity(a, b, grid, zoom=6):
     """Pairwise pieces + per-A remainder (ogrlayer.cpp:4730)."""
-    inter = pairwise_intersection(a, b, grid, zoom)
-    rem = _minus_all(a, b, grid, zoom, keep_unmatched=True)
+    pairs = candidate_pairs(a, b, grid, zoom)
+    inter = pairwise_intersection(a, b, grid, zoom, pairs=pairs)
+    rem = _minus_all(a, b, grid, zoom, keep_unmatched=True, pairs=pairs)
     return inter.unionByName(rem)
 
 
 def poly_union(a, b, grid, zoom=6):
     """Pairwise pieces + A remainders + B remainders
     (ogrlayer.cpp:3763)."""
-    inter = pairwise_intersection(a, b, grid, zoom)
-    rem_a = _minus_all(a, b, grid, zoom, keep_unmatched=True)
-    rem_b = _minus_all(b, a, grid, zoom, keep_unmatched=True).select(
+    pairs = candidate_pairs(a, b, grid, zoom)
+    inter = pairwise_intersection(a, b, grid, zoom, pairs=pairs)
+    rem_a = _minus_all(a, b, grid, zoom, keep_unmatched=True, pairs=pairs)
+    rem_b = _minus_all(b, a, grid, zoom, keep_unmatched=True,
+                       pairs=_swap_pairs(pairs)).select(
         F.lit(None).cast("bigint").alias("afid"),
         F.col("afid").alias("bfid"), "wkb", "area")
     return inter.unionByName(rem_a).unionByName(rem_b)
@@ -269,8 +293,10 @@ def poly_union(a, b, grid, zoom=6):
 
 def poly_sym_difference(a, b, grid, zoom=6):
     """A-only + B-only remainders (ogrlayer.cpp:4300)."""
-    rem_a = _minus_all(a, b, grid, zoom, keep_unmatched=True)
-    rem_b = _minus_all(b, a, grid, zoom, keep_unmatched=True).select(
+    pairs = candidate_pairs(a, b, grid, zoom)
+    rem_a = _minus_all(a, b, grid, zoom, keep_unmatched=True, pairs=pairs)
+    rem_b = _minus_all(b, a, grid, zoom, keep_unmatched=True,
+                       pairs=_swap_pairs(pairs)).select(
         F.lit(None).cast("bigint").alias("afid"),
         F.col("afid").alias("bfid"), "wkb", "area")
     return rem_a.unionByName(rem_b)

@@ -349,6 +349,16 @@ def assemble_polygons_boundary(runs: DataFrame, comp: DataFrame,
                 ox, rx, _, oy, _, nry = geotransform
                 w = np.column_stack([ox + w[:, 0] * rx, oy + w[:, 1] * nry])
             world.append(w)
+        # WKB contract: exterior ring FIRST.  ring_id is hash-derived,
+        # so order by |signed area| descending instead (a component's
+        # exterior strictly contains its holes, hence largest |area|);
+        # the (ring_id, chain_idx) presort keeps ties deterministic.
+        if len(world) > 1:
+            def _abs_area(r):
+                x, y = r[:, 0], r[:, 1]
+                return abs(float(
+                    np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))) / 2.0
+            world.sort(key=_abs_area, reverse=True)
         return pd.DataFrame([{
             "comp": int(key[0]),
             "value": int(pdf.iloc[0]["value"]),

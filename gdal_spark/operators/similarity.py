@@ -140,13 +140,12 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 3,
             "_d2", dist2_scaled(F.col(vec), F.col("_cv")))
         w = Window.partitionBy(key).orderBy(
             F.col("_d2").asc(), F.col("cid").asc())
-        return (df.sparkSession,
-                d.withColumn("_cr", F.row_number().over(w))
+        return (d.withColumn("_cr", F.row_number().over(w))
                 .filter(F.col("_cr") <= n).drop("_cv", "_d2", "_cr"))
 
-    _, corpus = assign(v, id_col, "_sv", 1)
+    corpus = assign(v, id_col, "_sv", 1)
     q = queries.select(F.col(qid_col), scaled_col(F.col(qvec_col)).alias("_sq"))
-    _, probes = assign(q, qid_col, "_sq", nprobe)
+    probes = assign(q, qid_col, "_sq", nprobe)
 
     scored = corpus.join(F.broadcast(probes), "cid").withColumn(
         "dot", dot_scaled(F.col("_sq"), F.col("_sv")))

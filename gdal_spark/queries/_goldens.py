@@ -355,10 +355,12 @@ def la_poly_sql(op: str) -> str:
                 got = kclip.boolean_op(
                     kwkb.polygon_rings(aw[afid]),
                     kwkb.polygon_rings(bw[bf]), "intersection")
-                pieces.extend(
+                # (bfid, wkb-bytes) order — the distributed merge
+                # folds in exactly this total order
+                pieces.extend(sorted(
                     kclip.wkb_of_polys([reg]) for reg in got
                     if abs(sum(kclip.ring_signed_area(r) for r in reg))
-                    >= 1e-12)
+                    >= 1e-12))
             polys = kclip.union_all(
                 [kwkb.polygon_rings(w) for w in pieces])
             rows.extend(_piece_tuples(afid, None, polys))

@@ -144,10 +144,32 @@ def _rewrite_first_match_join(sql: str, spark: SparkSession) -> str:
     # to Spark SQL with standard all-matches semantics.  Multiple
     # depth-0 LEFT JOINs (multi-secondary, ogr_sql_dialect.rst JOIN
     # section) each get their own first-match wrapper.
+    def _depth(prefix: str) -> int:
+        # parens inside quoted string literals don't open scopes
+        d = 0
+        in_str = False
+        i = 0
+        while i < len(prefix):
+            ch = prefix[i]
+            if in_str:
+                if ch == "'":
+                    if i + 1 < len(prefix) and prefix[i + 1] == "'":
+                        i += 1          # escaped '' stays in-string
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            i += 1
+        return d
+
     out = []
     pos = 0
     for m in _LEFT_JOIN_RE.finditer(sql):
-        if sql[:m.start()].count("(") - sql[:m.start()].count(")") > 0:
+        if _depth(sql[:m.start()]) > 0:
             continue
         out.append(sql[pos:m.start()])
         out.append(repl(m))

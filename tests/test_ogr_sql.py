@@ -185,3 +185,26 @@ def test_subquery_left_join_untouched(spark):
         "(SELECT sbase.fid FROM sbase LEFT JOIN ss1 ON sbase.k1 = ss1.k1)",
     ).collect()
     assert rows[0]["n"] == 2   # all matches: the dialect rewrite stayed out
+
+
+def test_first_match_rewrite_ignores_literal_parens(spark):
+    """A '(' inside a string literal must not make the depth counter
+    treat a depth-0 LEFT JOIN as a subquery join."""
+    import pandas as pd
+
+    from gdal_spark.sql.ogr_dialect import ogr_sql, register_layer
+
+    base = spark.createDataFrame(pd.DataFrame(
+        [{"fid": 1, "k": 10, "tag": "("}, {"fid": 2, "k": 20, "tag": "x"}]))
+    sec = spark.createDataFrame(pd.DataFrame(
+        [{"fid": i, "k2": k, "v": f"v{i}"} for i, k in
+         [(1, 10), (2, 10), (3, 20)]]))
+    register_layer(spark, "pbase", base, wkb_col=None)
+    register_layer(spark, "psec", sec, wkb_col=None)
+    rows = ogr_sql(
+        spark,
+        "SELECT pbase.fid, psec.v FROM pbase "
+        "LEFT JOIN psec ON pbase.k = psec.k2 WHERE pbase.tag = '('"
+    ).collect()
+    # first-match semantics: ONE row for the matching base feature
+    assert len(rows) == 1 and rows[0]["v"] == "v1"

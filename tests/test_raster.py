@@ -263,3 +263,28 @@ def test_polygonize_boundary_assembler_parity(spark):
     assert comp_info[1] == 48 * 48 - 16 * 16   # pixel count
     assert comp_info[2] == 2                   # outer + hole
     assert comp_info[3] == (256.0, 2304.0)     # ring areas
+
+
+def test_polygonize_boundary_ring_order_outer_first(spark):
+    """The boundary assembler must emit the EXTERIOR ring first in the
+    WKB (ring ids are hash-derived, so only the |area| ordering
+    guarantees it); regression for a donut whose hole hashed lower."""
+    from gdal_spark.kernels import wkb as kwkb
+    from gdal_spark.operators.polygonize import polygonize_tiles
+
+    ts = 16
+    img = np.zeros((ts, ts), dtype=np.uint8)
+    img[2:14, 2:14] = 7
+    img[6:10, 6:10] = 0                    # hole -> donut component
+    tiles = spark.createDataFrame(pd.DataFrame([{
+        "z": 0, "tx": 0, "ty": 0, "band": 1,
+        "px": img.tobytes(), "checksum": 0}]))
+    out = polygonize_tiles(tiles, tile_size=ts, nodata=0,
+                           assemble="boundary").collect()
+    donut = [r for r in out if r["n_rings"] == 2]
+    assert donut, "expected a two-ring component"
+    rings = kwkb.polygon_rings(bytes(donut[0]["wkb"]))
+    def _abs_area(r):
+        x, y = r[:, 0], r[:, 1]
+        return abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))) / 2
+    assert _abs_area(np.asarray(rings[0])) > _abs_area(np.asarray(rings[1]))
