@@ -122,6 +122,8 @@ _DEFERRED = [
     "la_line_clip",
     # raster_calc/reclassify keep the per-pixel-map family rows
     "color_relief",
+    # remaining area-kernel twins of warp_average (driver row holder)
+    "warp_sum", "warp_min", "warp_max", "warp_rms",
 ]
 
 

@@ -1296,3 +1296,54 @@ def color_relief_q(spark, sf_dir):
     return out.mapInPandas(
         _rows, "band long, r long, c long, value long"
     ).orderBy("band", "r", "c")
+
+
+def _area_kernel_sql(agg_expr: str) -> str:
+    return f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c, ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    q AS (
+      SELECT r.i AS r, c.i AS c
+      FROM generate_series(0, {_WARP_DTS - 1}) r(i),
+           generate_series(0, {_WARP_DTS - 1}) c(i)
+    )
+    SELECT q.r, q.c, {agg_expr} AS value
+    FROM q JOIN gpx g
+      ON  g.c + 0.5e0 >= 2.5e0 * q.c AND g.c + 0.5e0 < 2.5e0 * q.c + 2.5e0
+      AND g.r + 0.5e0 >= 2.5e0 * q.r AND g.r + 0.5e0 < 2.5e0 * q.r + 2.5e0
+    GROUP BY q.r, q.c
+    ORDER BY q.r, q.c
+"""
+
+
+register(
+    "warp_sum",
+    sql=_area_kernel_sql(
+        "LEAST(GREATEST(CAST(FLOOR(SUM(CAST(g.v AS DOUBLE)) + 0.5) "
+        "AS BIGINT), 0), 255)"),
+    desc="tile warp, area-sum kernel (GWKAverageOrMode GRA_Sum role): "
+         "clamped byte sum of footprint pixels",
+)(_warp_query("sum"))
+
+register(
+    "warp_min",
+    sql=_area_kernel_sql("CAST(MIN(g.v) AS BIGINT)"),
+    desc="tile warp, area-min kernel (GRA_Min)",
+)(_warp_query("min"))
+
+register(
+    "warp_max",
+    sql=_area_kernel_sql("CAST(MAX(g.v) AS BIGINT)"),
+    desc="tile warp, area-max kernel (GRA_Max)",
+)(_warp_query("max"))
+
+register(
+    "warp_rms",
+    sql=_area_kernel_sql(
+        "LEAST(GREATEST(CAST(FLOOR(SQRT(SUM(CAST(g.v AS DOUBLE) * g.v) "
+        "/ COUNT(*)) + 0.5) AS BIGINT), 0), 255)"),
+    desc="tile warp, area-RMS kernel (GRA_RMS): sqrt(mean of squares) "
+         "over the footprint",
+)(_warp_query("rms"))
