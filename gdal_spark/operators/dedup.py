@@ -21,6 +21,7 @@ signatures.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .text import tokens_col
 
@@ -81,7 +82,56 @@ HOT_BAND_ROWS = 64     # bucket size above which the self-join is salted
 MAX_BAND_SALT = 16
 
 
-_LAST_BANDS = None
+def salted_self_pairs(rows: DataFrame, key_cols: list[str],
+                      id_col: str = "id",
+                      hot_threshold: int = HOT_BAND_ROWS,
+                      max_salt: int = MAX_BAND_SALT) -> DataFrame:
+    """All unordered same-key row pairs from a SALTED self equi-join.
+
+    The generic LSH-bucket pair enumerator shared by MinHash banding
+    and the embedding sign-bucket near-dup path.  Hot buckets
+    (boilerplate text, mass-duplicated embeddings) would make one
+    shuffle bucket quadratic; a per-key window count picks a salt
+    factor r, the left side scatters by hash(id)%r and the right side
+    replicates r ways, so a hot bucket's pair work spreads over r
+    tasks while every unordered pair is still produced exactly once
+    (the id< filter survives for exactly one salt value).  Output is
+    bit-identical to the unsalted join — tests assert it.
+
+    The window count shuffles `rows` by key ONCE and Catalyst reuses
+    that exchange for both join sides (ReusedExchange in the plan), so
+    the upstream lineage (shingle→minhash, embedding→signature) runs a
+    single time with NO persist and no cache-lifecycle bookkeeping
+    (round-2 wrong #3: a module-global persist registry).
+
+    Non-key, non-id payload columns are carried through with _a/_b
+    suffixes.  Returns one row per (pair, shared key value):
+    (id_a, id_b, *key_cols, *payload_a, *payload_b).
+    """
+    payload = [c for c in rows.columns if c not in key_cols and c != id_col]
+    w = Window.partitionBy(*key_cols)
+    salted = rows.withColumn(
+        "_r",
+        F.greatest(
+            F.lit(1),
+            F.least(F.lit(max_salt),
+                    F.ceil(F.count("*").over(w) / F.lit(hot_threshold))
+                    .cast("int")),
+        ),
+    )
+    left = salted.withColumn(
+        "_s", F.pmod(F.xxhash64(id_col), F.col("_r")).cast("int")).drop("_r")
+    right = salted.withColumn(
+        "_s", F.explode(F.sequence(F.lit(0), F.col("_r") - 1))).withColumn(
+        "_s", F.col("_s").cast("int")).drop("_r")
+    for c in payload + [id_col]:
+        left = left.withColumnRenamed(c, "id_a" if c == id_col else c + "_a")
+        right = right.withColumnRenamed(c, "id_b" if c == id_col else c + "_b")
+    return (
+        left.join(right, key_cols + ["_s"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("_s")
+    )
 
 
 def minhash_band_pairs(df: DataFrame, text_col: str = "text",
@@ -90,16 +140,8 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
     """Candidate near-dup pairs: docs sharing >=1 LSH band.
 
     Pairs come from an equi-join on (band_idx, band_value) — the
-    scale path: no all-pairs work, shuffle keyed by band value.
-
-    Hot bands (boilerplate text shared by millions of docs) would
-    make one shuffle bucket quadratic; they are SALTED: per-(bi,bv)
-    counts pick a salt factor r, the left side scatters by
-    hash(id)%r and the right side replicates r ways, so a hot
-    bucket's pair work spreads over r tasks while every unordered
-    pair is still produced exactly once (left=min-id arrangement
-    survives the id< filter for exactly one salt value).  Output is
-    bit-identical to the unsalted join — tests assert it.
+    scale path: no all-pairs work, shuffle keyed by band value, hot
+    bands salted (see salted_self_pairs).
 
     Returns (id_a, id_b, shared_bands) with id_a < id_b.
     """
@@ -113,49 +155,10 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
             ])
         ).alias("b"),
     ).select("id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
-    # the band rows feed THREE consumers (counts, join left, join
-    # right); without a persist the whole shingle->minhash lineage
-    # runs three times.  MEMORY_AND_DISK keeps the reuse
-    # fault-tolerant at cluster scale (spills, recomputes on loss).
-    # Repeated invocations would pin one cached lineage each, so the
-    # previous call's bands are released first (bounded at one).
-    from pyspark import StorageLevel
-    global _LAST_BANDS
-    if _LAST_BANDS is not None:
-        try:
-            _LAST_BANDS.unpersist()
-        except Exception:
-            pass
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-    _LAST_BANDS = bands
-    # per-bucket salt factor: 1 for light buckets, ceil(n/threshold)
-    # (clamped) for hot ones; the counts aggregate is map-side partial
-    # and shuffles on the same (bi,bv) key as the join itself
-    counts = bands.groupBy("bi", "bv").agg(F.count("*").alias("_n")).select(
-        "bi", "bv",
-        F.greatest(
-            F.lit(1),
-            F.least(F.lit(MAX_BAND_SALT),
-                    F.ceil(F.col("_n") / F.lit(hot_threshold)).cast("int")),
-        ).alias("_r"),
-    )
-    left = (
-        bands.join(counts, ["bi", "bv"])
-        .withColumn("_s", F.pmod(F.xxhash64("id"), F.col("_r")).cast("int"))
-        .drop("_r")
-        .alias("l")
-    )
-    right = (
-        bands.join(counts, ["bi", "bv"])
-        .withColumn("_s", F.explode(F.sequence(F.lit(0), F.col("_r") - 1)))
-        .withColumn("_s", F.col("_s").cast("int"))
-        .drop("_r")
-        .alias("r")
-    )
     return (
-        left.join(right, ["bi", "bv", "_s"], "inner")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        salted_self_pairs(bands, ["bi", "bv"], "id",
+                          hot_threshold=hot_threshold)
+        .groupBy("id_a", "id_b")
         .agg(F.countDistinct("bi").alias("shared_bands"))
     )
 
