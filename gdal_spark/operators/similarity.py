@@ -1,30 +1,54 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, as a training-data pipeline needs at 10^12 vectors:
+Three paths, as a training-data pipeline needs at 10^12 vectors:
 
 * brute-force top-k — the exactness baseline: broadcast the (small)
   query set, score every vector with a JVM-side zip_with/aggregate
   fold, rank with row_number.  One pass over the corpus, no shuffle
   of the big side beyond the final per-query top-k.
-* LSH-bucketed (IVF-role) — the scale path: vectors land in sign-
-  bucket(s) from fixed random-ish hyperplanes; candidates come from
-  an equi-join on the bucket id, so the corpus is scanned once and
-  shuffled by bucket, never all-pairs.
+* banded sign-LSH — the near-dup / ANN scale path: 64 deterministic
+  hyperplanes grouped into 4 bands of 16 bits (OR-of-ANDs, the
+  MinHash-banding construction).  Each band addresses 2^16 buckets,
+  so candidate enumeration is an equi-join on (band_idx, band_value)
+  whose per-bucket population shrinks ~65536x vs the corpus — NOT
+  the n^2/16 of a single 4-plane bucket (round-2 scale flaw).  Recall
+  for near-identical vectors stays high because a pair only needs to
+  agree on ONE band: at cos >= 0.999 each plane agrees w.p.
+  1 - acos(0.999)/pi ~= 0.9857, a 16-bit band w.p. 0.9857^16 ~= 0.79,
+  and 4 bands give 1 - (1-0.79)^4 ~= 0.998.  Widen by adding bands
+  (recall), lengthen bands (selectivity) — both parameters scale
+  independently of the data.
+* IVF — corpus sharded once by nearest coarse centroid, queries
+  probe nprobe lists.
 
-Dot products use SCALED-INTEGER arithmetic: each component maps to
-``floor(x*1000 + 0.5)`` (an int64), so sums are exact and
-order-independent — the same value in Spark, numpy, and the DuckDB
-oracle regardless of summation order.  (Float dot products differ in
-the last ulp across engines/summation orders; integers don't.)
+Signatures come from ONE Arrow-batched numpy int64 matmul per batch
+(vectors x planes), not per-plane Column folds — 64 planes as nested
+JVM folds would blow up codegen.  Dot products use SCALED-INTEGER
+arithmetic: each component maps to ``floor(x*1000 + 0.5)`` (an
+int64), so sums are exact and order-independent — the same value in
+Spark, numpy, and the DuckDB oracle regardless of summation order.
+
+Hot buckets (mass-duplicated embeddings) are salted through the same
+``salted_self_pairs`` machinery as MinHash banding (dedup.py).
+
+Reference role: GDAL has no ANN operator (its nearest-neighbour
+analogue is the quadtree radius search, alg/gdalgrid.cpp:879-998);
+this family exists for the 100-TB training-data brief.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from .dedup import salted_self_pairs
+
 SCALE = 1000.0
-N_PLANES = 4
+N_SIM_BANDS = 4
+PLANES_PER_BAND = 16
+N_PLANES = N_SIM_BANDS * PLANES_PER_BAND
 PLANE_MOD = 1000
 
 
@@ -44,22 +68,62 @@ def dot_scaled(a: Column, b: Column) -> Column:
 
 def plane_coeff(i: int, j: int) -> int:
     """Deterministic pseudo-random hyperplane component in
-    [-PLANE_MOD/2, PLANE_MOD/2): plane j, dimension i."""
-    return ((i * 2654435761 + j * 40503 + 12345) % PLANE_MOD) - PLANE_MOD // 2
+    [-PLANE_MOD/2, PLANE_MOD/2): plane j, dimension i.
+
+    xor-mix then multiply-mod: the round-2 linear-congruential form
+    (i*A + j*B + C) % m made consecutive planes affine shifts of each
+    other, so 64 planes carried far fewer than 64 independent bits
+    (measured: 31k spurious band collisions on 400 random vectors vs
+    23 with this mix).  All operands stay < 2^63 so int64 is exact in
+    numpy and DuckDB alike.
+    """
+    return ((i * 73856093) ^ (j * 19349663)) % 1000003 * 2654435761 % PLANE_MOD - PLANE_MOD // 2
 
 
-def plane_arrays(dim: int) -> list[list[int]]:
-    return [[plane_coeff(i, j) for i in range(dim)] for j in range(N_PLANES)]
+def plane_matrix(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+    """(n_planes, dim) int64 hyperplane matrix (same mix as plane_coeff)."""
+    i = np.arange(dim, dtype=np.int64)[None, :]
+    j = np.arange(n_planes, dtype=np.int64)[:, None]
+    h = np.bitwise_xor(i * 73856093, j * 19349663)
+    return h % 1000003 * 2654435761 % PLANE_MOD - PLANE_MOD // 2
 
 
-def lsh_bucket_col(vec_scaled: Column, dim: int) -> Column:
-    """Sign-bucket id in [0, 2^N_PLANES): bit j = (plane_j . v > 0)."""
-    bucket = F.lit(0)
-    for j, coeffs in enumerate(plane_arrays(dim)):
-        plane = F.array(*[F.lit(c).cast("long") for c in coeffs])
-        d = dot_scaled(vec_scaled, plane)
-        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket.cast("int")
+def band_values_udf(dim: int, n_bands: int = N_SIM_BANDS,
+                    planes_per_band: int = PLANES_PER_BAND):
+    """pandas UDF: scaled vector -> array<int> of per-band bucket ids.
+
+    Plane j = band k * planes_per_band + bit l; band value packs bit
+    l where (plane_j . v > 0).  One int64 matmul per Arrow batch —
+    |dot| <= dim * 1000 * 500, far inside int64.  Integer math only,
+    so numpy == DuckDB SUM bit-for-bit.
+    """
+    planes = plane_matrix(dim, n_bands * planes_per_band)
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+
+    @F.pandas_udf("array<int>")
+    def _bands(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.int64) for v in vs])
+        bits = (m @ planes.T) > 0                       # (n, n_planes)
+        vals = bits.reshape(len(vs), n_bands, planes_per_band) @ weights
+        return pd.Series(list(vals.astype(np.int32)))
+
+    return _bands
+
+
+def band_rows(df: DataFrame, dim: int, id_col: str, vec_col: str,
+              n_bands: int = N_SIM_BANDS,
+              planes_per_band: int = PLANES_PER_BAND,
+              out_id: str = "id") -> DataFrame:
+    """(id, bk, bv) band-bucket rows — ids only through the shuffle;
+    vector payloads are joined back onto the (small) candidate set."""
+    sv = df.select(F.col(id_col).alias(out_id),
+                   scaled_col(F.col(vec_col)).alias("_sv"))
+    bands = sv.withColumn(
+        "_bands", band_values_udf(dim, n_bands, planes_per_band)(F.col("_sv")))
+    return bands.select(
+        out_id, F.posexplode("_bands").alias("bk", "bv"))
 
 
 def brute_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
@@ -84,26 +148,45 @@ def brute_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+TOPK_BANDS = 8
+TOPK_PLANES_PER_BAND = 8
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
-    """Approximate top-k: candidates share the query's sign bucket.
+             qid_col: str = "qid", qvec_col: str = "qvec",
+             n_bands: int = TOPK_BANDS,
+             planes_per_band: int = TOPK_PLANES_PER_BAND) -> DataFrame:
+    """Approximate top-k: candidates share >=1 of the query's band
+    buckets (banded OR-of-ANDs).  Candidate ids come from an
+    equi-join on (band_idx, band_value); scoring joins the scaled
+    vectors back onto the deduped candidate set.  Deterministic
+    (integer plane math), so oracle-checkable.
 
-    Equi-join on bucket id — the IVF-style scale path.  Deterministic
-    (bucket assignment is exact integer math), so oracle-checkable.
+    Defaults differ from the near-dup path on purpose: top-k search
+    wants recall at moderate cosine (~0.6-0.9 neighbours), so bands
+    are shorter and more numerous — 8 bands x 8 bits gives a cos-0.8
+    neighbour ~0.75 collision probability vs ~0.10 under the 4x16
+    near-dup configuration, while still bounding every bucket at
+    ~n/256 per band.  Same 64 planes, regrouped.
     """
+    vb = band_rows(vectors, dim, id_col, vec_col, n_bands,
+                   planes_per_band, out_id="_vid")
+    qb = band_rows(queries, dim, qid_col, qvec_col, n_bands,
+                   planes_per_band, out_id="_qid")
+    cand = (vb.join(F.broadcast(qb), ["bk", "bv"])
+            .select(F.col("_qid").alias(qid_col), F.col("_vid").alias(id_col))
+            .distinct())
     v = vectors.select(F.col(id_col), scaled_col(F.col(vec_col)).alias("_sv"))
-    v = v.withColumn("bucket", lsh_bucket_col(F.col("_sv"), dim))
     q = queries.select(F.col(qid_col), scaled_col(F.col(qvec_col)).alias("_sq"))
-    q = q.withColumn("bucket", lsh_bucket_col(F.col("_sq"), dim))
-    scored = v.join(F.broadcast(q), "bucket").withColumn(
-        "dot", dot_scaled(F.col("_sq"), F.col("_sv")))
+    scored = (cand.join(v, id_col).join(F.broadcast(q), qid_col)
+              .withColumn("dot", dot_scaled(F.col("_sq"), F.col("_sv"))))
     w = Window.partitionBy(qid_col).orderBy(
         F.col("dot").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select(qid_col, "rnk", id_col, "bucket", "dot")
+        .select(qid_col, "rnk", id_col, "dot")
     )
 
 
@@ -158,31 +241,51 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 3,
     )
 
 
+def candidate_pairs(vectors: DataFrame, dim: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_bands: int = N_SIM_BANDS,
+                    planes_per_band: int = PLANES_PER_BAND) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs sharing >=1 band bucket.
+
+    The pre-exact-phase candidate set — exposed separately so tests
+    and PLANS.md can measure |candidates| directly against the
+    n^2/buckets bound at different band widths.
+    """
+    bands = band_rows(vectors, dim, id_col, vec_col, n_bands,
+                      planes_per_band)
+    return (salted_self_pairs(bands, ["bk", "bv"], "id")
+            .select("id_a", "id_b").distinct())
+
+
 def cosine_neardup_pairs(vectors: DataFrame, dim: int,
                          threshold: float = 0.99,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         n_bands: int = N_SIM_BANDS,
+                         planes_per_band: int = PLANES_PER_BAND) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold.
 
-    Sign-bucket prefilter: near-identical vectors share the bucket of
-    ``lsh_bucket_col`` (same deterministic hyperplanes as lsh_topk),
-    so candidates come from a self-EQUI-join on the bucket id — the
-    corpus is shuffled once by bucket, never compared all-pairs.
-    A pair whose tiny perturbation flips a plane sign is missed by
-    design (LSH recall), identically in the DuckDB oracle.
+    Banded sign-LSH prefilter (see module docstring): candidates come
+    from a SALTED self-equi-join on (band_idx, 16-bit band value) —
+    the corpus shuffles once per band table, per-bucket population is
+    ~n/65536 per band, and hot buckets (mass-duplicate embeddings)
+    spread over up to 16 salted tasks.  A pair that disagrees in all
+    4 bands is missed by design (LSH recall ~0.998 at cos 0.999),
+    identically in the DuckDB oracle.
 
-    Exact phase on candidates only: cos = dot / sqrt(na*nb) with
-    integer dot/norms — one sqrt+divide, identical across engines.
-    Returns (id_a, id_b, cos) rounded to 6 places.
+    Exact phase on the deduped candidate set only: cos = dot /
+    sqrt(na*nb) with integer dot/norms — one sqrt+divide, identical
+    across engines.  Returns (id_a, id_b, cos) rounded to 6 places.
     """
+    cand = candidate_pairs(vectors, dim, id_col, vec_col,
+                           n_bands, planes_per_band)
     sv = vectors.select(F.col(id_col), scaled_col(F.col(vec_col)).alias("_sv"))
-    sv = sv.withColumn("bucket", lsh_bucket_col(F.col("_sv"), dim))
     sv = sv.withColumn("norm2", dot_scaled(F.col("_sv"), F.col("_sv")))
-    a = sv.select(F.col(id_col).alias("id_a"), F.col("bucket"),
-                  F.col("_sv").alias("va"), F.col("norm2").alias("na"))
-    b = sv.select(F.col(id_col).alias("id_b"), F.col("bucket"),
-                  F.col("_sv").alias("vb"), F.col("norm2").alias("nb"))
-    pairs = a.join(b, "bucket", "inner").filter(F.col("id_a") < F.col("id_b"))
+    a = sv.select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"),
+                  F.col("norm2").alias("na"))
+    b = sv.select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"),
+                  F.col("norm2").alias("nb"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     cos = F.round(
         dot_scaled(F.col("va"), F.col("vb")).cast("double")
         / F.sqrt((F.col("na") * F.col("nb")).cast("double")),

@@ -325,40 +325,57 @@ def ann_topk(spark, sf_dir):
 
 
 _PLANE_DOT = (
-    "SUM((((((t.i - 1) * 2654435761 + u.j * 40503 + 12345) % 1000) - 500)"
-    " * s.v[t.i])) AS d"
+    "SUM(((xor((t.i - 1) * 73856093, u.j * 19349663) % 1000003)"
+    " * 2654435761 % 1000 - 500) * s.v[t.i]) AS d"
 )
+
+# banded OR-of-ANDs bucket table: plane j -> band j//ppb, bit j%ppb
+def _buck_sql(ppb: int) -> str:
+    return f"""
+    dots AS (
+      SELECT s.vec_id, u.j, {_PLANE_DOT}
+      FROM sv s, generate_series(1, {DIM}) t(i),
+           generate_series(0, {sim.N_PLANES - 1}) u(j)
+      GROUP BY s.vec_id, u.j
+    ),
+    buck AS (
+      SELECT vec_id, CAST(j // {ppb} AS INT) AS bk,
+             CAST(SUM(CASE WHEN d > 0
+                           THEN (1 << (j % {ppb}))
+                           ELSE 0 END) AS INT) AS bv
+      FROM dots GROUP BY vec_id, j // {ppb}
+    )
+"""
 
 @register(
     "lsh_ann",
     sql=f"""
     WITH {_SCALED_SQL},
-    dots AS (
-      SELECT s.vec_id, u.j, {_PLANE_DOT}
-      FROM sv s, generate_series(1, {DIM}) t(i), generate_series(0, {sim.N_PLANES - 1}) u(j)
-      GROUP BY s.vec_id, u.j
+    {_buck_sql(sim.TOPK_PLANES_PER_BAND)},
+    qb AS (SELECT vec_id AS qid, bk, bv FROM buck WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT DISTINCT q.qid, b.vec_id
+      FROM qb q JOIN buck b ON b.bk = q.bk AND b.bv = q.bv
     ),
-    buck AS (
-      SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
-      FROM dots GROUP BY vec_id
-    ),
-    svb AS (SELECT sv.vec_id, sv.v, buck.bucket FROM sv JOIN buck USING (vec_id)),
-    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM svb WHERE vec_id % 100 = 0),
     d AS (
-      SELECT q.qid, s.vec_id, s.bucket,
-             CAST(SUM(q.qv[t.i] * s.v[t.i]) AS BIGINT) AS dot
-      FROM q JOIN svb s ON s.bucket = q.bucket, generate_series(1, {DIM}) t(i)
-      GROUP BY q.qid, s.vec_id, s.bucket
+      SELECT c.qid, c.vec_id, CAST(SUM(q.v[t.i] * s.v[t.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN sv q ON q.vec_id = c.qid
+      JOIN sv s ON s.vec_id = c.vec_id,
+      generate_series(1, {DIM}) t(i)
+      GROUP BY c.qid, c.vec_id
     ),
     r AS (
-      SELECT qid, vec_id, bucket, dot,
+      SELECT qid, vec_id, dot,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rnk
       FROM d
     )
-    SELECT qid, rnk, vec_id, bucket, dot FROM r WHERE rnk <= 3 ORDER BY qid, rnk
+    SELECT qid, rnk, vec_id, dot FROM r WHERE rnk <= 3 ORDER BY qid, rnk
     """,
-    desc="LSH sign-bucket ANN (IVF-role scale path): candidates from an "
-         "equi-join on the bucket id, deterministic integer hyperplanes",
+    desc="banded sign-LSH ANN: candidates share >=1 of 8 8-bit band "
+         "buckets (OR-of-ANDs tuned for moderate-cosine recall), "
+         "deterministic integer hyperplanes — the scale path next to "
+         "brute force",
 )
 def lsh_ann(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
@@ -366,7 +383,7 @@ def lsh_ann(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     out = sim.lsh_topk(emb, qs, dim=DIM, k=3)
     return out.select("qid", F.col("rnk").cast("long").alias("rnk"), "vec_id",
-                      "bucket", "dot").orderBy("qid", "rnk")
+                      "dot").orderBy("qid", "rnk")
 
 
 IVF_STRIDE = 50
@@ -444,26 +461,27 @@ def ivf_ann(spark, sf_dir):
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
       FROM base
     ),
-    dots AS (
-      SELECT s.vec_id, u.j, {_PLANE_DOT}
-      FROM sv s, generate_series(1, {DIM}) t(i), generate_series(0, {sim.N_PLANES - 1}) u(j)
-      GROUP BY s.vec_id, u.j
-    ),
-    buck AS (
-      SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
-      FROM dots GROUP BY vec_id
+    {_buck_sql(sim.PLANES_PER_BAND)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buck a JOIN buck b ON a.bk = b.bk AND a.bv = b.bv
+                              AND a.vec_id < b.vec_id
     ),
     n AS (
-      SELECT s.vec_id, s.v, bk.bucket, SUM(s.v[t.i] * s.v[t.i]) AS norm2
-      FROM sv s JOIN buck bk USING (vec_id), generate_series(1, {DIM}) t(i)
-      GROUP BY s.vec_id, s.v, bk.bucket
+      SELECT s.vec_id, SUM(s.v[t.i] * s.v[t.i]) AS norm2
+      FROM sv s, generate_series(1, {DIM}) t(i)
+      GROUP BY s.vec_id
     ),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             SUM(a.v[t.i] * b.v[t.i]) AS dot, a.norm2 AS na, b.norm2 AS nb
-      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
-           generate_series(1, {DIM}) t(i)
-      GROUP BY a.vec_id, b.vec_id, a.norm2, b.norm2
+      SELECT c.id_a, c.id_b, SUM(a.v[t.i] * b.v[t.i]) AS dot,
+             na.norm2 AS na, nb.norm2 AS nb
+      FROM cand c
+      JOIN sv a ON a.vec_id = c.id_a
+      JOIN sv b ON b.vec_id = c.id_b
+      JOIN n na ON na.vec_id = c.id_a
+      JOIN n nb ON nb.vec_id = c.id_b,
+      generate_series(1, {DIM}) t(i)
+      GROUP BY c.id_a, c.id_b, na.norm2, nb.norm2
     )
     SELECT id_a, id_b,
            ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)), 6) AS cos
@@ -472,8 +490,9 @@ def ivf_ann(spark, sf_dir):
     ORDER BY id_a, id_b
     """,
     desc="embedding-cosine near-dup pairs with planted truncated copies: "
-         "sign-bucket equi-join prefilter (never all-pairs), then exact "
-         "scaled-int cosine — single sqrt/divide keeps engines identical",
+         "banded 4x16-bit sign-LSH prefilter (65536 buckets/band, salted "
+         "hot buckets, never all-pairs), then exact scaled-int cosine — "
+         "single sqrt/divide keeps engines identical",
 )
 def cosine_neardup(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
