@@ -88,16 +88,28 @@ def big_join_docs_per_sec(spark):
     return round(BIG_JOIN_N / dt, 1), round(dt, 3)
 
 
+N_RUNS = 3
+
+
 def run(spark, sf_dir, names, queries):
-    times = {}
+    """Per-query min-of-N: identical plans measure 2-20x apart on a
+    bursty host (BENCH.md), so a single sample cannot distinguish a
+    regression from noise — the round-2 suite's defect.  The spread
+    (max/min) is reported alongside so BENCH.md can attribute
+    deltas to code or to host."""
+    times, spread = {}, {}
     for name in names:
         if name not in queries:
             continue
-        t0 = time.time()
-        df = queries[name].fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
-    return times
+        samples = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            df = queries[name].fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.time() - t0)
+        times[name] = round(min(samples), 3)
+        spread[name] = round(max(samples) / min(samples), 2)
+    return times, spread
 
 
 def main():
@@ -114,7 +126,7 @@ def main():
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     names = [n for n in HEADLINE if n in QUERIES]
-    times = run(spark, sf_dir, names, QUERIES)
+    times, spread = run(spark, sf_dir, names, QUERIES)
     total = round(sum(times.values()), 3)
 
     docs_per_sec, big_wall = big_join_docs_per_sec(spark)
@@ -125,6 +137,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_spread_max_over_min": spread,
+        "n_runs_per_query": N_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
         "spatial_join_docs_per_sec": docs_per_sec,
