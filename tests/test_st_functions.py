@@ -216,3 +216,82 @@ def test_st_intersection_line_polygon(st):
     assert abs(row["len_in"] - 4.0) < 1e-9
     assert abs(row["len_out"] - 6.0) < 1e-9        # 2 + 4 outside
     assert abs(row["area_keep"] - 40.0) < 1e-9
+
+
+# ---- round-3 registry parity (ogrsqlitesqlfunctions.cpp:1188-1240) ----
+BOWTIE = "st_geomfromtext('POLYGON((0 0,10 10,0 10,10 0,0 0))')"
+
+
+def test_st_issimple(st):
+    assert _one(st, f"st_issimple({SQ_A})") is True
+    assert _one(st, f"st_issimple({BOWTIE})") is False
+    assert _one(st, "st_issimple(st_makepoint(1, 2))") is True
+    import pandas as pd
+
+    df = st.createDataFrame(pd.DataFrame({
+        "line": [kwkb.wkb_linestring(
+                     np.array([(0.0, 0.0), (4.0, 4.0), (4.0, 0.0)])),
+                 kwkb.wkb_linestring(
+                     np.array([(0.0, 0.0), (4.0, 4.0), (4.0, 0.0),
+                               (0.0, 4.0)]))]}))
+    df.createOrReplaceTempView("simp_l")
+    rows = st.sql("SELECT st_issimple(line) AS v FROM simp_l").collect()
+    assert [r["v"] for r in rows] == [True, False]
+
+
+def test_st_isvalid(st):
+    assert _one(st, f"st_isvalid({SQ_A})") is True
+    assert _one(st, f"st_isvalid({BOWTIE})") is False
+    # hole outside the shell -> invalid
+    escaped = ("st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0),"
+               "(10 10,11 10,11 11,10 11,10 10))')")
+    assert _one(st, f"st_isvalid({escaped})") is False
+    donut = ("st_geomfromtext('POLYGON((0 0,10 0,10 10,0 10,0 0),"
+             "(4 4,6 4,6 6,4 6,4 4))')")
+    assert _one(st, f"st_isvalid({donut})") is True
+    assert _one(st, "st_isvalid(st_makepoint(1, 2))") is True
+
+
+def test_st_disjoint(st):
+    assert _one(st, f"st_disjoint({SQ_A}, st_makepoint(2, 2))") is False
+    assert _one(st, f"st_disjoint({SQ_A}, st_makepoint(9, 9))") is True
+    assert _one(st, f"st_disjoint({SQ_A}, {SQ_FAR})") is True
+
+
+def test_st_asbinary_geomfromwkb_srid(st):
+    txt = _one(st, "st_astext(st_geomfromwkb(st_asbinary("
+                   "st_makepoint(3, 4))))")
+    assert txt == "POINT (3 4)"
+    assert _one(st, "st_srid(st_makepoint(1, 1))") == 4326
+    rt = _one(st, f"st_area(st_geomfromwkb(st_asbinary({SQ_A})))")
+    assert rt == 16.0
+
+
+def test_vectorized_contains_matches_scalar_10k(st):
+    """The batched point-decode + per-unique-polygon ray-cast path
+    must agree with the per-row fallback on 10k rows and not take
+    per-row-Python time (the kernel call count is what matters; the
+    wall bound just guards an accidental fallback)."""
+    import time
+
+    import pandas as pd
+
+    from gdal_spark.functions import st as stmod
+
+    polys = [kwkb.wkb_polygon([np.array(
+        [(0.0, 0.0), (4.0 + k, 0.0), (4.0 + k, 4.0 + k), (0.0, 4.0 + k),
+         (0.0, 0.0)])]) for k in range(5)]
+    n = 10_000
+    pa = pd.Series([polys[i % 5] for i in range(n)])
+    pb = pd.Series([kwkb.wkb_point(float(i % 13), float(i % 11))
+                    for i in range(n)])
+    t0 = time.time()
+    fast = stmod._st_contains(pa, pb)
+    dt_fast = time.time() - t0
+    assert stmod._decode_points_batch(pb) is not None  # batch path taken
+    # force the scalar fallback by appending a non-point row, then
+    # compare the overlapping prefix
+    slow = pd.Series([stmod._contains_point(a, *kwkb.parse_wkb(bytes(b))[1])
+                      for a, b in zip(pa[:500], pb[:500])])
+    assert list(fast[:500]) == list(slow)
+    assert dt_fast < 2.0, f"vectorized contains took {dt_fast:.2f}s for 10k"
