@@ -93,6 +93,22 @@ def edges_table(polys: DataFrame) -> DataFrame:
     return polys.select("fid", "wkb").mapInPandas(gen, _EDGES_SCHEMA)
 
 
+def prepare_edges(polys: DataFrame) -> DataFrame:
+    """Build and persist the exact-phase edge table for a polygon
+    layer ONCE, for reuse across spatial_join calls.
+
+    The edge build is the only Python (Arrow) stage in the join; a
+    layer queried repeatedly (the tile pipeline, the bench, any
+    dashboard) should pay it once, not per call.  The caller owns the
+    lifecycle (``.unpersist()`` when done) — deliberately no hidden
+    module-level registry (see round-2 wrong #3).  Persisted
+    MEMORY_AND_DISK: spills under pressure, recomputes on loss.
+    """
+    from pyspark import StorageLevel
+
+    return edges_table(polys).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _exact_pip_cogroup(cand_pdf: pd.DataFrame,
                        poly_pdf: pd.DataFrame) -> pd.DataFrame:
     """Cogrouped-by-fid exact phase: decode this fid's WKB once, test
@@ -109,7 +125,8 @@ def _exact_pip_cogroup(cand_pdf: pd.DataFrame,
 def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
                  zoom: int = DEFAULT_ZOOM, how: str = "inner",
                  broadcast: bool | None = None, salt: int | str = 0,
-                 first_match: bool = False, exact: str = "column") -> DataFrame:
+                 first_match: bool = False, exact: str = "column",
+                 edges: DataFrame | None = None) -> DataFrame:
     """Join point rows to containing polygons.
 
     points : any DF with double columns x, y (see extract_geo_points)
@@ -125,6 +142,9 @@ def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
              top of AQE (north_rule).  0/1 = unsalted.
     first_match : emit at most one polygon per point (lowest fid) —
              OGR SQL join cardinality (ogr_gensql.cpp:1497-1527).
+    edges  : pre-built edge table from ``prepare_edges(polys)`` —
+             reuses one persisted edge build across repeated joins on
+             the same layer instead of a fresh Python stage per call.
     """
     pts = points.withColumn("cell", gf.cell_col(grid, zoom, F.col("x"), F.col("y")))
 
@@ -170,7 +190,8 @@ def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
     # in whole-stage codegen; ~10x the Arrow-UDF path and no Python
     # workers at all); cogrouped pandas kernel path for bit-match demos
     if exact == "column":
-        edges = edges_table(polys)
+        if edges is None:
+            edges = edges_table(polys)
         edges = F.broadcast(edges) if broadcast is not False else edges
         cand = cand.join(edges, "fid", "inner")
         matched = cand.filter(

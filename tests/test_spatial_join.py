@@ -142,6 +142,28 @@ def test_exact_pandas_path_matches_column(data):
     assert _got_pairs(joined) == want
 
 
+def test_prepare_edges_reused_across_calls(data):
+    """A prepared (persisted) edge table must serve repeated joins on
+    the same polygon layer from cache: the second call's plan reads
+    InMemoryTableScan instead of launching a second Python edge stage,
+    and results stay identical to the per-call build."""
+    from gdal_spark.operators.spatial_join import prepare_edges
+
+    docs, polys, grid, pts, want = data
+    edges = prepare_edges(polys)
+    try:
+        j1 = spatial_join(extract_geo_points(docs), polys, grid, zoom=6,
+                          edges=edges)
+        assert _got_pairs(j1) == want  # materializes the cache
+        j2 = spatial_join(extract_geo_points(docs), polys, grid, zoom=6,
+                          edges=edges)
+        plan = j2._jdf.queryExecution().toString()
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        assert _got_pairs(j2) == want
+    finally:
+        edges.unpersist()
+
+
 def test_edges_table_distributed_100k(spark):
     """Edge-table construction is a distributed mapInPandas, never a
     driver collect: a 100k-polygon layer must decode on executors.
