@@ -11,8 +11,20 @@ Faithful transcriptions of the reference algorithms:
   :72, cell-mode dispatch doEdge/doDiagonal/doMin/doMax :77-106,
   setOutput max-propagation :179-192, per-line recurrence
   processLineLeft/Right :687-830).  Heights are normalized to the
-  observer (adjustHeight :244, no-curvature branch); Normal output
-  mode: visible where cell + target_height >= minimum visible height.
+  observer (adjustHeight :244): with curvature enabled each cell is
+  lowered by ``heightAdjFactor * r^2`` where ``heightAdjFactor =
+  curve_coeff / (2 * semi_major)`` (calcHeightAdjFactor :150-171) and
+  r^2 is the geotransform ground distance squared (:280-316).  Output
+  modes (setOutput :179-192): Normal writes visible/invisible from
+  ``cell + target_height >= minimum visible height``; DEM/Ground
+  write ``max(0, base + (min_visible - cell))`` where base is the raw
+  pre-adjustment DEM value (DEM mode, processLine :849-850) or zero
+  (Ground mode) — i.e. the absolute elevation / added height needed
+  for visibility.  ``max_distance`` marks cells with r^2 >
+  max_distance^2 as ``out_of_range`` (adjustHeight LineLimits
+  :286-292; a post-mask is faithful because every in-range cell's
+  recurrence inputs lie closer to the observer and are thus in
+  range).
 
 * ``line_of_sight``: GDALIsLineOfSightVisible
   (/root/reference/alg/los.cpp:136-370): endpoint pre-checks, exact
@@ -61,45 +73,90 @@ def _zcalc(mode: str, nx: int, ny: int, this_prev: float, last: float,
 
 def viewshed(dem: np.ndarray, ox: int, oy: int, observer_z: float = 0.0,
              target_height: float = 0.0, cell_mode: str = "edge",
-             visible: int = 255, invisible: int = 0) -> np.ndarray:
-    """Visibility mask (Normal output mode) for one observer at pixel
-    (ox, oy) inside ``dem``; observer height = dem[oy, ox] +
-    observer_z.  Curvature adjustment off (abstract grid, no SRS)."""
+             visible: int = 255, invisible: int = 0,
+             out_mode: str = "normal", curve_coeff: float = 0.0,
+             semi_major: float = 6378137.0, cell_sx: float = 1.0,
+             cell_sy: float = 1.0, max_distance: float = 0.0,
+             out_of_range: float = 0.0,
+             _force_generic: bool = False) -> np.ndarray:
+    """Viewshed for one observer at pixel (ox, oy) inside ``dem``;
+    observer height = dem[oy, ox] + observer_z.
+
+    out_mode: "normal" (uint8 visible/invisible mask), "dem" (float64
+    absolute elevation needed for visibility) or "ground" (float64
+    height to add to the cell for visibility).  curve_coeff enables
+    the curved-earth adjustment (GDAL's refraction-corrected default
+    is 0.85714); cell_sx/cell_sy are the geotransform pixel sizes that
+    turn pixel offsets into ground distance.  max_distance > 0 masks
+    cells beyond that ground distance with ``out_of_range``."""
+    if out_mode not in ("normal", "dem", "ground"):
+        raise ValueError(f"unknown output mode {out_mode!r}")
     h_rows, w_cols = dem.shape
     if not (0 <= ox < w_cols and 0 <= oy < h_rows):
         raise ValueError("observer must be inside the DEM window")
     zobs = float(dem[oy, ox]) + observer_z
-    out = np.full((h_rows, w_cols), invisible, dtype=np.float64)
+    normal = out_mode == "normal"
+    if normal:
+        out = np.full((h_rows, w_cols), invisible, dtype=np.float64)
+    elif out_mode == "dem":
+        out = dem.astype(np.float64).copy()
+    else:
+        out = np.zeros((h_rows, w_cols), dtype=np.float64)
     th = target_height
+    adj = (curve_coeff / (2.0 * semi_major)) if curve_coeff else 0.0
+    _dx2 = (cell_sx * (np.arange(w_cols, dtype=np.float64) - ox)) ** 2
+
+    def norm_line(y: int) -> np.ndarray:
+        """adjustHeight: normalize a DEM line to the observer, with
+        the curvature term when enabled (viewshed_executor.cpp:
+        280-316 / 318-328)."""
+        h = dem[y].astype(np.float64) - zobs
+        if adj:
+            h -= adj * (_dx2 + (cell_sy * (y - oy)) ** 2)
+        return h
+
+    def setout(y: int, x: int, cellval: float, z: float) -> float:
+        """setOutput (:179-192): write the result cell, return the
+        max-propagated cell value."""
+        if normal:
+            out[y, x] = invisible if cellval + th < z else visible
+        else:
+            out[y, x] = max(0.0, out[y, x] + (z - cellval))
+        return max(cellval, z)
 
     def first_line() -> list:
-        hline = [float(v) - zobs for v in dem[oy]]
-        out[oy, ox] = visible
+        hline = norm_line(oy).tolist()
+        if normal:
+            out[oy, ox] = visible
+        # else: observer cell keeps its base (raw DEM / 0) —
+        # processFirstLine :376 only writes visibleVal in Normal mode
         # left (processFirstLineLeft): adjacent cell always visible
         if ox - 1 >= 0:
-            out[oy, ox - 1] = visible
+            if normal:
+                out[oy, ox - 1] = visible
+            else:
+                hline[ox - 1] = setout(oy, ox - 1, hline[ox - 1],
+                                       hline[ox - 1])
             for x in range(ox - 2, -1, -1):
                 z = calc_height_line(ox - x, hline[x + 1])
-                out[oy, x] = invisible if hline[x] + th < z else visible
-                if z > hline[x]:
-                    hline[x] = z
+                hline[x] = setout(oy, x, hline[x], z)
         if ox + 1 < w_cols:
-            out[oy, ox + 1] = visible
+            if normal:
+                out[oy, ox + 1] = visible
+            else:
+                hline[ox + 1] = setout(oy, ox + 1, hline[ox + 1],
+                                       hline[ox + 1])
             for x in range(ox + 2, w_cols):
                 z = calc_height_line(x - ox, hline[x - 1])
-                out[oy, x] = invisible if hline[x] + th < z else visible
-                if z > hline[x]:
-                    hline[x] = z
+                hline[x] = setout(oy, x, hline[x], z)
         return hline
 
     def process_line(y: int, last: list) -> list:
         m = abs(y - oy)
-        hline = [float(v) - zobs for v in dem[y]]
+        hline = norm_line(y).tolist()
         # center column (processLine :856-874)
         z = hline[ox] if m == 1 else calc_height_line(m, last[ox])
-        out[y, ox] = invisible if hline[ox] + th < z else visible
-        if z > hline[ox]:
-            hline[ox] = z
+        hline[ox] = setout(y, ox, hline[ox], z)
         # left of observer (processLineLeft :723-741)
         for x in range(ox - 1, -1, -1):
             nx = ox - x
@@ -108,9 +165,7 @@ def viewshed(dem: np.ndarray, ox: int, oy: int, observer_z: float = 0.0,
             else:
                 z = _zcalc(cell_mode, nx, m, hline[x + 1], last[x],
                            last[x + 1])
-            out[y, x] = invisible if hline[x] + th < z else visible
-            if z > hline[x]:
-                hline[x] = z
+            hline[x] = setout(y, x, hline[x], z)
         # right of observer (processLineRight :789-807)
         for x in range(ox + 1, w_cols):
             nx = x - ox
@@ -119,9 +174,7 @@ def viewshed(dem: np.ndarray, ox: int, oy: int, observer_z: float = 0.0,
             else:
                 z = _zcalc(cell_mode, nx, m, hline[x - 1], last[x],
                            last[x - 1])
-            out[y, x] = invisible if hline[x] + th < z else visible
-            if z > hline[x]:
-                hline[x] = z
+            hline[x] = setout(y, x, hline[x], z)
         return hline
 
     def process_line_edge(y: int, last: list) -> list:
@@ -133,11 +186,14 @@ def viewshed(dem: np.ndarray, ox: int, oy: int, observer_z: float = 0.0,
         reference twin (test_property_kernels asserts equality)."""
         m = abs(y - oy)
         lastA = np.asarray(last)
-        h = dem[y].astype(np.float64) - zobs
-        vis = np.empty(w_cols, dtype=np.float64)
+        h = norm_line(y)
+        vis = np.empty(w_cols, dtype=np.float64) if normal else out[y].copy()
         # center column
         z = h[ox] if m == 1 else calc_height_line(m, lastA[ox])
-        vis[ox] = invisible if h[ox] + th < z else visible
+        if normal:
+            vis[ox] = invisible if h[ox] + th < z else visible
+        else:
+            vis[ox] = max(0.0, vis[ox] + (z - h[ox]))
         if z > h[ox]:
             h[ox] = z
         for sgn in (-1, 1):                   # left, then right
@@ -148,14 +204,20 @@ def viewshed(dem: np.ndarray, ox: int, oy: int, observer_z: float = 0.0,
                 nx = np.abs(xs - ox)
                 prev = xs + (1 if sgn < 0 else -1)   # toward observer
                 zv = (lastA[prev] * nx + lastA[xs] * (m - nx)) / (m - 1)
-                vis[xs] = np.where(h[xs] + th < zv, invisible, visible)
+                if normal:
+                    vis[xs] = np.where(h[xs] + th < zv, invisible, visible)
+                else:
+                    vis[xs] = np.maximum(0.0, vis[xs] + (zv - h[xs]))
                 h[xs] = np.maximum(h[xs], zv)
             # diagonal cell nx == m
             xd = ox - m if sgn < 0 else ox + m
             if 0 <= xd < w_cols and m >= 1 and xd != ox:
                 zd = (h[xd] if m == 1
                       else calc_height_line(m, lastA[xd - sgn]))
-                vis[xd] = invisible if h[xd] + th < zd else visible
+                if normal:
+                    vis[xd] = invisible if h[xd] + th < zd else visible
+                else:
+                    vis[xd] = max(0.0, vis[xd] + (zd - h[xd]))
                 if zd > h[xd]:
                     h[xd] = zd
             # outer wedge nx > m: sequential toward-observer scan
@@ -166,14 +228,18 @@ def viewshed(dem: np.ndarray, ox: int, oy: int, observer_z: float = 0.0,
             for x in rng:
                 nx = abs(x - ox)
                 zw = calc_height_edge(m, nx, ll[x - sgn], hl[x - sgn])
-                vis[x] = invisible if hl[x] + th < zw else visible
+                if normal:
+                    vis[x] = invisible if hl[x] + th < zw else visible
+                else:
+                    vis[x] = max(0.0, vis[x] + (zw - hl[x]))
                 if zw > hl[x]:
                     hl[x] = zw
             h = np.asarray(hl)
         out[y, :] = vis
         return h.tolist()
 
-    line_fn = (process_line_edge if cell_mode == "edge"
+    line_fn = (process_line_edge
+               if cell_mode == "edge" and not _force_generic
                else process_line)
     base = first_line()
     last = base
@@ -182,7 +248,12 @@ def viewshed(dem: np.ndarray, ox: int, oy: int, observer_z: float = 0.0,
     last = base
     for y in range(oy + 1, h_rows):          # downward sweep
         last = line_fn(y, last)
-    return out.astype(np.uint8)
+    if max_distance > 0:
+        r2 = (_dx2[None, :] +
+              (cell_sy * (np.arange(h_rows, dtype=np.float64)
+                          - oy)[:, None]) ** 2)
+        out[r2 > max_distance * max_distance] = out_of_range
+    return out.astype(np.uint8) if normal else out
 
 
 def line_of_sight(dem: np.ndarray, xa: int, ya: int, za: float,

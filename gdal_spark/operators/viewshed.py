@@ -42,13 +42,24 @@ def viewshed_points(tiles: DataFrame, observers: DataFrame,
                     dtype: str = "uint8", observer_z: float = 0.0,
                     target_height: float = 0.0, cell_mode: str = "edge",
                     raster_w: int | None = None,
-                    raster_h: int | None = None) -> DataFrame:
+                    raster_h: int | None = None,
+                    out_mode: str = "normal", curve_coeff: float = 0.0,
+                    semi_major: float = 6378137.0, cell_sx: float = 1.0,
+                    cell_sy: float = 1.0,
+                    max_distance: float = 0.0) -> DataFrame:
     """Per-observer visibility windows.
 
     tiles: (tx, ty, px) DEM tiles; observers: (oid, px, py) global
     pixel coords.  The output window is the radius square clipped to
     [0, raster_w) x [0, raster_h) (pass the DEM extent; defaults to
     clipping only at 0), matching gdal_viewshed's oOutExtent clamp.
+
+    out_mode "normal" emits a uint8 mask; "dem"/"ground" emit float64
+    required-elevation windows (viewshed_executor.cpp setOutput
+    :179-192); curve_coeff/semi_major/cell_sx/cell_sy enable the
+    curved-earth height adjustment (:150-171, :268-316);
+    visible_count counts visible cells (mask != 0 in normal mode,
+    required height == 0 otherwise).
     """
     np_dtype = np.dtype(dtype)
     ts = tile_size
@@ -93,11 +104,16 @@ def viewshed_points(tiles: DataFrame, observers: DataFrame,
         vis = kvs.viewshed(canvas, opx - x0, opy - y0,
                            observer_z=observer_z,
                            target_height=target_height,
-                           cell_mode=cell_mode)
+                           cell_mode=cell_mode, out_mode=out_mode,
+                           curve_coeff=curve_coeff, semi_major=semi_major,
+                           cell_sx=cell_sx, cell_sy=cell_sy,
+                           max_distance=max_distance)
+        n_vis = int((vis != 0).sum() if out_mode == "normal"
+                    else (vis == 0).sum())
         return pd.DataFrame({
             "oid": [oid], "x0": [x0], "y0": [y0], "w": [w], "h": [h],
             "vis": [vis.tobytes()],
-            "visible_count": [int((vis != 0).sum())],
+            "visible_count": [n_vis],
             "checksum": [kck.checksum(vis)],
         })
 

@@ -91,6 +91,9 @@ _DEFERRED = [
     "la_poly_identity", "la_poly_union", "la_poly_symdifference",
     "la_poly_update", "cascaded_union", "grid_idw", "grid_metrics", "los",
     "pansharpen", "shapefile_scan",
+    # new in round 3 — judge-gate rows this round, rotate into the
+    # driver window in round 4
+    "viewshed_curved",
 ]
 
 

@@ -183,6 +183,38 @@ def _viewshed_golden_sql() -> str:
             f"ORDER BY oid, r")
 
 
+_CURVE = dict(out_mode="ground", curve_coeff=0.85714, cell_sx=900.0,
+              cell_sy=900.0, max_distance=900.0 * GW)
+
+
+def _viewshed_curved_golden_sql() -> str:
+    """FORMULA-DIFF vs alg/viewshed/viewshed_executor.cpp: the kernel
+    transcribes setOutput's non-Normal branch (:179-192, result +=
+    z - cell then clamp at 0, base = 0 in Ground mode), the
+    height-adjustment factor curve_coeff/(2*semi_major) (:150-171)
+    and the curvature term heightAdjFactor*r^2 with geotransform
+    ground offsets (:280-316); max-distance cells are post-masked,
+    faithful because in-range recurrence inputs are always in range
+    (module docstring).  Covered serially by
+    test_viewshed.py::test_{ground_mode,dem_mode,curvature}* — this
+    VALUES oracle pins the distributed gather to that kernel."""
+    from ..kernels import viewshed as kvs
+
+    grid = ((np.arange(GW * GW).reshape(GW, GW) * 7) % 256).astype(np.float64)
+    rows = []
+    for oid, opx, opy in _OBSERVERS:
+        g = kvs.viewshed(grid, opx, opy, observer_z=_OBS_Z, **_CURVE)
+        for r in range(GW):
+            rows.append((oid, r, int((g[r] == 0).sum()),
+                         int(round(float(g[r].sum()) * 1000.0))))
+    vals = ", ".join(f"({o}, {r}, {n}, {s})" for o, r, n, s in rows)
+    return (f"SELECT CAST(oid AS BIGINT) AS oid, CAST(r AS BIGINT) AS r, "
+            f"CAST(visible_in_row AS BIGINT) AS visible_in_row, "
+            f"CAST(ground_milli AS BIGINT) AS ground_milli "
+            f"FROM (VALUES {vals}) AS t(oid, r, visible_in_row, ground_milli) "
+            f"ORDER BY oid, r")
+
+
 @register(
     "viewshed",
     sql=_viewshed_golden_sql,
@@ -219,4 +251,42 @@ def viewshed_q(spark, sf_dir):
 
     return out.mapInPandas(
         _rows, "oid long, r long, visible_in_row long, col_sum long"
+    ).orderBy("oid", "r")
+
+
+@register(
+    "viewshed_curved",
+    sql=_viewshed_curved_golden_sql,
+    desc="multi-observer viewshed, Ground output mode + curved-earth "
+         "adjustment + max distance (viewshed_executor.cpp setOutput "
+         ":179-192, calcHeightAdjFactor :150-171, adjustHeight "
+         ":268-316): float64 required-height windows assembled "
+         "distributed, serial-golden VALUES oracle over per-row "
+         "visible counts and milli-scaled height sums",
+)
+def viewshed_curved_q(spark, sf_dir):
+    from ..operators.viewshed import viewshed_points
+
+    obs = spark.createDataFrame(pd.DataFrame(
+        [{"oid": o, "px": x, "py": y} for o, x, y in _OBSERVERS]))
+    out = viewshed_points(_pixel_tiles_df(spark), obs, tile_size=GW // 2,
+                          radius_px=GW, observer_z=_OBS_Z,
+                          raster_w=GW, raster_h=GW, **_CURVE)
+
+    def _rows(batches):
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                g = np.frombuffer(rr["vis"], dtype=np.float64).reshape(
+                    int(rr["h"]), int(rr["w"]))
+                for r in range(int(rr["h"])):
+                    yield pd.DataFrame({
+                        "oid": [int(rr["oid"])],
+                        "r": [int(rr["y0"]) + r],
+                        "visible_in_row": [int((g[r] == 0).sum())],
+                        "ground_milli": [int(round(float(g[r].sum())
+                                                   * 1000.0))],
+                    })
+
+    return out.mapInPandas(
+        _rows, "oid long, r long, visible_in_row long, ground_milli long"
     ).orderBy("oid", "r")

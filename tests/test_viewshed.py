@@ -175,3 +175,94 @@ def test_los_double_block_reports_second_cell():
     dem2[2, 2] = 50.0
     ok2, ix2, iy2 = kvs.line_of_sight(dem2, 0, 0, 1.0, 4, 3, 1.0)
     assert (ok2, ix2, iy2) == (False, 2, 2)
+
+
+# ---- curvature + DEM/Ground output modes (round 3) -----------------
+# viewshed_executor.cpp: setOutput :179-192 (mode dispatch),
+# calcHeightAdjFactor :150-171, adjustHeight curvature branch :268-316.
+
+def _rough_dem(seed=11, h=21, w=27):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(h, w) * 40).round(2) + 5
+
+
+def test_ground_mode_zero_iff_visible():
+    """Ground mode writes max(0, min_visible - cell): exactly the
+    cells Normal mode (target_height=0) marks visible get 0."""
+    dem = _rough_dem()
+    n = kvs.viewshed(dem, 13, 9, observer_z=3.0)
+    g = kvs.viewshed(dem, 13, 9, observer_z=3.0, out_mode="ground")
+    assert g.dtype == np.float64
+    assert ((g == 0) == (n == 255)).all()
+
+
+def test_dem_mode_is_raw_plus_ground_where_invisible():
+    """DEM mode's base is the raw pre-adjustment DEM value
+    (processLine :849-850): out = max(0, raw + (min_visible - cell)),
+    so wherever ground > 0, dem == raw + ground (non-negative DEM)."""
+    dem = _rough_dem(23)
+    g = kvs.viewshed(dem, 5, 15, observer_z=2.0, out_mode="ground")
+    d = kvs.viewshed(dem, 5, 15, observer_z=2.0, out_mode="dem")
+    m = g > 0
+    assert m.any()
+    np.testing.assert_allclose(d[m], dem[m] + g[m], rtol=0, atol=1e-12)
+    assert (d[~m] <= dem[~m] + 1e-12).all()
+
+
+def test_dem_mode_no_curvature_closed_form():
+    """Without curvature, cell_normalized = raw - zobs, so DEM mode =
+    max(0, min_visible + zobs) — independent of the cell's own raw
+    height wherever the result isn't clamped."""
+    dem = _rough_dem(31)
+    zobs = float(dem[9, 13]) + 4.0
+    d = kvs.viewshed(dem, 13, 9, observer_z=4.0, out_mode="dem")
+    g = kvs.viewshed(dem, 13, 9, observer_z=4.0, out_mode="ground")
+    # reconstruct min_visible z from ground where it's positive
+    m = g > 0
+    minvis = g[m] + (dem[m] - zobs)
+    np.testing.assert_allclose(d[m], np.maximum(0.0, minvis + zobs),
+                               atol=1e-12)
+
+
+def test_curvature_hides_beyond_horizon_on_flat_dem():
+    """Flat DEM, observer 2 m up, 1 km cells: the curved-earth drop
+    adj*r^2 (adj = 0.85714 / 2a) exceeds 2 m beyond ~5.5 km, so a
+    ring of invisible cells appears while the no-curvature run sees
+    everything."""
+    flat = np.full((65, 65), 100.0)
+    v0 = kvs.viewshed(flat, 32, 32, observer_z=2.0)
+    vc = kvs.viewshed(flat, 32, 32, observer_z=2.0, curve_coeff=0.85714,
+                      cell_sx=1000.0, cell_sy=1000.0)
+    assert (v0 == 255).all()
+    assert (vc == 255).sum() < v0.size
+    assert (vc[32, 30:35] == 255).all()      # near cells still visible
+    # horizon distance sqrt(2*a*h/c) ~ 5.46 km: row through the
+    # observer flips from visible to invisible within 1 cell of it
+    row = vc[32]
+    first_invis = int(np.argmax(row[32:] != 255))
+    assert first_invis in (5, 6, 7)
+
+
+def test_max_distance_masks_out_of_range():
+    flat = np.full((33, 33), 50.0)
+    out = kvs.viewshed(flat, 16, 16, observer_z=2.0, max_distance=8.0,
+                       out_of_range=9)
+    yy, xx = np.mgrid[0:33, 0:33]
+    r2 = (xx - 16.0) ** 2 + (yy - 16.0) ** 2
+    assert (out[r2 > 64.0] == 9).all()
+    assert (out[r2 <= 64.0] == 255).all()
+
+
+def test_edge_fast_path_equals_generic_all_modes():
+    """The vectorized edge line must stay bit-identical to the
+    sequential transcription under curvature and both height modes."""
+    dem = _rough_dem(47, 19, 23)
+    for mode in ("normal", "dem", "ground"):
+        for cc in (0.0, 0.85714):
+            fast = kvs.viewshed(dem, 7, 11, observer_z=3.0, out_mode=mode,
+                                curve_coeff=cc, cell_sx=800.0,
+                                cell_sy=800.0)
+            slow = kvs.viewshed(dem, 7, 11, observer_z=3.0, out_mode=mode,
+                                curve_coeff=cc, cell_sx=800.0,
+                                cell_sy=800.0, _force_generic=True)
+            np.testing.assert_array_equal(fast, slow)
