@@ -1,5 +1,6 @@
-"""GeoPackage (OGC 12-128r14) reader via the Python stdlib sqlite3 —
-distributed by rowid ranges.
+"""GeoPackage (OGC 12-128r14) reader + part-file sink via the Python
+stdlib sqlite3 — reads distributed by rowid ranges, writes one .gpkg
+per partition.
 
 The reference's driver (/root/reference/ogr/ogrsf_frmts/gpkg/) reads
 features through SQLite; here the DRIVER opens the file once to list
@@ -144,3 +145,133 @@ def read_geopackage(spark: SparkSession, path: str,
     for c in attr_cols:
         schema += f", {c} {_sql_type(c)}"
     return rng_df.mapInPandas(_scan, schema)
+
+def wkb_to_gpkg_blob(wkb: bytes, srs_id: int = 4326) -> bytes:
+    """StandardGeoPackageBinary blob (spec §2.1.3, the reverse of the
+    reference's GPkgHeaderFromWKB — ogr/ogrsf_frmts/gpkg/
+    ogrgeopackagelayer.cpp GDALGeoPackageDataset::GPkgHeaderFromWKB):
+    magic 'GP', version 0, flags = little-endian | XY envelope,
+    int32 srs_id, envelope (minx, maxx, miny, maxy), then the WKB."""
+    if wkb is None:
+        return None
+    bbox = kwkb.wkb_bbox(bytes(wkb))
+    if bbox is None:
+        # no envelope (indicator 0), flags = 0x01 (little-endian)
+        return b"GP" + bytes([0, 0x01]) + struct.pack("<i", srs_id) + wkb
+    minx, miny, maxx, maxy = bbox
+    flags = 0x01 | (1 << 1)               # little-endian, envelope=1
+    return (b"GP" + bytes([0, flags]) + struct.pack("<i", srs_id)
+            + struct.pack("<4d", minx, maxx, miny, maxy) + bytes(wkb))
+
+
+_GPKG_SRS_ROWS = [
+    # (srs_name, srs_id, organization, org_id, definition) — the three
+    # rows CreateSpatialRefSysTable seeds (gpkg/ogrgeopackagedatasource
+    # .cpp): WGS84, undefined cartesian (-1), undefined geographic (0)
+    ("WGS 84 geodetic", 4326, "EPSG", 4326, "GEOGCS[\"WGS 84\"]"),
+    ("Undefined cartesian SRS", -1, "NONE", -1, "undefined"),
+    ("Undefined geographic SRS", 0, "NONE", 0, "undefined"),
+]
+
+
+def write_geopackage(df: DataFrame, out_dir: str, table: str = "features",
+                     srs_id: int = 4326,
+                     geometry_type: str = "GEOMETRY") -> None:
+    """Distributed GeoPackage sink: each partition writes one
+    ``part-NNNNN.gpkg`` under ``out_dir`` (the part-file layout every
+    Spark sink uses — embarrassingly parallel, resumable at partition
+    granularity; ``read_geopackage`` on any part or a union over the
+    parts restores the layer).
+
+    df needs a ``wkb`` binary column; ``fid`` (long) is used as the
+    INTEGER PRIMARY KEY when present, else rowids are assigned.  All
+    other columns become attributes (long -> INTEGER, double -> REAL,
+    else TEXT).  Each part is a spec-complete GeoPackage:
+    application_id 'GPKG', gpkg_spatial_ref_sys seeded with the three
+    required SRS rows, gpkg_contents + gpkg_geometry_columns entries
+    with the layer envelope."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    has_fid = "fid" in df.columns
+    skip = {"wkb", "fid", "xmin", "ymin", "xmax", "ymax"}
+    attr_cols = [c for c in df.columns if c not in skip]
+    sql_t = {}
+    for f in df.schema.fields:
+        if f.dataType.simpleString() in ("bigint", "int", "smallint",
+                                         "tinyint", "boolean"):
+            sql_t[f.name] = "INTEGER"
+        elif f.dataType.simpleString() in ("double", "float"):
+            sql_t[f.name] = "REAL"
+        else:
+            sql_t[f.name] = "TEXT"
+
+    def _write_part(pid: int, rows):
+        rows = list(rows)
+        path = os.path.join(out_dir, f"part-{pid:05d}.gpkg")
+        if os.path.exists(path):
+            os.unlink(path)
+        con = sqlite3.connect(path)
+        try:
+            con.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+            con.execute("PRAGMA user_version = 10300")         # 1.3.0
+            con.execute(
+                "CREATE TABLE gpkg_spatial_ref_sys ("
+                "srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+                "organization TEXT NOT NULL, "
+                "organization_coordsys_id INTEGER NOT NULL, "
+                "definition TEXT NOT NULL, description TEXT)")
+            con.executemany(
+                "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+                _GPKG_SRS_ROWS)
+            con.execute(
+                "CREATE TABLE gpkg_contents ("
+                "table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL, "
+                "identifier TEXT UNIQUE, description TEXT DEFAULT '', "
+                "last_change TEXT, "
+                "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, "
+                "srs_id INTEGER)")
+            con.execute(
+                "CREATE TABLE gpkg_geometry_columns ("
+                "table_name TEXT NOT NULL, column_name TEXT NOT NULL, "
+                "geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, "
+                "z TINYINT NOT NULL, m TINYINT NOT NULL, "
+                "CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, "
+                "column_name))")
+            cols = ['"fid" INTEGER PRIMARY KEY', '"geom" BLOB']
+            cols += [f'"{c}" {sql_t[c]}' for c in attr_cols]
+            con.execute(f'CREATE TABLE "{table}" ({", ".join(cols)})')
+
+            env = [None, None, None, None]
+            ins = (f'INSERT INTO "{table}" VALUES '
+                   f'({", ".join("?" * (2 + len(attr_cols)))})')
+            for r in rows:
+                wkb = bytes(r["wkb"]) if r["wkb"] is not None else None
+                blob = wkb_to_gpkg_blob(wkb, srs_id) if wkb else None
+                if wkb:
+                    bb = kwkb.wkb_bbox(wkb)
+                    if bb:
+                        env[0] = bb[0] if env[0] is None else min(env[0], bb[0])
+                        env[1] = bb[1] if env[1] is None else min(env[1], bb[1])
+                        env[2] = bb[2] if env[2] is None else max(env[2], bb[2])
+                        env[3] = bb[3] if env[3] is None else max(env[3], bb[3])
+                fid = int(r["fid"]) if has_fid and r["fid"] is not None \
+                    else None
+                con.execute(ins, (fid, blob, *[r[c] for c in attr_cols]))
+            con.execute(
+                "INSERT INTO gpkg_contents (table_name, data_type, "
+                "identifier, min_x, min_y, max_x, max_y, srs_id) "
+                "VALUES (?, 'features', ?, ?, ?, ?, ?, ?)",
+                (table, table, env[0], env[1], env[2], env[3], srs_id))
+            con.execute(
+                "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+                (table, "geom", geometry_type, srs_id))
+            con.commit()
+        finally:
+            con.close()
+        yield pid, len(rows)
+
+    parts = df.rdd.mapPartitionsWithIndex(
+        lambda pid, it: _write_part(pid, it)).collect()
+    if not parts:
+        raise ValueError("empty DataFrame")

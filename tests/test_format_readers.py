@@ -275,3 +275,89 @@ def test_shapefile_through_ogr_dialect(spark, tmp_path):
     assert out[0]["NAME"] == "big"
     assert out[0]["OGR_GEOMETRY"] == "POLYGON"
     assert abs(out[0]["OGR_GEOM_AREA"] - 100.0) < 1e-9
+
+
+def test_geopackage_roundtrip_write_read(spark, tmp_path):
+    """write_geopackage -> read_geopackage roundtrip, exact WKB bytes
+    and attributes (the reader is anchored against hand-crafted spec
+    bytes in test_read_geopackage, so it validates the writer)."""
+    import glob
+    import sqlite3
+
+    from gdal_spark.sources.geopackage import (read_geopackage,
+                                               write_geopackage)
+
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                     dtype=float)
+    rows = [
+        {"fid": 1, "wkb": kwkb.wkb_point(1.5, -2.5),
+         "name": "a", "score": 0.25, "n": 7},
+        {"fid": 2, "wkb": kwkb.wkb_linestring(
+            np.array([[0.0, 0.0], [3.0, 4.0], [6.0, 0.0]])),
+         "name": "b", "score": -1.5, "n": 8},
+        {"fid": 3, "wkb": kwkb.wkb_polygon([outer]),
+         "name": None, "score": None, "n": None},
+        {"fid": 4, "wkb": None, "name": "d", "score": 0.0, "n": 9},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    d = str(tmp_path / "gpkg_out")
+    write_geopackage(df.repartition(2, "fid"), d, table="layer1")
+
+    parts = sorted(glob.glob(d + "/part-*.gpkg"))
+    assert len(parts) == 2
+    # each part is a spec-complete GeoPackage
+    for p in parts:
+        con = sqlite3.connect(p)
+        try:
+            app_id = con.execute("PRAGMA application_id").fetchone()[0]
+            assert app_id == 1196444487        # 'GPKG'
+            srs = dict(con.execute(
+                "SELECT srs_id, organization FROM gpkg_spatial_ref_sys"))
+            assert {4326, -1, 0} <= set(srs)
+            gc = con.execute(
+                "SELECT table_name, column_name, srs_id "
+                "FROM gpkg_geometry_columns").fetchall()
+            assert gc == [("layer1", "geom", 4326)]
+        finally:
+            con.close()
+
+    got = {}
+    for p in parts:
+        for r in read_geopackage(spark, p, n_partitions=1).collect():
+            got[r["fid"]] = r
+    assert set(got) == {1, 2, 3, 4}
+    for row in rows:
+        g = got[row["fid"]]
+        if row["wkb"] is None:
+            assert g["wkb"] is None
+        else:
+            assert bytes(g["wkb"]) == bytes(row["wkb"])   # exact bytes
+            bb = kwkb.wkb_bbox(bytes(row["wkb"]))
+            assert (g["xmin"], g["ymin"], g["xmax"], g["ymax"]) == bb
+        assert g["name"] == row["name"]
+        assert g["n"] == row["n"]
+        if row["score"] is None:
+            assert g["score"] is None
+        else:
+            assert g["score"] == row["score"]
+
+
+def test_geopackage_layer_envelope_in_contents(tmp_path, spark):
+    import glob
+    import sqlite3
+
+    from gdal_spark.sources.geopackage import write_geopackage
+
+    rows = [{"fid": i, "wkb": kwkb.wkb_point(float(i), float(-i))}
+            for i in range(1, 6)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    d = str(tmp_path / "gpkg_env")
+    write_geopackage(df.repartition(1), d)
+    p = glob.glob(d + "/part-*.gpkg")[0]
+    con = sqlite3.connect(p)
+    try:
+        minx, miny, maxx, maxy = con.execute(
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents").fetchone()
+        assert (minx, miny, maxx, maxy) == (1.0, -5.0, 5.0, -1.0)
+    finally:
+        con.close()
