@@ -118,3 +118,82 @@ def test_pct_roundtrip_exact_palette(spark):
     np.testing.assert_array_equal(got[1], rgb[..., 0])
     np.testing.assert_array_equal(got[2], rgb[..., 1])
     np.testing.assert_array_equal(got[3], rgb[..., 2])
+
+
+def test_dither_halo_seam_quality(spark):
+    """Quantifies seam deviation of the distributed dither vs the
+    serial reference scan, with and without the halo-overlap pass
+    (operators/quantize.py module docstring).  Error diffusion is
+    chaotic, so the honest targets are: mismatch fraction shrinks
+    with the halo, and the perceptual error matches serial."""
+    from gdal_spark.operators.quantize import rgb_to_pct
+
+    ts, tw, th = 32, 3, 2
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:th * ts, 0:tw * ts]
+    img = np.stack([xx * 255 // (tw * ts - 1), yy * 255 // (th * ts - 1),
+                    (xx + yy) % 256], axis=-1).astype(np.uint8)
+    serial = kq.dither(img, pal)
+
+    rows = []
+    for ty in range(th):
+        for tx in range(tw):
+            t = img[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({"tx": tx, "ty": ty,
+                         "px_r": t[..., 0].tobytes(),
+                         "px_g": t[..., 1].tobytes(),
+                         "px_b": t[..., 2].tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+
+    stats = {}
+    for halo in (0, 16):
+        out = rgb_to_pct(tiles, pal, tile_size=ts, dither=True,
+                         halo=halo).collect()
+        got = np.zeros_like(serial)
+        assert len(out) == tw * th
+        for r in out:
+            got[r["ty"] * ts:(r["ty"] + 1) * ts,
+                r["tx"] * ts:(r["tx"] + 1) * ts] = \
+                np.frombuffer(r["px"], dtype=np.uint8).reshape(ts, ts)
+        src = img.astype(np.int64)
+        stats[halo] = {
+            "mismatch": float((got != serial).mean()),
+            "err": float(np.abs(pal[got].astype(np.int64) - src).mean()),
+            "drift": float(np.abs(
+                pal[got].astype(np.int64).mean(axis=(0, 1))
+                - pal[serial].astype(np.int64).mean(axis=(0, 1))).max()),
+        }
+    err_serial = float(np.abs(pal[serial].astype(np.int64) - src).mean())
+
+    # halo reduces per-pixel divergence from the serial scan
+    assert stats[16]["mismatch"] < stats[0]["mismatch"]
+    # both runs dither as well as the serial scan (perceptual parity)
+    for h in (0, 16):
+        assert abs(stats[h]["err"] - err_serial) < 0.5
+    # mean output color tracks serial to a fraction of an intensity
+    # level, tighter with the halo
+    assert stats[16]["drift"] < 0.4
+    assert stats[16]["drift"] <= stats[0]["drift"]
+
+
+def test_dither_halo_single_tile_bit_exact(spark):
+    """With one tile there are no seams: the halo path must still be
+    bit-identical to the serial kernel (no neighbors arrive, the
+    rectangle degenerates to the tile itself)."""
+    from gdal_spark.operators.quantize import rgb_to_pct
+
+    ts = 32
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(ts, ts, 3)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(6, 3)).astype(np.uint8)
+    tiles = spark.createDataFrame(pd.DataFrame([{
+        "tx": 0, "ty": 0,
+        "px_r": img[..., 0].tobytes(),
+        "px_g": img[..., 1].tobytes(),
+        "px_b": img[..., 2].tobytes()}]))
+    out = rgb_to_pct(tiles, pal, tile_size=ts, dither=True,
+                     halo=8).collect()
+    assert len(out) == 1
+    got = np.frombuffer(out[0]["px"], dtype=np.uint8).reshape(ts, ts)
+    np.testing.assert_array_equal(got, kq.dither(img, pal))
