@@ -229,179 +229,38 @@ def contour_sql() -> str:
 POLY_SHIFT = (140.0, 110.0)
 
 
-@lru_cache(maxsize=1)
-def _poly_layers():
-    """A = fixture polygons shifted by POLY_SHIFT (partial overlaps
-    with their own originals), B = fixture polygons."""
-    b = fx.polygons_pandas()
-    a = b.copy()
-    dx, dy = POLY_SHIFT
+POLY_ORIGIN = (478000.0, 4763000.0)
+
+
+def _shift_layer(pdf, dx: float, dy: float):
+    out = pdf.copy()
     new_wkb, bb = [], []
-    for w in a["wkb"]:
+    for w in out["wkb"]:
         rings = [r + np.array([dx, dy]) for r in kwkb.polygon_rings(bytes(w))]
         nw = kwkb.wkb_polygon(rings)
         new_wkb.append(nw)
         bb.append(kwkb.wkb_bbox(nw))
-    a["wkb"] = new_wkb
-    a["xmin"] = [x[0] for x in bb]
-    a["ymin"] = [x[1] for x in bb]
-    a["xmax"] = [x[2] for x in bb]
-    a["ymax"] = [x[3] for x in bb]
-    return a, b
-
-
-def _bbox_pairs(apdf, bpdf):
-    out = []
-    for _, ra in apdf.iterrows():
-        for _, rb in bpdf.iterrows():
-            if (ra["xmin"] <= rb["xmax"] and ra["xmax"] >= rb["xmin"]
-                    and ra["ymin"] <= rb["ymax"] and ra["ymax"] >= rb["ymin"]):
-                out.append((int(ra["fid"]), int(rb["fid"])))
+    out["wkb"] = new_wkb
+    out["xmin"] = [x[0] for x in bb]
+    out["ymin"] = [x[1] for x in bb]
+    out["xmax"] = [x[2] for x in bb]
+    out["ymax"] = [x[3] for x in bb]
     return out
 
 
-def _piece_tuples(afid, bfid, polys):
-    from ..kernels import clip as kclip
-
-    rows = []
-    for region in polys:
-        area = sum(kclip.ring_signed_area(r) for r in region)
-        if abs(area) < 1e-12:
-            continue
-        rows.append((afid, bfid, float(area)))
-    return rows
-
-
-def _serial_minus_all(side_a, side_b, keep_unmatched=True):
-    from ..kernels import clip as kclip
-
-    pairs = _bbox_pairs(side_a, side_b)
-    bw = {int(r["fid"]): bytes(r["wkb"]) for _, r in side_b.iterrows()}
-    rows = []
-    for _, ra in side_a.iterrows():
-        afid = int(ra["fid"])
-        bfids = sorted(bf for af, bf in pairs if af == afid)
-        acc = kwkb.polygon_rings(bytes(ra["wkb"]))
-        polys = None
-        for bf in bfids:
-            polys = kclip.boolean_op(
-                acc, kwkb.polygon_rings(bw[bf]), "difference")
-            acc = kclip.flatten(polys)
-            if not acc:
-                break
-        if polys is None:
-            if not keep_unmatched:
-                continue
-            polys = [[np.asarray(r) for r in kclip.orient_region(acc)]]
-        rows.extend(_piece_tuples(afid, None, polys))
-    return rows
+@lru_cache(maxsize=1)
+def _poly_layers():
+    """A = fixture polygons shifted by POLY_SHIFT (partial overlaps
+    with their own originals), B = fixture polygons.  Both layers are
+    translated into a local metre frame (origin POLY_ORIGIN) so that
+    shoelace/trapezoid products stay ~1e7 and double error ~1e-9 —
+    required for the 3-decimal compare against the independent slab
+    oracle (_slab_oracle.py), and the right habit for any overlay at
+    UTM magnitudes."""
+    ox, oy = POLY_ORIGIN
+    b = _shift_layer(fx.polygons_pandas(), -ox, -oy)
+    dx, dy = POLY_SHIFT
+    a = _shift_layer(b, dx, dy)
+    return a, b
 
 
-def _serial_intersection(side_a, side_b):
-    from ..kernels import clip as kclip
-
-    rows = []
-    bw = {int(r["fid"]): bytes(r["wkb"]) for _, r in side_b.iterrows()}
-    aw = {int(r["fid"]): bytes(r["wkb"]) for _, r in side_a.iterrows()}
-    for afid, bfid in _bbox_pairs(side_a, side_b):
-        got = kclip.boolean_op(
-            kwkb.polygon_rings(aw[afid]), kwkb.polygon_rings(bw[bfid]),
-            "intersection")
-        rows.extend(_piece_tuples(afid, bfid, got))
-    return rows
-
-
-def _poly_cols():
-    return [("afid", "BIGINT"), ("bfid", "BIGINT"), ("area", "DOUBLE")]
-
-
-def _poly_values(rows) -> str:
-    def lit(v):
-        if v is None:
-            return "NULL"
-        if isinstance(v, float):
-            return f"'{v!r}'::DOUBLE"   # see _values_sql: DECIMAL trap
-        return str(int(v))
-
-    if not rows:
-        return ("SELECT CAST(NULL AS BIGINT) afid, CAST(NULL AS BIGINT) "
-                "bfid, CAST(NULL AS DOUBLE) area WHERE FALSE")
-    body = ", ".join(
-        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
-    return (f"SELECT CAST(afid AS BIGINT) AS afid, CAST(bfid AS BIGINT) "
-            f"AS bfid, CAST(area AS DOUBLE) AS area "
-            f"FROM (VALUES {body}) AS t(afid, bfid, area) "
-            f"ORDER BY afid NULLS FIRST, bfid NULLS FIRST, area")
-
-
-def la_poly_sql(op: str) -> str:
-    a, b = _poly_layers()
-    if op == "intersection":
-        rows = _serial_intersection(a, b)
-    elif op == "erase":
-        rows = _serial_minus_all(a, b)
-    elif op == "clip":
-        from ..kernels import clip as kclip
-
-        inter = _serial_intersection(a, b)
-        aw = {int(r["fid"]): bytes(r["wkb"]) for _, r in a.iterrows()}
-        bw = {int(r["fid"]): bytes(r["wkb"]) for _, r in b.iterrows()}
-        rows = []
-        for afid in sorted({af for af, _bf, _ar in inter}):
-            bfids = sorted(bf for af2, bf in _bbox_pairs(a, b)
-                           if af2 == afid)
-            pieces = []
-            for bf in bfids:
-                got = kclip.boolean_op(
-                    kwkb.polygon_rings(aw[afid]),
-                    kwkb.polygon_rings(bw[bf]), "intersection")
-                # (bfid, wkb-bytes) order — the distributed merge
-                # folds in exactly this total order
-                pieces.extend(sorted(
-                    kclip.wkb_of_polys([reg]) for reg in got
-                    if abs(sum(kclip.ring_signed_area(r) for r in reg))
-                    >= 1e-12))
-            polys = kclip.union_all(
-                [kwkb.polygon_rings(w) for w in pieces])
-            rows.extend(_piece_tuples(afid, None, polys))
-    elif op == "identity":
-        rows = _serial_intersection(a, b) + _serial_minus_all(a, b)
-    elif op == "union":
-        rows = (_serial_intersection(a, b) + _serial_minus_all(a, b)
-                + [(None, af, ar)
-                   for af, _bf, ar in _serial_minus_all(b, a)])
-    elif op == "symdifference":
-        rows = (_serial_minus_all(a, b)
-                + [(None, af, ar)
-                   for af, _bf, ar in _serial_minus_all(b, a)])
-    elif op == "update":
-        rows = _serial_minus_all(a, b) + [
-            (None, int(r["fid"]), None) for _, r in b.iterrows()]
-    else:
-        raise ValueError(op)
-    return _poly_values(rows)
-
-
-def cascaded_union_sql() -> str:
-    """Serial twin of the crc32-grouped two-level union tree."""
-    import zlib
-
-    from ..kernels import clip as kclip
-
-    a, b = _poly_layers()
-    wkbs = [bytes(w) for w in a["wkb"]] + [bytes(w) for w in b["wkb"]]
-    groups: dict[int, list] = {}
-    for w in wkbs:
-        groups.setdefault(zlib.crc32(w) % 16, []).append(w)
-    partials = []
-    for g in sorted(groups):
-        polys = kclip.union_all(
-            [kwkb.polygon_rings(w) for w in sorted(groups[g])])
-        partials.extend(kclip.wkb_of_polys([reg]) for reg in polys)
-    final = kclip.union_all(
-        [kwkb.polygon_rings(w) for w in sorted(partials)])
-    rows = sorted(
-        float(sum(kclip.ring_signed_area(r) for r in reg)) for reg in final)
-    body = ", ".join(f"('{v!r}'::DOUBLE)" for v in rows)
-    return (f"SELECT CAST(area AS DOUBLE) AS area "
-            f"FROM (VALUES {body}) AS t(area) ORDER BY area")

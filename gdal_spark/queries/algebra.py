@@ -112,9 +112,13 @@ def la_symdifference(spark, sf_dir):
 
 # ================= polygon x polygon layer algebra ==================
 # A = fixture polygons shifted (partial self-overlaps), B = fixture
-# polygons; pieces from the planar-overlay kernel (kernels/clip.py).
-# Oracle = the serial twin in _goldens.la_poly_sql — the driver
-# verifies the distributed cell-join pairing + cogroup folds.
+# polygons, both in a local metre frame; pieces from the planar-
+# overlay kernel (kernels/clip.py).  Oracle = the INDEPENDENT slab-
+# decomposition re-derivation in _slab_oracle.py (pure SQL trapezoid
+# integration, no shared code with the kernel) — it checks both the
+# overlay semantics AND the distributed cell-join/cogroup assembly.
+# Areas are compared per (afid, bfid) at 3 decimals; piece-level
+# parity against the serial kernel stays in tests/test_layer_algebra.
 
 def _poly_ab(spark):
     from ._goldens import _poly_layers
@@ -123,7 +127,12 @@ def _poly_ab(spark):
 
 
 def _poly_out(df):
-    return df.select("afid", "bfid", "area").orderBy(
+    """Aggregate overlay pieces per feature pair; keep NULL-area
+    passthrough rows (Update's method features)."""
+    out = (df.groupBy("afid", "bfid")
+           .agg(F.round(F.sum("area"), 3).alias("area"))
+           .filter((F.col("area") > 0) | F.col("area").isNull()))
+    return out.orderBy(
         F.col("afid").asc_nulls_first(), F.col("bfid").asc_nulls_first(),
         "area")
 
@@ -136,9 +145,11 @@ def _mk_poly_query(op, la_fn, ref):
     register(
         f"la_poly_{op}",
         sql=lambda op=op: __import__(
-            "gdal_spark.queries._goldens", fromlist=["x"]).la_poly_sql(op),
+            "gdal_spark.queries._slab_oracle",
+            fromlist=["x"]).la_poly_slab_sql(op),
         desc=f"polygon x polygon {op} ({ref}): overlay-kernel pieces, "
-             "cell-join candidates, per-feature cogroup folds",
+             "cell-join candidates, per-feature cogroup folds; oracle "
+             "= independent SQL slab-decomposition trapezoid areas",
     )(q)
 
 
@@ -154,14 +165,17 @@ _mk_poly_query("update", la.poly_update, "ogrlayer.cpp:5148")
 @register(
     "cascaded_union",
     sql=lambda: __import__(
-        "gdal_spark.queries._goldens", fromlist=["x"]).cascaded_union_sql(),
+        "gdal_spark.queries._slab_oracle",
+        fromlist=["x"]).cascaded_union_slab_sql(),
     desc="UnionCascaded (ogrgeometry.cpp:5131): crc32-partitioned "
-         "partial unions then a final tree merge; per-region areas",
+         "partial unions then a final tree merge; total union area vs "
+         "the independent SQL slab-decomposition measure",
 )
 def cascaded_union_q(spark, sf_dir):
     a, b = _poly_ab(spark)
     both = a.select("wkb").unionByName(b.select("wkb"))
-    return la.cascaded_union(both).select("area").orderBy("area")
+    return (la.cascaded_union(both)
+            .agg(F.round(F.sum("area"), 3).alias("area")))
 
 
 # --------------------------------------------- line-layer clip (r2)
