@@ -93,7 +93,7 @@ _DEFERRED = [
     "pansharpen", "shapefile_scan",
     # new in round 3 — judge-gate rows this round, rotate into the
     # driver window in round 4
-    "viewshed_curved",
+    "viewshed_curved", "rasterize_points", "rasterize_lines",
 ]
 
 

@@ -15,6 +15,55 @@ propagation, per-component regrouping) against the one-pass result.
 The SQL strings are built lazily (``Q.resolve_sql``) so importing the
 catalog stays cheap; each golden computes in well under a second at
 fixture scale and is cached per process.
+
+FORMULA-DIFF register (round 3).  Most of the round-2 VALUES oracles
+were replaced by independent re-derivations — la_poly_* x7 +
+cascaded_union by the SQL slab sweep (_slab_oracle.py), polygonize by
+runs -> recursive-CTE components -> Euler ring counts, tile_pyramid
+by the SQL decimation recurrence, and the new rasterize_points /
+rasterize_lines by SQL pixel arithmetic / a recursive-CTE Bresenham
+walker (queries/raster.py).  For each VALUES oracle that REMAINS
+(the truly serial algorithms), this records the formula-level diff
+against the cited reference lines — the discipline that caught the
+round-2 Manhattan/LOS divergences:
+
+* rasterize_tiles (polygon scanline): fill_polygon transcribes
+  llrasterize.cpp:55-230 — half-pixel sample centers, the span
+  rounding, and burn-span bounds; pinned by
+  tests/test_kernels.py::test_rasterize_polygon_center_rule_golden,
+  test_rasterize_merge_add_and_clamp_range,
+  test_horizontal_bottom_segment_filled_separately.  The POINT and
+  LINE burn kernels are now SQL-verified end-to-end
+  (rasterize_points / rasterize_lines), which also pins the shared
+  merge plumbing.
+* sieve — DOCUMENTED DIVERGENCE (kernels/sieve.py docstring): GDAL's
+  GDALSieveFilter merges sequentially in polygon-list order; the
+  kernel runs simultaneous rounds where each small component adopts
+  its largest current neighbor (ties -> smallest id) to a fixpoint.
+  Semantics-equivalent for the operator's contract (small blobs
+  vanish into dominant neighbors); pinned by
+  tests/test_sieve.py::test_sieve_merge_cascade_semantics,
+  test_sieve_tile_split_invariance,
+  test_sieve_threshold_one_is_identity.
+* contour (marching squares, alg/marching_squares/): 'above' is
+  v >= level, crossing interpolant (level - va) / (vb - va) in that
+  operand order (bit-identical on shared edges, the stitching
+  invariant), saddles disambiguated on the corner average; pinned by
+  tests/test_contour.py incl. the round-3 saddle case.
+* viewshed / viewshed_curved (viewshed_executor.cpp): CalcHeight*
+  recurrences :52-75 verbatim; setOutput :179-192 including the
+  non-Normal "+= then clamp at 0" order; adjustHeight :244-328 with
+  heightAdjFactor = curve_coeff/(2a) and the r^2 geotransform terms;
+  max-distance post-mask proven equivalent (kernels/viewshed.py
+  docstring).  Curvature horizon + mode identities are pinned by
+  closed-form tests (test_viewshed.py round-3 block).
+* mediancut_dither (gdalmediancut.cpp/gdaldither.cpp): 5-bit
+  histogram cube with driver-side median cuts, Manhattan
+  FindNearestColor (gdaldither.cpp:665-684, the round-2 review
+  catch), truncated-toward-zero error sixths :516-527 and the
+  next-line error pre-pass clamp :384-392; pinned by
+  tests/test_quantize.py hand cases; the halo pass (round 3)
+  quantifies the only intentional divergence (tile seams).
 """
 
 from __future__ import annotations
@@ -97,96 +146,6 @@ def rasterize_tiles_sql() -> str:
     return _values_sql(
         rows, [("z", "INT"), ("tx", "BIGINT"), ("ty", "BIGINT"),
                ("checksum", "BIGINT")])
-
-
-def tile_pyramid_sql() -> str:
-    level = _serial_tiles()
-    out = [
-        (R_ZOOM, tx, ty, kck.checksum(img))
-        for (tx, ty), img in level.items()
-    ]
-    for z in range(R_ZOOM, 0, -1):
-        parents: dict[tuple[int, int], np.ndarray] = {}
-        for (tx, ty), img in level.items():
-            key = (tx >> 1, ty >> 1)
-            canvas = parents.setdefault(
-                key, np.zeros((2 * R_TS, 2 * R_TS), dtype=np.uint8))
-            qx, qy = tx - 2 * key[0], ty - 2 * key[1]
-            canvas[qy * R_TS:(qy + 1) * R_TS, qx * R_TS:(qx + 1) * R_TS] = img
-        level = {}
-        for key, canvas in parents.items():
-            c = canvas.astype(np.int64)
-            tot = (c[::2, ::2] + c[::2, 1::2] + c[1::2, ::2] + c[1::2, 1::2])
-            level[key] = ((tot + 2) // 4).astype(np.uint8)
-        out.extend(
-            (z - 1, tx, ty, kck.checksum(img))
-            for (tx, ty), img in level.items())
-    return _values_sql(
-        sorted(out), [("z", "INT"), ("tx", "BIGINT"), ("ty", "BIGINT"),
-                      ("checksum", "BIGINT")])
-
-
-def polygonize_sql() -> str:
-    """Serial steps 1-4: per-tile labels with the SAME packed node
-    ids, dict union-find (min-root) over cross-tile equal-value
-    4-adjacency, then per-component ring tracing."""
-    tiles = _serial_tiles()
-    n = (1 << R_ZOOM) * R_TS
-    node = np.full((n, n), -1, dtype=np.int64)
-    value = np.zeros((n, n), dtype=np.int64)
-    for (tx, ty), img in tiles.items():
-        labels, _ = kpoly.label_components(img, connect8=False, nodata=0)
-        base = (tx << _TX_SHIFT) | (ty << _TY_SHIFT)
-        ys, xs = np.nonzero(labels > 0)
-        node[ty * R_TS + ys, tx * R_TS + xs] = base + labels[ys, xs]
-        value[ty * R_TS + ys, tx * R_TS + xs] = img[ys, xs]
-
-    parent: dict[int, int] = {}
-
-    def find(i):
-        r = i
-        while parent.setdefault(r, r) != r:
-            r = parent[r]
-        while parent[i] != r:
-            parent[i], i = r, parent[i]
-        return r
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-
-    valid = node >= 0
-    h = valid[:, :-1] & valid[:, 1:] & (value[:, :-1] == value[:, 1:])
-    for y, x in zip(*np.nonzero(h)):
-        union(int(node[y, x]), int(node[y, x + 1]))
-    v = valid[:-1, :] & valid[1:, :] & (value[:-1, :] == value[1:, :])
-    for y, x in zip(*np.nonzero(v)):
-        union(int(node[y, x]), int(node[y + 1, x]))
-
-    comps: dict[int, dict] = {}
-    ys, xs = np.nonzero(valid)
-    for y, x in zip(ys.tolist(), xs.tolist()):
-        c = find(int(node[y, x]))
-        d = comps.setdefault(c, {"value": int(value[y, x]), "n": 0,
-                                 "ys": [], "xs": []})
-        d["n"] += 1
-        d["ys"].append(y)
-        d["xs"].append(x)
-    rows = []
-    for c, d in comps.items():
-        y0, y1 = min(d["ys"]), max(d["ys"])
-        x0, x1 = min(d["xs"]), max(d["xs"])
-        mask = np.zeros((y1 - y0 + 1, x1 - x0 + 2), dtype=bool)
-        mask[np.array(d["ys"]) - y0, np.array(d["xs"]) - x0] = True
-        rings = kpoly.trace_rings(mask, connect8=False)
-        rows.append((c, d["value"], d["n"], len(rings)))
-    return _values_sql(
-        sorted(rows), [("comp", "BIGINT"), ("value", "BIGINT"),
-                       ("pixel_count", "BIGINT"), ("n_rings", "INT")])
 
 
 def _sieve_fixture() -> np.ndarray:

@@ -125,37 +125,323 @@ def rasterize_tiles_q(spark, sf_dir):
 
 @register(
     "tile_pyramid",
-    sql=lambda: __import__(
-        "gdal_spark.queries._goldens", fromlist=["x"]).tile_pyramid_sql(),
+    sql=f"""
+    WITH l3 AS (
+      SELECT c.i AS x, r.i AS y, ((r.i * 512 + c.i) * 7) % 256 AS v
+      FROM generate_series(0, 511) r(i), generate_series(0, 511) c(i)
+    ),
+    l2 AS (SELECT x // 2 AS x, y // 2 AS y, (SUM(v) + 2) // 4 AS v
+           FROM l3 GROUP BY x // 2, y // 2),
+    l1 AS (SELECT x // 2 AS x, y // 2 AS y, (SUM(v) + 2) // 4 AS v
+           FROM l2 GROUP BY x // 2, y // 2),
+    l0 AS (SELECT x // 2 AS x, y // 2 AS y, (SUM(v) + 2) // 4 AS v
+           FROM l1 GROUP BY x // 2, y // 2),
+    allpx AS (
+      SELECT 3 AS z, x, y, v FROM l3
+      UNION ALL SELECT 2, x, y, v FROM l2
+      UNION ALL SELECT 1, x, y, v FROM l1
+      UNION ALL SELECT 0, x, y, v FROM l0
+    )
+    SELECT CAST(z AS INT) AS z, x // 64 AS tx, y // 64 AS ty,
+           CAST(SUM(v % ({_PRIMES})
+                        [(((y % 64) * 64 + (x % 64)) % 11) + 1])
+                AS BIGINT) & 65535 AS checksum
+    FROM allpx GROUP BY z, x // 64, y // 64
+    ORDER BY z, tx, ty
+    """,
     desc="zoom pyramid z->z-1 (overview.cpp average (sum+2)/4), level "
-         "checksums per tile; oracle = serial decimation twin (VALUES)",
+         "checksums per tile; oracle = independent SQL: the same "
+         "integer decimation recurrence as grouped aggregation over "
+         "the derived grid + the prime-modulus checksum fold",
 )
 def tile_pyramid_q(spark, sf_dir):
-    grid = TileGrid.local(*fx.POLY_BBOX, tile_size=R_TS)
-    polys = spark.createDataFrame(fx.polygons_pandas())
-    tiles = rasterize_tiles(polys, grid, R_ZOOM, value_col="eas_id",
-                            tile_size=R_TS)
-    pyr = build_pyramid(tiles, R_ZOOM, down_to=0, tile_size=R_TS)
-    return pyr.select("z", "tx", "ty", "checksum").orderBy("z", "tx", "ty")
+    import pandas as pd
+
+    n, ts = 512, 64
+    g = ((np.arange(n * n).reshape(n, n) * 7) % 256).astype(np.uint8)
+    rows = []
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            blk = g[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({"z": 3, "tx": tx, "ty": ty, "band": 1,
+                         "px": blk.tobytes(),
+                         "checksum": kck.checksum(blk)})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    pyr = build_pyramid(tiles, 3, down_to=0, tile_size=ts)
+    return pyr.select(F.col("z").cast("int").alias("z"),
+                      "tx", "ty", "checksum").orderBy("z", "tx", "ty")
+
+
+
+# gdal_rasterize point/line burns with fully independent SQL oracles
+# (round-2 verdict, wrong #2 / next #3): pixel targets re-derived as
+# integer arithmetic, the Bresenham walk as a recursive CTE, ADD-merge
+# as GROUP BY SUM, and the GDAL checksum as the prime-modulus fold.
+_RQ_N = 150
+_RQ_PRIME_IDX = "(((y % 32) * 32 + (x % 32)) % 11) + 1"
+
+
+@register(
+    "rasterize_points",
+    sql=f"""
+    WITH pts AS (
+      SELECT ((k.i * 29) % 640) // 10 AS x,
+             ((k.i * 37) % 640) // 10 AS y,
+             k.i % 7 + 1 AS v
+      FROM generate_series(0, {_RQ_N - 1}) k(i)
+    ),
+    px AS (SELECT x, y, SUM(v) AS v FROM pts GROUP BY x, y)
+    SELECT x // 32 AS tx, y // 32 AS ty,
+           CAST(SUM(v % ({_PRIMES})[{_RQ_PRIME_IDX}]) AS BIGINT) & 65535
+             AS checksum,
+           CAST(COUNT(*) AS BIGINT) AS n_burned,
+           CAST(SUM(v) AS BIGINT) AS total
+    FROM px GROUP BY x // 32, y // 32
+    ORDER BY tx, ty
+    """,
+    desc="gdal_rasterize POINT burn, MERGE_ADD (llrasterize.cpp:232-253 "
+         "floor-cell): distributed bbox-cover burn vs independent SQL "
+         "pixel arithmetic + checksum fold",
+)
+def rasterize_points_q(spark, sf_dir):
+    from ..kernels import wkb as kwkb
+
+    rows = []
+    for k in range(_RQ_N):
+        fx_ = ((k * 29) % 640) / 10.0
+        fy = ((k * 37) % 640) / 10.0
+        wx, wy = fx_, 64.0 - fy          # pixel == world (res 1, top 64)
+        rows.append({"fid": k, "wkb": kwkb.wkb_point(wx, wy),
+                     "xmin": wx, "ymin": wy, "xmax": wx, "ymax": wy,
+                     "v": float(k % 7 + 1)})
+    geoms = spark.createDataFrame(pd.DataFrame(rows))
+    grid = TileGrid(0.0, 64.0, 64.0, tile_size=32)
+    tiles = rasterize_tiles(geoms, grid, 1, value_col="v",
+                            merge="ADD", dtype="float64", tile_size=32)
+
+    def _stats(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                a = np.frombuffer(r["px"], dtype=np.float64).reshape(
+                    32, 32).astype(np.int64)
+                yield pd.DataFrame({
+                    "tx": [int(r["tx"])], "ty": [int(r["ty"])],
+                    "checksum": [kck.checksum(a)],
+                    "n_burned": [int((a != 0).sum())],
+                    "total": [int(a.sum())],
+                })
+
+    return tiles.mapInPandas(
+        _stats, "tx long, ty long, checksum long, n_burned long, "
+                "total long").orderBy("tx", "ty")
+
+
+@register(
+    "rasterize_lines",
+    sql=f"""
+    WITH RECURSIVE
+    lines AS (
+      SELECT k.i AS lid,
+             (k.i * 7) %% 64 AS x0, (k.i * 11) %% 64 AS y0,
+             (k.i * 29) %% 64 AS x1, (k.i * 17) %% 64 AS y1
+      FROM generate_series(0, {_RQ_N - 1}) k(i)
+    ),
+    prep AS (
+      SELECT lid, x0, y0, x1, y1,
+             ABS(x1 - x0) AS dxn, ABS(y1 - y0) AS dyn,
+             CASE WHEN x0 > x1 THEN -1 ELSE 1 END AS xstep,
+             CASE WHEN y0 > y1 THEN -1 ELSE 1 END AS ystep
+      FROM lines
+    ),
+    walk AS (
+      -- llrasterize.cpp:255-368 integer Bresenham, transcribed as a
+      -- per-line walker: state rows ARE the burned cells
+      SELECT lid, dxn, dyn, xstep, ystep,
+             CASE WHEN dxn >= dyn THEN 2 * dyn ELSE 2 * dxn END AS xerr,
+             CASE WHEN dxn >= dyn THEN 2 * dyn - 2 * dxn
+                  ELSE 2 * dxn - 2 * dyn END AS yerr,
+             CASE WHEN dxn >= dyn THEN 2 * dyn - dxn
+                  ELSE 2 * dxn - dyn END AS err,
+             x0 AS x, y0 AS y,
+             CASE WHEN dxn >= dyn THEN dxn ELSE dyn END AS rem
+      FROM prep
+      UNION ALL
+      SELECT lid, dxn, dyn, xstep, ystep, xerr, yerr,
+             err + CASE WHEN err > 0 THEN yerr ELSE xerr END,
+             CASE WHEN dxn >= dyn THEN x + xstep
+                  ELSE x + CASE WHEN err > 0 THEN xstep ELSE 0 END END,
+             CASE WHEN dxn >= dyn
+                  THEN y + CASE WHEN err > 0 THEN ystep ELSE 0 END
+                  ELSE y + ystep END,
+             rem - 1
+      FROM walk WHERE rem > 0
+    ),
+    px AS (SELECT x, y, COUNT(*) AS v FROM walk GROUP BY x, y),
+    cover AS (            -- bbox tile cover: tiles can be all-zero
+      SELECT DISTINCT l.lid, tx.i AS tx, ty.i AS ty
+      FROM lines l, generate_series(0, 1) tx(i), generate_series(0, 1) ty(i)
+      WHERE tx.i BETWEEN LEAST(l.x0, l.x1) // 32 AND GREATEST(l.x0, l.x1) // 32
+        AND ty.i BETWEEN LEAST(l.y0, l.y1) // 32 AND GREATEST(l.y0, l.y1) // 32
+    ),
+    ctiles AS (SELECT DISTINCT tx, ty FROM cover)
+    SELECT t.tx, t.ty,
+           CAST(COALESCE(SUM(p.v %% ({_PRIMES})[{_RQ_PRIME_IDX}]), 0)
+                AS BIGINT) & 65535 AS checksum,
+           CAST(COUNT(p.x) AS BIGINT) AS n_burned,
+           CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS total
+    FROM ctiles t LEFT JOIN px p
+      ON p.x // 32 = t.tx AND p.y // 32 = t.ty
+    GROUP BY t.tx, t.ty
+    ORDER BY tx, ty
+    """.replace("%%", "%"),
+    desc="gdal_rasterize LINESTRING burn, MERGE_ADD (llrasterize.cpp:"
+         "255-368 integer Bresenham, endpoint floor): distributed burn "
+         "vs an independent recursive-CTE walker + checksum fold",
+)
+def rasterize_lines_q(spark, sf_dir):
+    from ..kernels import wkb as kwkb
+
+    rows = []
+    for k in range(_RQ_N):
+        ix0, iy0 = (k * 7) % 64, (k * 11) % 64
+        ix1, iy1 = (k * 29) % 64, (k * 17) % 64
+        pts = np.array([[ix0 + 0.5, 63.5 - iy0],
+                        [ix1 + 0.5, 63.5 - iy1]])
+        rows.append({"fid": k, "wkb": kwkb.wkb_linestring(pts),
+                     "xmin": float(pts[:, 0].min()),
+                     "ymin": float(pts[:, 1].min()),
+                     "xmax": float(pts[:, 0].max()),
+                     "ymax": float(pts[:, 1].max()),
+                     "v": 1.0})
+    geoms = spark.createDataFrame(pd.DataFrame(rows))
+    grid = TileGrid(0.0, 64.0, 64.0, tile_size=32)
+    tiles = rasterize_tiles(geoms, grid, 1, value_col="v",
+                            merge="ADD", dtype="float64", tile_size=32)
+
+    def _stats(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                a = np.frombuffer(r["px"], dtype=np.float64).reshape(
+                    32, 32).astype(np.int64)
+                yield pd.DataFrame({
+                    "tx": [int(r["tx"])], "ty": [int(r["ty"])],
+                    "checksum": [kck.checksum(a)],
+                    "n_burned": [int((a != 0).sum())],
+                    "total": [int(a.sum())],
+                })
+
+    return tiles.mapInPandas(
+        _stats, "tx long, ty long, checksum long, n_burned long, "
+                "total long").orderBy("tx", "ty")
+
+
+# Independent SQL oracle for polygonize: horizontal runs of the
+# derived grid, connected components via a recursive reachability
+# closure over run adjacency, and ring counts from the Euler
+# characteristic of each component's closed cell complex —
+# rings = 1 + holes = 2 - V + E - F with V/E/F = distinct lattice
+# corners / unit edges / pixels.  No shared code with the kernel's
+# per-tile labeling, boundary union-find, or ring tracer.
+_POLYGONIZE_SQL = """
+    WITH RECURSIVE
+    px AS (
+      SELECT r.i AS y, c.i AS x,
+             CASE WHEN (r.i * 64 + c.i) % 97 = 0 THEN 9
+                  ELSE ((r.i // 8) + (c.i // 8)) % 4 END AS v
+      FROM generate_series(0, 63) r(i), generate_series(0, 63) c(i)
+    ),
+    fg AS (SELECT * FROM px WHERE v <> 0),
+    flag AS (
+      SELECT y, x, v,
+             CASE WHEN LAG(x) OVER w IS NULL OR LAG(x) OVER w <> x - 1
+                       OR LAG(v) OVER w <> v THEN 1 ELSE 0 END AS brk
+      FROM fg WINDOW w AS (PARTITION BY y ORDER BY x)
+    ),
+    runsg AS (
+      SELECT y, x, v, SUM(brk) OVER (PARTITION BY y ORDER BY x) AS seq
+      FROM flag
+    ),
+    runs AS (
+      SELECT y, MIN(x) AS x0, MAX(x) AS x1, v, y * 64 + MIN(x) AS rid
+      FROM runsg GROUP BY y, seq, v
+    ),
+    adj AS (
+      SELECT a.rid AS s, b.rid AS d FROM runs a JOIN runs b
+        ON b.y = a.y + 1 AND b.v = a.v
+       AND b.x0 <= a.x1 AND b.x1 >= a.x0
+    ),
+    eg AS (SELECT s, d FROM adj UNION SELECT d, s FROM adj),
+    reach AS (
+      SELECT rid AS a, rid AS b FROM runs
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN eg e ON e.s = r.b
+    ),
+    lbl AS (SELECT a AS rid, MIN(b) AS comp FROM reach GROUP BY a),
+    cpx AS (
+      SELECT l.comp, f.y, f.x, f.v
+      FROM fg f
+      JOIN runs r ON r.y = f.y AND r.v = f.v
+                 AND f.x BETWEEN r.x0 AND r.x1
+      JOIN lbl l ON l.rid = r.rid
+    ),
+    everts AS (
+      -- DISTINCT over UNION ALL on purpose: chained UNION inside a
+      -- WITH RECURSIVE block skips deduplication in DuckDB
+      SELECT DISTINCT comp, x, y FROM (
+        SELECT comp, x, y FROM cpx
+        UNION ALL SELECT comp, x + 1, y FROM cpx
+        UNION ALL SELECT comp, x, y + 1 FROM cpx
+        UNION ALL SELECT comp, x + 1, y + 1 FROM cpx
+      )
+    ),
+    eedges AS (
+      SELECT DISTINCT comp, x, y, o FROM (
+        SELECT comp, x, y, 0 AS o FROM cpx
+        UNION ALL SELECT comp, x, y + 1, 0 FROM cpx
+        UNION ALL SELECT comp, x, y, 1 FROM cpx
+        UNION ALL SELECT comp, x + 1, y, 1 FROM cpx
+      )
+    ),
+    agg AS (
+      SELECT comp, MAX(v) AS value, COUNT(*) AS f FROM cpx GROUP BY comp
+    )
+    SELECT CAST(a.value AS BIGINT) AS value,
+           CAST(a.f AS BIGINT) AS pixel_count,
+           CAST(2 - nv.n + ne.n - a.f AS INT) AS n_rings
+    FROM agg a
+    JOIN (SELECT comp, COUNT(*) AS n FROM everts GROUP BY comp) nv
+      ON nv.comp = a.comp
+    JOIN (SELECT comp, COUNT(*) AS n FROM eedges GROUP BY comp) ne
+      ON ne.comp = a.comp
+    ORDER BY value, pixel_count, n_rings
+"""
 
 
 @register(
     "polygonize",
-    sql=lambda: __import__(
-        "gdal_spark.queries._goldens", fromlist=["x"]).polygonize_sql(),
+    sql=_POLYGONIZE_SQL,
     desc="distributed gdal_polygonize: per-tile CC labels, cross-tile "
          "union-find to fixpoint, per-component ring assembly; oracle = "
-         "serial union-find twin with identical node packing (VALUES)",
+         "independent SQL (runs -> recursive-CTE components -> Euler-"
+         "characteristic ring counts), no shared code with the kernel",
 )
 def polygonize_q(spark, sf_dir):
-    grid = TileGrid.local(*fx.POLY_BBOX, tile_size=R_TS)
-    polys = spark.createDataFrame(fx.polygons_pandas())
-    tiles = rasterize_tiles(polys, grid, R_ZOOM, value_col="eas_id",
-                            tile_size=R_TS)
-    res = grid.resolution(R_ZOOM)
-    gt = (grid.top_left_x, res, 0.0, grid.top_left_y, 0.0, -res)
-    out = polygonize_tiles(tiles, tile_size=R_TS, nodata=0, geotransform=gt)
-    return out.select("comp", "value", "pixel_count", "n_rings").orderBy("comp")
+    import pandas as pd
+
+    rr, cc = np.mgrid[0:64, 0:64]
+    a = ((rr // 8 + cc // 8) % 4).astype(np.uint8)
+    a[(rr * 64 + cc) % 97 == 0] = 9
+    ts = 16
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            rows.append({"tx": tx, "ty": ty,
+                         "px": a[ty * ts:(ty + 1) * ts,
+                                 tx * ts:(tx + 1) * ts].tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    out = polygonize_tiles(tiles, tile_size=ts, nodata=0)
+    return out.select("value", "pixel_count", "n_rings").orderBy(
+        "value", "pixel_count", "n_rings")
 
 
 # ------------------------------------------------------------- focal ops

@@ -80,3 +80,28 @@ def test_contour_tile_split_invariance(spark):
             want.add((level,) + _norm_line(line))
     assert got == want
     assert len(got) > 2
+
+
+def test_kernel_saddle_disambiguates_on_corner_average():
+    """FORMULA-DIFF pin (queries/_goldens.py): the two ambiguous
+    marching-squares cases (diagonal corners above) split on the
+    corner AVERAGE — above-average centers connect the high corners,
+    below-average centers separate them."""
+    from gdal_spark.kernels.contour import cell_segments
+
+    level = 5.0
+    # tl, br high; average (8+8+0+0)/4 = 4 < level -> separated: the
+    # two segments must NOT share the same edge pairing as the
+    # connected case below
+    segs_lo = cell_segments(level, 0, 0, 8.0, 0.0, 0.0, 8.0)
+    assert len(segs_lo) == 2
+    # raise the low corners so the average crosses the level
+    segs_hi = cell_segments(level, 0, 0, 8.0, 4.0, 4.0, 8.0)
+    assert len(segs_hi) == 2
+    assert {tuple(map(tuple, s)) for s in segs_lo} != \
+        {tuple(map(tuple, s)) for s in segs_hi}
+    # every endpoint sits on a cell edge with coords in [0, 1]
+    for segs in (segs_lo, segs_hi):
+        for (x1, y1), (x2, y2) in segs:
+            for v in (x1, y1, x2, y2):
+                assert 0.0 <= v <= 1.0

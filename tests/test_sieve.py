@@ -64,3 +64,25 @@ def test_footprint(spark):
     for p in polys:
         rings = kwkb.polygon_rings(bytes(p["wkb"]))
         assert len(rings) >= 1
+
+
+def test_sieve_merge_cascade_semantics():
+    """FORMULA-DIFF pin (queries/_goldens.py): simultaneous rounds —
+    each small component adopts its LARGEST current neighbor (ties ->
+    smallest component id), iterated to fixpoint, so chains of small
+    blobs collapse into the dominant region over rounds."""
+    a = np.zeros((5, 12), dtype=np.uint8)
+    a[:, :6] = 7                 # dominant region, 30 px
+    a[2, 6] = 1                  # small blob touching dominant + next
+    a[2, 7] = 2                  # small blob touching blob 1 + field 0
+    out = ks.sieve_array(a, threshold=4, connect8=False, nodata=None)
+    # round 1: blob 1 (size 1) -> largest neighbor = region 7; blob 2
+    # -> largest neighbor = the 0-field; fixpoint reached
+    assert out[2, 6] == 7
+    assert out[2, 7] == 0
+    # tie-break: two equal-size neighbors -> smallest component id
+    b = np.zeros((1, 5), dtype=np.uint8)
+    b[0] = [3, 3, 9, 4, 4]       # middle single pixel, neighbors 2+2
+    out2 = ks.sieve_array(b, threshold=2, connect8=False, nodata=0)
+    # components are labeled in scan order: [3,3] gets the smaller id
+    assert out2[0, 2] == 3
