@@ -187,6 +187,81 @@ def test_subquery_left_join_untouched(spark):
     assert rows[0]["n"] == 2   # all matches: the dialect rewrite stayed out
 
 
+def test_left_join_inside_literal_not_rewritten(spark):
+    """'LEFT JOIN ...' TEXT inside a string literal must pass through
+    verbatim — the regex scanner this replaced would have rewritten
+    it into a subquery mid-literal."""
+    from gdal_spark.sql.ogr_dialect import ogr_sql
+
+    trap = "x LEFT JOIN tbl ON a.k = tbl.k2 y"
+    rows = ogr_sql(spark, f"SELECT '{trap}' AS v").collect()
+    assert rows[0]["v"] == trap
+
+
+def test_rewrite_triggers_inside_comments_ignored(spark):
+    """Comments are atomic tokens: rewrite triggers inside them fire
+    nothing and the statement still runs."""
+    from gdal_spark.sql.ogr_dialect import ogr_sql
+
+    rows = ogr_sql(
+        spark,
+        "SELECT 1 AS n -- LEFT JOIN t ON a.k = t.k\n"
+        "/* * EXCLUDE (n) and HSTORE_GET_VALUE(x, 'y') */",
+    ).collect()
+    assert rows[0]["n"] == 1
+
+
+def test_exclude_inside_literal_untouched(spark):
+    from gdal_spark.sql.ogr_dialect import ogr_sql
+
+    rows = ogr_sql(spark, "SELECT '* EXCLUDE (a, b)' AS v").collect()
+    assert rows[0]["v"] == "* EXCLUDE (a, b)"
+
+
+def test_double_quoted_identifiers(spark):
+    """OGR quotes identifiers with double quotes
+    (ogr_sql_dialect.rst: quoting field names with spaces); Spark
+    would lex them as string literals, so the dialect re-spells them
+    with backticks — including names containing spaces and embedded
+    join keywords."""
+    import pandas as pd
+
+    from gdal_spark.sql.ogr_dialect import ogr_sql, register_layer
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "fid": [1, 2],
+        "the name": ["a", "b"],
+        "LEFT JOIN": [10, 20],      # pathological but legal column name
+    }))
+    register_layer(spark, "qcols", df, wkb_col=None)
+    rows = ogr_sql(
+        spark,
+        'SELECT "the name" AS nm, "LEFT JOIN" AS lj FROM qcols '
+        'WHERE "LEFT JOIN" > 15',
+    ).collect()
+    assert [(r["nm"], r["lj"]) for r in rows] == [("b", 20)]
+
+
+def test_hstore_second_arg_with_comma(spark):
+    """The key argument may itself be a call containing commas — the
+    token-balanced split must cut at the TOP-LEVEL comma only (the
+    old rsplit-on-text would have split inside concat)."""
+    import pandas as pd
+
+    from gdal_spark.sql.ogr_dialect import ogr_sql, register_layer
+
+    register_layer(
+        spark, "hst2",
+        spark.createDataFrame(pd.DataFrame({
+            "fid": [1], "props": ["a=>x, b=>y"],
+        })), wkb_col=None)
+    rows = ogr_sql(
+        spark,
+        "SELECT HSTORE_GET_VALUE(props, concat('b', '')) AS v FROM hst2",
+    ).collect()
+    assert rows[0]["v"] == "y"
+
+
 def test_first_match_rewrite_ignores_literal_parens(spark):
     """A '(' inside a string literal must not make the depth counter
     treat a depth-0 LEFT JOIN as a subquery join."""
