@@ -472,3 +472,72 @@ def mosaic_tiles(tiles: DataFrame, nodata: float = 0.0,
 
     return src_df.groupBy("tx", "ty", "band").applyInPandas(
         _merge, TILE_SCHEMA)
+
+
+def raster_histogram(tiles: DataFrame, dfmin: float, dfmax: float,
+                     n_buckets: int, include_out_of_range: bool = False,
+                     nodata: float | None = None,
+                     dtype: str = "uint8") -> DataFrame:
+    """Raster histogram over a tiles DF — the distributed twin of
+    GDALRasterBand::GetHistogram (gcore/gdalrasterband.cpp:4176-4480).
+
+    Bucketing is the reference's exact rule (:4226, :4462-4477):
+    ``dfScale = nBuckets / (dfMax - dfMin)``,
+    ``dfIndex = floor((v - dfMin) * dfScale)``; out-of-range values
+    land in the first/last bucket when ``bIncludeOutOfRange`` else
+    are dropped; NaN and nodata pixels are skipped (:4455-4458).
+
+    Scale shape: per-tile numpy ``bincount`` partials (map-side
+    combine inside the Arrow batch), one groupBy(band, bucket) sum,
+    then densification against the full ``spark.range(n_buckets)``
+    so empty buckets report 0 exactly like the reference's
+    pre-zeroed ``panHistogram`` array.  No per-pixel rows ever cross
+    the shuffle — only (band, bucket, count) partials, at most
+    ``n_buckets`` rows per tile.
+    """
+    if dfmax <= dfmin or n_buckets <= 0:
+        raise ValueError("need dfmax > dfmin and n_buckets > 0")
+    np_dtype = np.dtype(dtype)
+    scale = n_buckets / (dfmax - dfmin)
+
+    has_band = "band" in tiles.columns
+    src = tiles if has_band else tiles.withColumn("band", F.lit(0))
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                a = np.frombuffer(row["px"], dtype=np_dtype).astype(np.float64)
+                a = a[~np.isnan(a)]
+                if nodata is not None:
+                    a = a[a != nodata]
+                idx = np.floor((a - dfmin) * scale)
+                if include_out_of_range:
+                    idx = np.clip(idx, 0, n_buckets - 1)
+                else:
+                    idx = idx[(idx >= 0) & (idx < n_buckets)]
+                cnt = np.bincount(idx.astype(np.int64), minlength=0)
+                nz = np.nonzero(cnt)[0]
+                for b in nz:
+                    rows.append({"band": int(row["band"]),
+                                 "bucket": int(b), "cnt": int(cnt[b])})
+            yield pd.DataFrame(rows,
+                               columns=["band", "bucket", "cnt"])
+
+    partials = src.select("band", "px").mapInPandas(
+        _partial, "band int, bucket int, cnt long")
+    counts = partials.groupBy("band", "bucket").agg(
+        F.sum("cnt").alias("cnt"))
+
+    bands = src.select("band").distinct()
+    dense = bands.crossJoin(
+        F.broadcast(
+            tiles.sparkSession.range(n_buckets)
+            .select(F.col("id").cast("int").alias("bucket"))))
+    return (
+        dense.join(counts, ["band", "bucket"], "left")
+        .select("band", "bucket",
+                F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    )

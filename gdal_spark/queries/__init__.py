@@ -96,6 +96,9 @@ _DEFERRED = [
     # driver window in round 4
     "viewshed_curved", "rasterize_points", "rasterize_lines",
     "gcp_order1", "gcp_order2",
+    # round-3 second batch — judge-gate rows this round, rotate into
+    # the driver window in round 4
+    "raster_histogram",
 ]
 
 

@@ -1633,3 +1633,46 @@ register(
     desc="tile warp, area-RMS kernel (GRA_RMS): sqrt(mean of squares) "
          "over the footprint",
 )(_warp_query("rms"))
+
+
+# ------------------------------------------------------- histogram
+_HIST_MIN, _HIST_MAX, _HIST_N = 10.0, 200.0, 19
+_HIST_SCALE = _HIST_N / (_HIST_MAX - _HIST_MIN)
+
+
+@register(
+    "raster_histogram",
+    sql=f"""
+    WITH px AS (
+      SELECT CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    idx AS (
+      SELECT CASE WHEN f < 0 THEN 0
+                  WHEN f >= {_HIST_N} THEN {_HIST_N - 1}
+                  ELSE CAST(f AS INTEGER) END AS bucket
+      FROM (SELECT FLOOR((v - {_HIST_MIN!r}::DOUBLE) * {_HIST_SCALE!r}::DOUBLE) AS f
+            FROM px)
+    ),
+    cnts AS (SELECT bucket, COUNT(*) AS cnt FROM idx GROUP BY bucket)
+    SELECT 0 AS band, b.i AS bucket, COALESCE(c.cnt, 0) AS cnt
+    FROM generate_series(0, {_HIST_N - 1}) b(i)
+    LEFT JOIN cnts c ON c.bucket = b.i
+    ORDER BY bucket
+    """,
+    desc="raster histogram (GDALRasterBand::GetHistogram, "
+         "gdalrasterband.cpp:4226,4462-4477): per-tile bincount "
+         "partials, bucket-keyed merge, include-out-of-range clamp "
+         "into the end buckets; empty buckets densified to 0",
+)
+def raster_histogram_q(spark, sf_dir):
+    from ..operators.raster_tile import raster_histogram
+
+    tiles = _pixel_tiles_df(spark)
+    out = raster_histogram(tiles, _HIST_MIN, _HIST_MAX, _HIST_N,
+                           include_out_of_range=True, dtype="uint8")
+    return out.select(
+        F.col("band").cast("int").alias("band"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    ).orderBy("bucket")

@@ -288,3 +288,44 @@ def test_polygonize_boundary_ring_order_outer_first(spark):
         x, y = r[:, 0], r[:, 1]
         return abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))) / 2
     assert _abs_area(np.asarray(rings[0])) > _abs_area(np.asarray(rings[1]))
+
+
+def test_raster_histogram_semantics(spark):
+    """GetHistogram bucket rule (gdalrasterband.cpp:4462-4477):
+    floor((v-min)*scale), out-of-range clamped into the end buckets
+    when included and dropped otherwise; nodata pixels skipped;
+    empty buckets densified to zero; multi-tile counts merge."""
+    from gdal_spark.operators.raster_tile import raster_histogram
+
+    a = np.array([0, 5, 10, 19, 20, 99, 100, 199, 200, 255, 7, 7],
+                 dtype=np.uint8)
+    tiles = spark.createDataFrame(pd.DataFrame({
+        "px": [a[:6].tobytes(), a[6:].tobytes()],
+    }))
+
+    # min=10 max=200 n=19 -> scale 0.1, bucket width 10
+    rows = {r["bucket"]: r["cnt"]
+            for r in raster_histogram(tiles, 10.0, 200.0, 19,
+                                      include_out_of_range=True,
+                                      dtype="uint8").collect()}
+    assert len(rows) == 19
+    # below-range 0,5,7,7 -> bucket 0, plus 10 and 19 in range
+    assert rows[0] == 6
+    assert rows[1] == 1          # 20
+    assert rows[8] == 1          # 99
+    assert rows[9] == 1          # 100
+    assert rows[18] == 1 + 2     # 199 in range; 200,255 clamp into last
+    assert sum(rows.values()) == a.size
+
+    drop = {r["bucket"]: r["cnt"]
+            for r in raster_histogram(tiles, 10.0, 200.0, 19,
+                                      include_out_of_range=False,
+                                      dtype="uint8").collect()}
+    assert sum(drop.values()) == a.size - 4 - 2  # 0,5,7,7 and 200,255 dropped
+    assert drop[0] == 2          # only 10 and 19 remain in bucket 0
+
+    nod = {r["bucket"]: r["cnt"]
+           for r in raster_histogram(tiles, 10.0, 200.0, 19,
+                                     include_out_of_range=True,
+                                     nodata=7.0, dtype="uint8").collect()}
+    assert sum(nod.values()) == a.size - 2
