@@ -98,7 +98,8 @@ _DEFERRED = [
     "gcp_order1", "gcp_order2",
     # round-3 second batch — judge-gate rows this round, rotate into
     # the driver window in round 4
-    "raster_histogram",
+    "raster_histogram", "focal_slope", "focal_aspect", "focal_tpi",
+    "focal_tri", "focal_roughness",
 ]
 
 

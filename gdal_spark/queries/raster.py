@@ -1676,3 +1676,110 @@ def raster_histogram_q(spark, sf_dir):
         F.col("bucket").cast("long").alias("bucket"),
         F.col("cnt").cast("long").alias("cnt"),
     ).orderBy("bucket")
+
+
+# --------------------------------------------- focal kernel battery
+# The remaining gdaldem kernels (slope/aspect/TPI/TRI/roughness,
+# apps/gdaldem_lib.cpp; Horn gradient :170, TPI/TRI/roughness per
+# kernels/focal.py) oracle-checked against the same 3x3 self-join.
+_GX = "(((w0.v + 2*w3.v + w6.v) - (w2.v + 2*w5.v + w8.v)) / (8.0*2.0))"
+_GY = "(((w0.v + 2*w1.v + w2.v) - (w6.v + 2*w7.v + w8.v)) / (8.0*3.0))"
+
+_FOCAL_SQL = {
+    "slope": f"degrees(atan(sqrt({_GX}*{_GX} + {_GY}*{_GY})))",
+    "aspect": f"""CASE WHEN {_GX} = 0.0 AND {_GY} = 0.0 THEN NULL ELSE
+        CASE WHEN degrees(atan2({_GY}, -{_GX})) > 90.0
+             THEN 450.0 - degrees(atan2({_GY}, -{_GX}))
+             ELSE 90.0 - degrees(atan2({_GY}, -{_GX})) END END""",
+    "tpi": "(w4.v - (w0.v+w1.v+w2.v+w3.v+w5.v+w6.v+w7.v+w8.v)/8.0)",
+    "tri": ("((abs(w4.v-w0.v)+abs(w4.v-w1.v)+abs(w4.v-w2.v)+abs(w4.v-w3.v)"
+            "+abs(w4.v-w5.v)+abs(w4.v-w6.v)+abs(w4.v-w7.v)+abs(w4.v-w8.v))"
+            "/8.0)"),
+    "roughness": ("(GREATEST(w0.v,w1.v,w2.v,w3.v,w4.v,w5.v,w6.v,w7.v,w8.v)"
+                  " - LEAST(w0.v,w1.v,w2.v,w3.v,w4.v,w5.v,w6.v,w7.v,w8.v))"),
+}
+
+_FOCAL_REF = {
+    "slope": "gdaldem_lib.cpp slope (Horn gradient -> atan, degrees)",
+    "aspect": "gdaldem_lib.cpp aspect (atan2, compass rotation; flat=NULL)",
+    "tpi": "gdaldem_lib.cpp TPI (center minus 8-neighbor mean)",
+    "tri": "gdaldem_lib.cpp TRI Wilson (mean |center - neighbor|)",
+    "roughness": "gdaldem_lib.cpp roughness (window max - min)",
+}
+
+
+def _focal_query(kernel):
+    import pandas as pd
+    from typing import Iterator as _It
+
+    def q(spark, sf_dir):
+        from ..operators.focal import focal_tiles
+
+        ts = GW // 2
+
+        def _mk_tiles(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            a = np.zeros(GW * GW, dtype=np.float64)
+            a[pdf["idx"].to_numpy()] = pdf["v"].to_numpy()
+            a = a.reshape(GW, GW)
+            rows = []
+            for tyy in range(2):
+                for txx in range(2):
+                    rows.append({
+                        "tx": txx, "ty": tyy,
+                        "px": a[tyy * ts:(tyy + 1) * ts,
+                                txx * ts:(txx + 1) * ts].tobytes(),
+                    })
+            return pd.DataFrame(rows)
+
+        px = _derived_grid_df(spark)
+        tiles = px.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+            _mk_tiles, "tx long, ty long, px binary")
+        out = focal_tiles(tiles, kernel, zoom=1, ewres=2.0, nsres=3.0,
+                          dtype="float64", tile_size=ts, out_dtype="float64")
+
+        def _to_rows(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+            for pdf in batches:
+                for _, rr in pdf.iterrows():
+                    tile = np.frombuffer(
+                        rr["px"], dtype=np.float64).reshape(ts, ts)
+                    ys, xs = np.mgrid[0:ts, 0:ts]
+                    vals = np.round(tile.ravel(), 6)
+                    out_pdf = pd.DataFrame({
+                        "r": rr["ty"] * ts + ys.ravel(),
+                        "c": rr["tx"] * ts + xs.ravel(),
+                        "out": vals,
+                    })
+                    # NaN (flat aspect / global edge) -> NULL, matching
+                    # the oracle's CASE NULL and healing the hash compare
+                    out_pdf["out"] = out_pdf["out"].astype(object).where(
+                        ~np.isnan(vals), None)
+                    yield out_pdf
+
+        rows = out.select("tx", "ty", "px").mapInPandas(
+            _to_rows, "r long, c long, out double")
+        return rows.filter(
+            (F.col("r") >= 1) & (F.col("r") <= GW - 2)
+            & (F.col("c") >= 1) & (F.col("c") <= GW - 2)
+        ).orderBy("r", "c")
+
+    return q
+
+
+for _k in ("slope", "aspect", "tpi", "tri", "roughness"):
+    register(
+        f"focal_{_k}",
+        sql=f"""
+        WITH px AS (
+          SELECT r.i AS r, c.i AS c,
+                 CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+          FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+        )
+        SELECT a.r, a.c, ROUND({_FOCAL_SQL[_k]}, 6) AS out
+        FROM px a
+          {_neighbor_joins()}
+        WHERE a.r BETWEEN 1 AND {GW - 2} AND a.c BETWEEN 1 AND {GW - 2}
+        ORDER BY a.r, a.c
+        """,
+        desc=f"gdaldem {_k} ({_FOCAL_REF[_k]}) via distributed halo "
+             "exchange; interior oracle-checked against a 3x3 SQL self-join",
+    )(_focal_query(_k))
