@@ -1783,3 +1783,97 @@ for _k in ("slope", "aspect", "tpi", "tri", "roughness"):
         desc=f"gdaldem {_k} ({_FOCAL_REF[_k]}) via distributed halo "
              "exchange; interior oracle-checked against a 3x3 SQL self-join",
     )(_focal_query(_k))
+
+
+# -------------------------------------------------- nearblack
+_nearblack_reg = register(
+    "nearblack",
+    sql=f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c, ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    nn AS (SELECT r, c, v, (v > 15) AS bad FROM gpx),
+    col AS (
+      SELECT r, c, v, bad,
+        SUM(CASE WHEN bad THEN 1 ELSE 0 END)
+          OVER (PARTITION BY c ORDER BY r) = 0 AS clr_d,
+        SUM(CASE WHEN bad THEN 1 ELSE 0 END)
+          OVER (PARTITION BY c ORDER BY r DESC) = 0 AS clr_u
+      FROM nn
+    ),
+    hz AS (
+      SELECT r, c, v, bad, clr_d, clr_u,
+        MAX(CASE WHEN bad THEN c END) OVER
+          (PARTITION BY r ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nn_l,
+        MAX(CASE WHEN clr_d THEN c END) OVER
+          (PARTITION BY r ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cd_l,
+        MAX(CASE WHEN clr_u THEN c END) OVER
+          (PARTITION BY r ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cu_l,
+        MIN(CASE WHEN bad THEN c END) OVER
+          (PARTITION BY r ORDER BY c DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nn_r,
+        MIN(CASE WHEN clr_d THEN c END) OVER
+          (PARTITION BY r ORDER BY c DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cd_r,
+        MIN(CASE WHEN clr_u THEN c END) OVER
+          (PARTITION BY r ORDER BY c DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cu_r
+      FROM col
+    ),
+    bl AS (
+      SELECT r, c, v,
+        (clr_d OR clr_u
+         OR (NOT bad AND c <= {GW - 2}
+             AND COALESCE(cd_l, -1) > COALESCE(nn_l, -2))
+         OR (NOT bad AND c <= {GW - 2}
+             AND COALESCE(cu_l, -1) > COALESCE(nn_l, -2))
+         OR (NOT bad AND c >= 1
+             AND COALESCE(cd_r, {GW + 1}) < COALESCE(nn_r, {GW + 2}))
+         OR (NOT bad AND c >= 1
+             AND COALESCE(cu_r, {GW + 1}) < COALESCE(nn_r, {GW + 2}))
+        ) AS black
+      FROM hz
+    )
+    SELECT r, c,
+           CASE WHEN black THEN 0 ELSE v END AS out_v,
+           CAST(CASE WHEN black THEN 0 ELSE 255 END AS BIGINT) AS mask
+    FROM bl ORDER BY r, c
+    """,
+    desc="nearblack collar removal (apps/nearblack_lib.cpp:360-745) — "
+         "two-pass flood from the raster edges distributed as a "
+         "parallel-prefix scan over row strips; for max_non_black=0 the "
+         "serial recurrences reduce to window functions (vertical: "
+         "cumulative non-near count == 0; horizontal do-test state: last "
+         "clear-column position beats last non-near position), giving a "
+         "fully independent SQL oracle",
+)
+
+
+def nearblack_q(spark, sf_dir):
+    from ..operators.nearblack import nearblack_tiles
+
+    ts = GW // 2
+    out = nearblack_tiles(_pixel_tiles_df(spark), ntx=2, nty=2,
+                          tile_size=ts, near_dist=15, max_non_black=0)
+
+    def _rows(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.uint8).reshape(ts, ts)
+                m = np.frombuffer(rr["mask"], dtype=np.uint8).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                yield pd.DataFrame({
+                    "r": (rr["ty"] * ts + ys).ravel(),
+                    "c": (rr["tx"] * ts + xs).ravel(),
+                    "out_v": t.ravel().astype(np.int64),
+                    "mask": m.ravel().astype(np.int64)})
+
+    return (out.mapInPandas(_rows, "r long, c long, out_v long, mask long")
+            .orderBy("r", "c"))
+
+
+_nearblack_reg(nearblack_q)
