@@ -202,21 +202,31 @@ def dist2_scaled(a: Column, b: Column) -> Column:
 def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 3,
              nprobe: int = 2, centroid_stride: int = 50,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+             qid_col: str = "qid", qvec_col: str = "qvec",
+             centroids: DataFrame | None = None) -> DataFrame:
     """Inverted-file ANN: coarse centroids partition the corpus into
     lists; queries probe their ``nprobe`` nearest lists and rank only
     those candidates.  The IVF scale shape: the corpus shuffles once
     by centroid id, never all-pairs.
 
-    Centroids are a deterministic corpus subset (id % stride == 0) so
-    the whole path is exact integer math (scaled vectors, L2 via
-    sum-of-squared-diffs) and oracle-checkable; a production build
-    would drop in k-means centroids without changing the plan.
-    Ties break (dist2 asc, cid asc) / (dot desc, id asc).
+    Centroid source: pass ``centroids`` (the (cid, pos, val) output of
+    kmeans_centroids — the production path) or fall back to a
+    deterministic corpus subset (id % stride == 0).  Either way the
+    whole path is exact integer math (scaled vectors, L2 via
+    sum-of-squared-diffs) and oracle-checkable; the probe plan is
+    identical.  Ties break (dist2 asc, cid asc) / (dot desc, id asc).
     """
     v = vectors.select(F.col(id_col), scaled_col(F.col(vec_col)).alias("_sv"))
-    cents = v.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col("_sv").alias("_cv"))
+    if centroids is not None:
+        cents = (centroids.groupBy("cid")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "val")))
+                      .alias("_pv"))
+                 .select(F.col("cid").cast("long").alias("cid"),
+                         F.transform("_pv", lambda s: s.getField("val"))
+                         .alias("_cv")))
+    else:
+        cents = v.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("cid"), F.col("_sv").alias("_cv"))
 
     def assign(df, key, vec, n):
         d = df.crossJoin(F.broadcast(cents)).withColumn(
@@ -296,3 +306,59 @@ def cosine_neardup_pairs(vectors: DataFrame, dim: int,
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def kmeans_centroids(vectors: DataFrame, dim: int, k: int = 8,
+                     iters: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic distributed Lloyd's k-means on scaled integer
+    vectors — the production centroid source for ivf_topk (replacing
+    the id-stride placeholder; the IVF plan itself is unchanged).
+
+    Scale shape per iteration:
+      * assignment is PURE Column math — centroids are a broadcast
+        literal (k x dim ints, driver-held), per-centroid exact int64
+        L2 via zip_with folds, argmin via least() over (d2, cid)
+        structs: whole-stage codegen, zero shuffle, one corpus scan;
+      * the update is posexplode -> groupBy (cid, pos) sum/count —
+        map-side partials, k*dim result rows collected to the driver.
+    No n x k shuffle anywhere; driver state is k*dim ints.
+
+    Determinism / oracle-exactness: init = the k lowest-id vectors;
+    ties (d2 asc, cid asc); new coordinate = floor(sum/count) (exact:
+    |sum| < 2^53); an emptied cluster keeps its previous centroid.
+    Returns (cid, pos, val) rows, 0-based pos.
+    """
+    sv = vectors.select(F.col(id_col).alias("_id"),
+                        scaled_col(F.col(vec_col)).alias("_sv"))
+    seed = sv.orderBy("_id").limit(k).collect()
+    cents = [list(r["_sv"]) for r in seed]
+
+    for _ in range(iters):
+        structs = []
+        for cid, cv in enumerate(cents):
+            lit = F.array(*[F.lit(int(x)).cast("long") for x in cv])
+            d2 = F.aggregate(
+                F.zip_with(F.col("_sv"), lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            structs.append(F.struct(d2.alias("d2"),
+                                    F.lit(cid).cast("int").alias("cid")))
+        assigned = sv.withColumn("_cid", F.least(*structs).getField("cid"))
+        sums = (assigned.select("_cid", F.posexplode("_sv").alias("pos", "v"))
+                .groupBy("_cid", "pos")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect())
+        new = [list(c) for c in cents]  # empty cluster keeps centroid
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault(r["_cid"], {})[r["pos"]] = (r["s"], r["n"])
+        import math
+        for cid, d in acc.items():
+            for pos, (s, n) in d.items():
+                new[cid][pos] = int(math.floor(s / n))
+        cents = new
+
+    spark = vectors.sparkSession
+    rows = [(cid, pos, int(v)) for cid, cv in enumerate(cents)
+            for pos, v in enumerate(cv)]
+    return spark.createDataFrame(rows, "cid int, pos int, val long")

@@ -546,3 +546,62 @@ def media_features(spark, sf_dir):
 def frame_sample(spark, sf_dir):
     return mm.frame_sample(t(spark, sf_dir, "documents")).orderBy(
         "doc_id", "frame_idx")
+
+
+_KM_ITER = """
+    d{n} AS (
+      SELECT p.vec_id, c.cid, SUM((p.val - c.val) * (p.val - c.val)) AS d2
+      FROM pos p JOIN cent{m} c ON p.pos = c.pos
+      GROUP BY p.vec_id, c.cid
+    ),
+    a{n} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d{n}) WHERE rn = 1
+    ),
+    u{n} AS (
+      SELECT a.cid, p.pos,
+             CAST(FLOOR(CAST(SUM(p.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS val
+      FROM a{n} a JOIN pos p USING (vec_id)
+      GROUP BY a.cid, p.pos
+    ),
+    cent{n} AS (
+      SELECT * FROM u{n}
+      UNION ALL
+      SELECT c.* FROM cent{m} c
+      WHERE c.cid NOT IN (SELECT DISTINCT cid FROM u{n})
+    )"""
+
+
+@register(
+    "kmeans_centroids",
+    sql=f"""
+    WITH {_SCALED_SQL},
+    pos AS (
+      SELECT vec_id, t.i - 1 AS pos, v[t.i] AS val
+      FROM sv, generate_series(1, {DIM}) t(i)
+    ),
+    seed AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+      FROM (SELECT vec_id FROM sv ORDER BY vec_id LIMIT 4)
+    ),
+    cent0 AS (
+      SELECT s.cid, p.pos, p.val FROM seed s JOIN pos p USING (vec_id)
+    ),{_KM_ITER.format(n=1, m=0)},{_KM_ITER.format(n=2, m=1)}
+    SELECT cid, pos, val FROM cent2 ORDER BY cid, pos
+    """,
+    desc="distributed Lloyd's k-means (IVF centroid source): broadcast-"
+         "literal centroids, zero-shuffle Column argmin (least over "
+         "(d2,cid) structs), posexplode partial-agg update, floor(sum/n) "
+         "integer coordinates; oracle = the same two iterations unrolled "
+         "in relational SQL (k=4, seeds = 4 lowest vec_ids)",
+)
+def kmeans_centroids_q(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    out = sim.kmeans_centroids(emb, DIM, k=4, iters=2)
+    return (out.select(F.col("cid").cast("long").alias("cid"),
+                       F.col("pos").cast("long").alias("pos"), "val")
+            .orderBy("cid", "pos"))

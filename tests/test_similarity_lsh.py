@@ -88,3 +88,50 @@ def test_lsh_topk_contains_planted_neighbour(corpus):
     for a, b in planted:
         if a in by_q:
             assert b in by_q[a], (a, sorted(by_q[a]))
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    """The driver embeddings table shape (vec_id, embedding float[64])."""
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_kmeans_centroids_properties(spark, emb_df):
+    """Lloyd's invariants: k centroids x dim coords, integer coords in
+    data range, and objective non-increase vs the seed assignment."""
+    import numpy as np
+    from gdal_spark.operators import similarity as sim
+
+    out = sim.kmeans_centroids(emb_df, 64, k=4, iters=3).toPandas()
+    assert sorted(out["cid"].unique()) == [0, 1, 2, 3]
+    assert (out.groupby("cid")["pos"].count() == 64).all()
+
+    vecs = np.array([np.asarray(v) for v in
+                     emb_df.orderBy("vec_id").toPandas()["embedding"]])
+    sv = np.floor(vecs.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+    cents = np.zeros((4, 64), dtype=np.int64)
+    for _, r in out.iterrows():
+        cents[int(r["cid"]), int(r["pos"])] = r["val"]
+
+    def obj(c):
+        d = ((sv[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    assert obj(cents) <= obj(sv[:4])  # improves on the seed centroids
+
+
+def test_ivf_with_kmeans_centroids(spark, emb_df):
+    """IVF probe over kmeans centroids: same plan, sane recall vs
+    brute force on the probed lists."""
+    from pyspark.sql import functions as F
+    from gdal_spark.operators import similarity as sim
+
+    cents = sim.kmeans_centroids(emb_df, 64, k=4, iters=2)
+    qs = emb_df.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = sim.ivf_topk(emb_df, qs, 64, k=3, nprobe=2,
+                       centroids=cents).toPandas()
+    assert set(got["rnk"]) == {1, 2, 3}
+    # rank-1 with nprobe=2/4 lists must be the true self-match
+    top1 = got[got["rnk"] == 1]
+    assert (top1["vec_id"] == top1["qid"]).all()
