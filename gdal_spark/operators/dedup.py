@@ -229,3 +229,34 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
             ).alias("jaccard"),
         )
     )
+
+
+def neardup_clusters(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate clusters + canonical-document selection — the
+    step a training pipeline runs after candidate generation: verified
+    pairs (exact n-gram Jaccard >= threshold on MinHash-band
+    candidates) become edges, connected components become clusters,
+    and the lowest doc_id per cluster is kept.
+
+    Scale shape: edges come from the salted band join (never
+    all-pairs); components reuse the polygonize CC machinery —
+    driver union-find below 2M edges, distributed min-propagation
+    with pointer jumping (O(log diameter) rounds) above.  Returns
+    (doc_id, cluster, keep) for every input doc; singletons are their
+    own cluster with keep = true.
+    """
+    from .polygonize import global_labels
+
+    pairs = jaccard_pairs(df, text_col, id_col).filter(
+        F.col("jaccard") >= threshold)
+    edges = pairs.select(F.col("id_a").alias("n_a"),
+                         F.col("id_b").alias("n_b"))
+    nodes = df.select(F.col(id_col).alias("node")).distinct()
+    comp = global_labels(nodes, edges)
+    return (df.select(id_col).distinct()
+            .join(comp, F.col(id_col) == F.col("node"))
+            .select(F.col(id_col),
+                    F.col("comp").alias("cluster"),
+                    (F.col(id_col) == F.col("comp")).alias("keep")))

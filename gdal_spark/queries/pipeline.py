@@ -605,3 +605,57 @@ def kmeans_centroids_q(spark, sf_dir):
     return (out.select(F.col("cid").cast("long").alias("cid"),
                        F.col("pos").cast("long").alias("pos"), "val")
             .orderBy("cid", "pos"))
+
+
+@register(
+    "dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    {_SHINGLES_SQL},
+    {_SIG_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id
+      GROUP BY l.id, r.id
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    jac AS (
+      SELECT i.id_a, i.id_b,
+             ROUND(CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS j
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM jac WHERE j >= 0.5
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM jac WHERE j >= 0.5
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM docs3
+      UNION
+      SELECT r.src, e.b AS dst FROM reach r JOIN e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster, MIN(dst) = src AS keep
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    desc="near-dup clustering + canonical selection: Jaccard-verified "
+         "LSH candidate pairs as edges, connected components (driver "
+         "union-find / distributed min-propagation w/ pointer jumping), "
+         "keep = lowest doc_id per cluster; oracle = recursive-CTE "
+         "transitive closure over the identical edge set",
+)
+def dedup_clusters(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir).filter(
+        F.size(F.split("text", " ")) >= 3)
+    return dd.neardup_clusters(corpus, threshold=0.5).orderBy("doc_id")

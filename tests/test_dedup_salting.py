@@ -43,3 +43,25 @@ def test_salt_factor_actually_engages(boilerplate_corpus):
                   ).alias("bv"))
     mx = bands.groupBy("bv").count().agg(F.max("count")).collect()[0][0]
     assert mx >= 400  # the fixture really creates a hot bucket
+
+
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C cluster A,B,C together even if (A,C) never paired;
+    canonical = lowest id; singletons keep themselves."""
+    from gdal_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " today"),          # near-dup of 1
+        (3, base + " today now"),      # near-dup of 2 (chain)
+        (50, "completely different text about distributed query engines "
+             "running on large clusters of machines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in dd.neardup_clusters(df, threshold=0.5).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[50] == (50, True)
