@@ -1877,3 +1877,102 @@ def nearblack_q(spark, sf_dir):
 
 
 _nearblack_reg(nearblack_q)
+
+
+# --------------------------------------- gdaldem variant battery
+# ZevenbergenThorne gradient (-alg ZevenbergenThorne,
+# gdaldem_lib.cpp:795-803) and the hillshade variants -combined
+# (:1139), -multidirectional (:1237), -igor (:942), oracle-checked
+# against the same 3x3 self-join.  ewres=2, nsres=3, z=1, az=315,
+# alt=45 as in the Horn battery.
+_GXZ = "((w3.v - w5.v) / (2.0*2.0))"
+_GYZ = "((w1.v - w7.v) / (2.0*3.0))"
+
+
+def _hs_sql(gx, gy):
+    num = (f"(sin(radians(45.0)) - ({gy} * cos(radians(315.0)) * "
+           f"cos(radians(45.0)) - {gx} * sin(radians(315.0)) * "
+           f"cos(radians(45.0))))")
+    cang = f"({num} / sqrt(1.0 + {gx}*{gx} + {gy}*{gy}))"
+    return f"CASE WHEN {cang} <= 0.0 THEN 1.0 ELSE 1.0 + 254.0 * {cang} END"
+
+
+def _hs_combined_sql(gx, gy):
+    num = (f"(sin(radians(45.0)) - ({gy} * cos(radians(315.0)) * "
+           f"cos(radians(45.0)) - {gx} * sin(radians(315.0)) * "
+           f"cos(radians(45.0))))")
+    slope = f"({gx}*{gx} + {gy}*{gy})"
+    cang0 = f"acos(LEAST(GREATEST({num} / sqrt(1.0 + {slope}), -1.0), 1.0))"
+    cang = f"(1.0 - {cang0} * atan(sqrt({slope})) * (4.0/(pi()*pi())))"
+    return f"CASE WHEN {cang} <= 0.0 THEN 1.0 ELSE 1.0 + 254.0 * {cang} END"
+
+
+def _hs_multi_sql(gx, gy):
+    s127 = "(127.0 * sin(radians(45.0)))"
+    cz127 = "(127.0 * cos(radians(45.0)))"
+    c225 = f"(cos(radians(225.0)) * {cz127})"
+    xxyy = f"({gx}*{gx} + {gy}*{gy})"
+    v225 = f"GREATEST(0.0, {s127} + ({gx} - {gy}) * {c225})"
+    v270 = f"GREATEST(0.0, {s127} - {gx} * {cz127})"
+    v315 = f"GREATEST(0.0, {s127} + ({gx} + {gy}) * {c225})"
+    v360 = f"GREATEST(0.0, {s127} - {gy} * {cz127})"
+    w225 = f"(0.5*{xxyy} - {gx}*{gy})"
+    w315 = f"({xxyy} - {w225})"
+    acc = (f"({w225}*{v225} + ({gx}*{gx})*{v270} + {w315}*{v315}"
+           f" + ({gy}*{gy})*{v360})")
+    return (f"CASE WHEN {xxyy} = 0.0 THEN 1.0 + 2.0*{s127} "
+            f"ELSE 1.0 + ({acc}/{xxyy})/sqrt(1.0 + {xxyy}) END")
+
+
+def _hs_igor_sql(gx, gy):
+    slope_deg = f"degrees(atan(sqrt({gx}*{gx}+{gy}*{gy})))"
+    dx = "((w2.v + 2*w5.v + w8.v) - (w0.v + 2*w3.v + w6.v))"
+    dy2 = "((w6.v + 2*w7.v + w8.v) - (w0.v + 2*w1.v + w2.v))"
+    asp = f"atan2({dy2}, -({dx}))"
+    n1 = f"(CASE WHEN {asp} < 0.0 THEN {asp} + 2.0*pi() ELSE {asp} END)"
+    diff = f"abs({n1} - 7.0*pi()/4.0)"
+    d2 = f"(CASE WHEN {diff} > pi() THEN 2.0*pi() - {diff} ELSE {diff} END)"
+    return f"255.0 * (1.0 - ({slope_deg}/90.0) * (1.0 - {d2}/pi()))"
+
+
+_FOCAL_SQL.update({
+    "slope_zt": f"degrees(atan(sqrt({_GXZ}*{_GXZ} + {_GYZ}*{_GYZ})))",
+    "aspect_zt": f"""CASE WHEN {_GXZ} = 0.0 AND {_GYZ} = 0.0 THEN NULL ELSE
+        CASE WHEN degrees(atan2({_GYZ}, -{_GXZ})) > 90.0
+             THEN 450.0 - degrees(atan2({_GYZ}, -{_GXZ}))
+             ELSE 90.0 - degrees(atan2({_GYZ}, -{_GXZ})) END END""",
+    "hillshade_zt": _hs_sql(_GXZ, _GYZ),
+    "hillshade_combined": _hs_combined_sql(_GX, _GY),
+    "hillshade_multidirectional": _hs_multi_sql(_GX, _GY),
+    "hillshade_igor": _hs_igor_sql(_GX, _GY),
+})
+
+_FOCAL_REF.update({
+    "slope_zt": "gdaldem slope -alg ZevenbergenThorne (:795)",
+    "aspect_zt": "gdaldem aspect -alg ZevenbergenThorne (:795)",
+    "hillshade_zt": "gdaldem hillshade -alg ZevenbergenThorne (:795,1180)",
+    "hillshade_combined": "gdaldem hillshade -combined (:1139-1167)",
+    "hillshade_multidirectional":
+        "gdaldem hillshade -multidirectional (:1237-1296)",
+    "hillshade_igor": "gdaldem hillshade -igor (:942-1000)",
+})
+
+for _k in ("slope_zt", "aspect_zt", "hillshade_zt", "hillshade_combined",
+           "hillshade_multidirectional", "hillshade_igor"):
+    register(
+        f"focal_{_k}",
+        sql=f"""
+        WITH px AS (
+          SELECT r.i AS r, c.i AS c,
+                 CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+          FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+        )
+        SELECT a.r, a.c, ROUND({_FOCAL_SQL[_k]}, 6) AS out
+        FROM px a
+          {_neighbor_joins()}
+        WHERE a.r BETWEEN 1 AND {GW - 2} AND a.c BETWEEN 1 AND {GW - 2}
+        ORDER BY a.r, a.c
+        """,
+        desc=f"{_FOCAL_REF[_k]} via distributed halo exchange; interior "
+             "oracle-checked against a 3x3 SQL self-join",
+    )(_focal_query(_k))

@@ -31,7 +31,10 @@ def _tiles_df(spark, arr):
 
 @pytest.mark.parametrize("kernel",
                          ["hillshade", "slope", "aspect", "tpi", "tri",
-                          "roughness"])
+                          "roughness", "hillshade_zt", "slope_zt",
+                          "aspect_zt", "hillshade_combined",
+                          "hillshade_multidirectional",
+                          "hillshade_igor"])
 def test_focal_tile_split_invariance(spark, kernel):
     arr = _dem().astype(np.float32).astype(np.float64)
     rows = focal_tiles(_tiles_df(spark, arr), kernel, zoom=2,
