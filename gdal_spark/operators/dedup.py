@@ -260,3 +260,36 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col),
                     F.col("comp").alias("cluster"),
                     (F.col(id_col) == F.col("comp")).alias("keep")))
+
+
+SIMHASH_BANDS = 4  # 16 bits -> 4 bands of 4
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: banded hamming candidate join + exact
+    popcount verify.
+
+    The 16-bit fingerprint splits into 4 bands of 4 bits; by
+    pigeonhole any pair within hamming distance 3 agrees on >= 1
+    band, so the band equi-join (salted, like MinHash banding) has
+    EXACT recall at the default threshold while enumerating only
+    same-band candidates — never all pairs.  Verification is one
+    bit_count(xor) per candidate, JVM-side.
+    Returns (id_a, id_b, hamming).
+    """
+    sh = simhash(df, text_col, id_col)
+    bands = sh.select(
+        F.col(id_col).alias("id"), "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("bi"))
+    bands = bands.withColumn(
+        "bv", F.expr("shiftright(simhash, bi * 4) & 15"))
+    cand = (salted_self_pairs(bands.select("id", "bi", "bv", "simhash"),
+                              ["bi", "bv"], "id")
+            .select("id_a", "id_b", "simhash_a", "simhash_b").distinct())
+    ham = F.bit_count(
+        F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming").distinct())

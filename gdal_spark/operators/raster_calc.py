@@ -147,3 +147,67 @@ def color_relief_tiles(tiles, ramp, dtype: str = "uint8",
     return tiles.select("tx", "ty", "px").mapInPandas(
         _map, "z int, tx bigint, ty bigint, band int, px binary, "
               "checksum long")
+
+
+def equalize_tiles(tiles: DataFrame, tile_size: int = 256,
+                   dtype: str = "uint8") -> DataFrame:
+    """Histogram equalization (gdalenhance -equalize,
+    apps/gdalenhance.cpp:364-460 ComputeEqualizationLUTs +
+    EnhancerCallback).
+
+    Reference rule, Byte path: 256-bin default histogram over
+    [-0.5, 255.5]; extremes zeroed (panHistogram[0] =
+    panHistogram[255] = 0); cumulative with the half-bin offset
+    (cum[i] = total_before + hist[i]/2, integer); LUT[i] =
+    clamp((cum[i] * 256) / total, 0..255) — all integer divisions.
+    With nLUTBins == nHistSize the per-pixel bin is the byte value
+    itself, so applying is one LUT gather per tile.
+
+    Distribution: the histogram is the existing distributed
+    GetHistogram twin (per-tile bincount partials, one (band, bucket)
+    agg); the 256-int LUT folds on the driver (bounded step) and
+    broadcasts into a tile-local map — no pixel shuffle anywhere.
+    """
+    from .raster_tile import raster_histogram
+
+    np_dtype = np.dtype(dtype)
+    nb = 256
+    hist = raster_histogram(tiles, -0.5, 255.5, nb,
+                            include_out_of_range=True, dtype=dtype)
+    rows = hist.orderBy("band", "bucket").collect()
+    by_band: dict[int, list[int]] = {}
+    for r in rows:
+        by_band.setdefault(r["band"], [0] * nb)[r["bucket"]] = int(r["cnt"])
+    luts = {}
+    for band, h in by_band.items():
+        h = list(h)
+        h[0] = 0
+        h[nb - 1] = 0
+        total = 0
+        cum = [0] * nb
+        for i in range(nb):
+            cum[i] = total + h[i] // 2
+            total += h[i]
+        if total == 0:
+            total = 1
+        luts[band] = np.array(
+            [max(0, min(nb - 1, (cum[i] * nb) // total)) for i in range(nb)],
+            dtype=np_dtype)
+    bc = tiles.sparkSession.sparkContext.broadcast(
+        {b: lut.tobytes() for b, lut in luts.items()})
+
+    has_band = "band" in tiles.columns
+    src = tiles if has_band else tiles.withColumn("band", F.lit(0))
+
+    def _apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in pdf.iterrows():
+            lut = np.frombuffer(bc.value[int(r["band"])], dtype=np_dtype)
+            a = np.frombuffer(r["px"], dtype=np_dtype)
+            out.append({"tx": int(r["tx"]), "ty": int(r["ty"]),
+                        "band": int(r["band"]),
+                        "px": lut[a.astype(np.int64)].tobytes()})
+        return pd.DataFrame(out)
+
+    return src.groupBy("tx", "ty").applyInPandas(
+        _apply, "tx long, ty long, band int, px binary")

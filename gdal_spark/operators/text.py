@@ -15,6 +15,7 @@ the catalog's oracle-checked demos.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # tiny stopword lexicons for the n-gram/lexicon language heuristic
 LEXICONS = {
@@ -121,3 +122,85 @@ def fingerprint_col(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * FP_MUL + F.ascii(ch)) % FP_MOD,
     )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and the character mass of the most frequent word
+    2-gram.  Pure Column + one exploded groupBy — map-side partials,
+    no text ever crosses the shuffle twice.
+
+    Returns (doc_id, dup_tok_frac, top_bigram, top_bigram_frac):
+      dup_tok_frac    = 1 - distinct_tokens / tokens
+      top_bigram      = most frequent adjacent token pair
+                        (count desc, bigram asc ties)
+      top_bigram_frac = occurrences * len(bigram) / len(text)
+    """
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(text_col).alias("_t"),
+                     toks.alias("_toks"))
+    counts = base.select(
+        id_col,
+        F.size("_toks").alias("n_tok"),
+        F.size(F.array_distinct("_toks")).alias("n_dis"),
+        F.length("_t").alias("n_chars"),
+        F.expr("transform(sequence(1, size(_toks) - 1), "
+               "i -> concat(element_at(_toks, i), ' ', "
+               "element_at(_toks, i + 1)))").alias("_bgs"))
+    bg = counts.select(id_col, "n_tok", "n_dis", "n_chars",
+                       F.explode("_bgs").alias("bigram"))
+    bgc = bg.groupBy(id_col, "n_tok", "n_dis", "n_chars", "bigram").agg(
+        F.count("*").alias("bcnt"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("bcnt").desc(), F.col("bigram").asc())
+    top = bgc.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1)
+    return top.select(
+        F.col(id_col),
+        F.round(1.0 - F.col("n_dis").cast("double")
+                / F.col("n_tok").cast("double"), 6).alias("dup_tok_frac"),
+        F.col("bigram").alias("top_bigram"),
+        F.round(F.col("bcnt").cast("double")
+                * F.length("bigram").cast("double")
+                / F.col("n_chars").cast("double"), 6)
+        .alias("top_bigram_frac"))
+
+
+def bm25_topk(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+              k: int = 3) -> DataFrame:
+    """Per-document top-k BM25 terms (Robertson/Okapi, the +1 idf
+    variant) — the scoring step of corpus search / quality weighting.
+
+    Distribution: one explode -> (doc, term) tf aggregation
+    (map-side partials); document frequencies aggregate the same
+    rows again grouped by term; N and total token count are one tiny
+    global agg joined back by broadcast.  All inputs to the float
+    expression are integers, so the score is engine-reproducible.
+    Returns (doc_id, term, score) with ties (score desc, term asc).
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("dft"))
+    tot = dl.agg(F.count("*").alias("n_docs"),
+                 F.sum("dl").alias("tot_tokens"))
+
+    scored = (tf.join(dl, id_col).join(F.broadcast(dft), "term")
+              .crossJoin(F.broadcast(tot)))
+    avgdl = (F.col("tot_tokens").cast("double")
+             / F.col("n_docs").cast("double"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs").cast("double") - F.col("dft") + 0.5)
+        / (F.col("dft") + 0.5))
+    score = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(score, 6).desc(), F.col("term").asc())
+    return (scored.withColumn("score", F.round(score, 6))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(id_col, F.col("_rn").cast("long").alias("rnk"),
+                    "term", "score"))

@@ -659,3 +659,144 @@ def dedup_clusters(spark, sf_dir):
     corpus = _dup_corpus(spark, sf_dir).filter(
         F.size(F.split("text", " ")) >= 3)
     return dd.neardup_clusters(corpus, threshold=0.5).orderBy("doc_id")
+
+
+# ------------------------------------------------------- sampling / scoring
+@register(
+    "stratified_sample",
+    sql="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents) WHERE rn <= 5 ORDER BY doc_id
+    """,
+    desc="deterministic stratified sampling: exactly min(k,|stratum|) "
+         "rows per (lang, source) by md5(id) rank — reproducible across "
+         "partitionings/engines, one shuffle on the stratum key",
+)
+def stratified_sample_q(spark, sf_dir):
+    from ..operators.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (stratified_sample(docs, ["lang", "source"], 5)
+            .orderBy("doc_id"))
+
+
+@register(
+    "simhash_pairs",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM tok),
+    s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM s),
+    bands AS (
+      SELECT doc_id, b.i AS bi, (simhash >> (b.i * 4)) & 15 AS bv
+      FROM fp, generate_series(0, 3) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.bi = r.bi AND l.bv = r.bv
+                               AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp a ON a.doc_id = c.id_a
+    JOIN fp b ON b.doc_id = c.id_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    desc="SimHash near-dup pairs: 4x4-bit banded hamming join (exact "
+         "recall at distance <= 3 by pigeonhole), salted buckets, "
+         "bit_count(xor) verify — never all-pairs",
+)
+def simhash_pairs_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "bm25_topk",
+    sql="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    dft AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM dl),
+    sc AS (
+      SELECT t.doc_id, t.term,
+             ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE) - dft + 0.5)
+                            / (dft + 0.5))
+                   * (t.tf * (1.2 + 1.0))
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl
+                      / (CAST(tot_tokens AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE)))), 6) AS score
+      FROM tf t JOIN dl d USING (doc_id) JOIN dft USING (term)
+      CROSS JOIN tot
+    ),
+    r AS (SELECT doc_id, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rnk
+          FROM sc)
+    SELECT doc_id, rnk, term, score FROM r WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    desc="per-doc top-3 BM25 terms (Okapi +1-idf): tf/df/avgdl from two "
+         "map-side-partial aggregations, tiny global agg broadcast back; "
+         "integer inputs make the float score engine-reproducible",
+)
+def bm25_topk_q(spark, sf_dir):
+    from ..operators.text import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_topk(docs, k=3).orderBy("doc_id", "rnk")
+
+
+@register(
+    "repetition_metrics",
+    sql="""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_dis,
+             length(text) AS n_chars, toks
+      FROM d
+    ),
+    bg AS (
+      SELECT doc_id, n_tok, n_dis, n_chars,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM base
+    ),
+    bgc AS (
+      SELECT doc_id, n_tok, n_dis, n_chars, bigram, COUNT(*) AS bcnt
+      FROM bg GROUP BY ALL
+    ),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY bcnt DESC, bigram ASC) AS rn
+      FROM bgc
+    )
+    SELECT doc_id,
+           ROUND(1.0 - CAST(n_dis AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+             AS dup_tok_frac,
+           bigram AS top_bigram,
+           ROUND(CAST(bcnt AS DOUBLE) * CAST(length(bigram) AS DOUBLE)
+                 / CAST(n_chars AS DOUBLE), 6) AS top_bigram_frac
+    FROM top WHERE rn = 1 ORDER BY doc_id
+    """,
+    desc="Gopher-style repetition signals: duplicate-token fraction + "
+         "top word-2gram character mass; one exploded groupBy with "
+         "map-side partials",
+)
+def repetition_metrics_q(spark, sf_dir):
+    from ..operators.text import repetition_metrics
+
+    docs = t(spark, sf_dir, "documents")
+    return repetition_metrics(docs).orderBy("doc_id")

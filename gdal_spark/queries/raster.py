@@ -1976,3 +1976,69 @@ for _k in ("slope_zt", "aspect_zt", "hillshade_zt", "hillshade_combined",
         desc=f"{_FOCAL_REF[_k]} via distributed halo exchange; interior "
              "oracle-checked against a 3x3 SQL self-join",
     )(_focal_query(_k))
+
+
+# -------------------------------------------------- histogram equalization
+_equalize_reg = register(
+    "equalize",
+    sql=f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c, ((r.i * {GW} + c.i) * 7) % 256 AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    h AS (SELECT v AS bucket, COUNT(*) AS cnt FROM gpx GROUP BY v),
+    dense AS (
+      SELECT i.bucket, COALESCE(h.cnt, 0) AS cnt
+      FROM generate_series(0, 255) i(bucket) LEFT JOIN h USING (bucket)
+    ),
+    z AS (
+      SELECT bucket,
+             CASE WHEN bucket IN (0, 255) THEN 0 ELSE cnt END AS cnt
+      FROM dense
+    ),
+    cm AS (
+      SELECT bucket,
+             COALESCE(SUM(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt // 2 AS cum,
+             SUM(cnt) OVER () AS total
+      FROM z
+    ),
+    lut AS (
+      SELECT bucket,
+             LEAST(255, GREATEST(0, (cum * 256) // total)) AS out_v
+      FROM cm
+    )
+    SELECT g.r, g.c, CAST(l.out_v AS BIGINT) AS out_v
+    FROM gpx g JOIN lut l ON l.bucket = g.v
+    ORDER BY g.r, g.c
+    """,
+    desc="histogram equalization (gdalenhance -equalize, "
+         "apps/gdalenhance.cpp:364-460): zeroed-extremes histogram, "
+         "half-bin cumulative, integer LUT clamp — distributed "
+         "GetHistogram partials + driver LUT fold + broadcast tile map; "
+         "oracle mirrors every integer division in SQL",
+)
+
+
+def equalize_q(spark, sf_dir):
+    from ..operators.raster_calc import equalize_tiles
+
+    ts = GW // 2
+    out = equalize_tiles(_pixel_tiles_df(spark), tile_size=ts)
+
+    def _rows(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                a = np.frombuffer(rr["px"], dtype=np.uint8).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                yield pd.DataFrame({
+                    "r": (rr["ty"] * ts + ys).ravel(),
+                    "c": (rr["tx"] * ts + xs).ravel(),
+                    "out_v": a.ravel().astype(np.int64)})
+
+    return (out.mapInPandas(_rows, "r long, c long, out_v long")
+            .orderBy("r", "c"))
+
+
+_equalize_reg(equalize_q)
