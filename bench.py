@@ -51,6 +51,15 @@ HEADLINE = [
     "mosaic",
     "shapefile_scan",
     "la_line_clip",
+    # round 3 additions
+    "nearblack",
+    "equalize",
+    "focal_hillshade_multidirectional",
+    "kmeans_centroids",
+    "dedup_clusters",
+    "simhash_pairs",
+    "bm25_topk",
+    "stratified_sample",
 ]
 
 BIG_JOIN_N = 8_000_000

@@ -201,3 +201,100 @@ def los_pairs(tiles: DataFrame, pairs: DataFrame,
         })
 
     return fan.groupBy("pid").applyInPandas(_run, LOS_SCHEMA)
+
+
+CUM_SCHEMA = "tx long, ty long, px binary, tile_max long"
+
+
+def cumulative_viewshed(tiles: DataFrame, raster_w: int, raster_h: int,
+                        spacing: int, tile_size: int = 256,
+                        radius_px: int | None = None,
+                        dtype: str = "uint8", observer_z: float = 0.0,
+                        cell_mode: str = "edge") -> DataFrame:
+    """Cumulative viewshed (alg/viewshed/cumulative.cpp): observers on
+    an every-``spacing``-pixels grid each run a Normal-mode viewshed
+    with visible=1 (:46-47, :64-68); per-pixel uint32 sums over the
+    FULL raster extent; then the 8-bit rescale
+    ``floor(255/max * v)`` (scaleOutput :200-213, max==0 -> no-op).
+
+    Scale shape — the reference's executor/Combiner/rollup thread
+    pipeline (:80-95) maps onto: per-observer windows (the existing
+    across-observers viewshed fan) are cut into tile-aligned uint32
+    fragments; one groupBy(tile) sums fragments in numpy (the
+    Combiner role); the global max is a scalar agg over per-tile
+    maxima (no pixel leaves the tile); the rescale is a broadcast
+    map.  Returns (tx, ty, px uint32, tile_max) tiles of the scaled
+    output.
+    """
+    spark = tiles.sparkSession
+    ts = tile_size
+    if radius_px is None:
+        radius_px = max(raster_w, raster_h)
+    obs_rows = [(len(range(0, raster_h, spacing)) * i + j, x, y)
+                for i, x in enumerate(range(0, raster_w, spacing))
+                for j, y in enumerate(range(0, raster_h, spacing))]
+    observers = spark.createDataFrame(obs_rows, "oid long, px long, py long")
+    vs = viewshed_points(tiles, observers, ts, radius_px, dtype=dtype,
+                         observer_z=observer_z, cell_mode=cell_mode,
+                         raster_w=raster_w, raster_h=raster_h)
+
+    frag_schema = ("tx long, ty long, fx int, fy int, fw int, fh int, "
+                   "patch binary")
+
+    def _frag(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                h, w = int(r["h"]), int(r["w"])
+                x0, y0 = int(r["x0"]), int(r["y0"])
+                ones = (np.frombuffer(r["vis"], dtype=np.uint8)
+                        .reshape(h, w) != 0).astype(np.uint32)
+                for ty in range(y0 // ts, (y0 + h - 1) // ts + 1):
+                    for tx in range(x0 // ts, (x0 + w - 1) // ts + 1):
+                        ax0 = max(x0, tx * ts)
+                        ax1 = min(x0 + w - 1, tx * ts + ts - 1)
+                        ay0 = max(y0, ty * ts)
+                        ay1 = min(y0 + h - 1, ty * ts + ts - 1)
+                        patch = ones[ay0 - y0:ay1 - y0 + 1,
+                                     ax0 - x0:ax1 - x0 + 1]
+                        rows.append({
+                            "tx": tx, "ty": ty,
+                            "fx": ax0 - tx * ts, "fy": ay0 - ty * ts,
+                            "fw": ax1 - ax0 + 1, "fh": ay1 - ay0 + 1,
+                            "patch": patch.tobytes()})
+            yield pd.DataFrame(rows, columns=[
+                "tx", "ty", "fx", "fy", "fw", "fh", "patch"])
+
+    frags = vs.select("x0", "y0", "w", "h", "vis").mapInPandas(
+        _frag, frag_schema)
+
+    def _sum(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.zeros((ts, ts), dtype=np.uint32)
+        for _, r in pdf.iterrows():
+            fh, fw = int(r["fh"]), int(r["fw"])
+            p = np.frombuffer(r["patch"], dtype=np.uint32).reshape(fh, fw)
+            canvas[int(r["fy"]):int(r["fy"]) + fh,
+                   int(r["fx"]):int(r["fx"]) + fw] += p
+        return pd.DataFrame([{
+            "tx": int(key[0]), "ty": int(key[1]),
+            "px": canvas.tobytes(), "tile_max": int(canvas.max())}])
+
+    summed = frags.groupBy("tx", "ty").applyInPandas(_sum, CUM_SCHEMA)
+    summed = summed.localCheckpoint(eager=True)  # reused: max + rescale
+    m = summed.agg(F.max("tile_max")).collect()[0][0] or 0
+    if m == 0:
+        return summed
+    factor = 255.0 / float(m)
+
+    def _scale(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                a = np.frombuffer(r["px"], dtype=np.uint32)
+                s = np.floor(factor * a).astype(np.uint32)
+                out.append({"tx": int(r["tx"]), "ty": int(r["ty"]),
+                            "px": s.tobytes(),
+                            "tile_max": int(s.max())})
+            yield pd.DataFrame(out, columns=["tx", "ty", "px", "tile_max"])
+
+    return summed.mapInPandas(_scale, CUM_SCHEMA)

@@ -290,3 +290,76 @@ def viewshed_curved_q(spark, sf_dir):
     return out.mapInPandas(
         _rows, "oid long, r long, visible_in_row long, ground_milli long"
     ).orderBy("oid", "r")
+
+
+_CUM_SPACING = 16
+
+
+def _cumulative_golden_sql() -> str:
+    """FORMULA-DIFF vs alg/viewshed/cumulative.cpp: observers at every
+    (x % spacing == 0, y % spacing == 0) (:64-68); executors run
+    Normal mode with visible = 1 (:46-47); uint32 per-pixel sum;
+    scaleOutput (:200-213) rescales floor(255/max * v), no-op when
+    max == 0.  This VALUES oracle composes the SAME serial per-
+    observer kernel already pinned by the viewshed golden + the
+    sum/scale formula above — independent of the distributed
+    fragment/rollup machinery under test."""
+    from ..kernels import viewshed as kvs
+
+    grid = ((np.arange(GW * GW).reshape(GW, GW) * 7) % 256).astype(np.float64)
+    acc = np.zeros((GW, GW), dtype=np.uint32)
+    for x in range(0, GW, _CUM_SPACING):
+        for y in range(0, GW, _CUM_SPACING):
+            vis = kvs.viewshed(grid, x, y, observer_z=_OBS_Z)
+            acc += (vis != 0).astype(np.uint32)
+    m = int(acc.max())
+    if m:
+        acc = np.floor((255.0 / m) * acc).astype(np.uint32)
+    rows = []
+    for r in range(GW):
+        rows.append((r, int(acc[r].sum()),
+                     int((acc[r].astype(np.int64)
+                          * np.arange(GW, dtype=np.int64)).sum())))
+    vals = ", ".join(f"({r}, {s}, {ws})" for r, s, ws in rows)
+    return (f"SELECT CAST(r AS BIGINT) AS r, CAST(row_sum AS BIGINT) AS "
+            f"row_sum, CAST(col_weighted AS BIGINT) AS col_weighted "
+            f"FROM (VALUES {vals}) AS t(r, row_sum, col_weighted) "
+            f"ORDER BY r")
+
+
+@register(
+    "viewshed_cumulative",
+    sql=_cumulative_golden_sql,
+    desc="cumulative viewshed (alg/viewshed/cumulative.cpp): grid "
+         "observers -> Normal-mode masks summed uint32 per pixel -> "
+         "floor(255/max*v) rescale; distributed as tile-aligned "
+         "fragment rollup (the reference's Combiner/rollup pipeline "
+         "shape); VALUES oracle composes the serial kernel + sum/scale "
+         "formula",
+)
+def viewshed_cumulative_q(spark, sf_dir):
+    from ..operators.viewshed import cumulative_viewshed
+
+    ts = GW // 2
+    out = cumulative_viewshed(_pixel_tiles_df(spark), GW, GW,
+                              _CUM_SPACING, tile_size=ts,
+                              observer_z=_OBS_Z)
+
+    def _rows(batches):
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                a = np.frombuffer(rr["px"], dtype=np.uint32).reshape(ts, ts)
+                for r in range(ts):
+                    cols = np.arange(ts, dtype=np.int64) + int(rr["tx"]) * ts
+                    yield pd.DataFrame({
+                        "r": [int(rr["ty"]) * ts + r],
+                        "row_sum": [int(a[r].sum())],
+                        "col_weighted": [int((a[r].astype(np.int64)
+                                              * cols).sum())]})
+
+    part = out.mapInPandas(
+        _rows, "r long, row_sum long, col_weighted long")
+    return (part.groupBy("r")
+            .agg(F.sum("row_sum").alias("row_sum"),
+                 F.sum("col_weighted").alias("col_weighted"))
+            .orderBy("r"))

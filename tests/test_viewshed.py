@@ -266,3 +266,37 @@ def test_edge_fast_path_equals_generic_all_modes():
                                 curve_coeff=cc, cell_sx=800.0,
                                 cell_sy=800.0, _force_generic=True)
             np.testing.assert_array_equal(fast, slow)
+
+
+def test_cumulative_viewshed_matches_serial(spark):
+    """Distributed fragment rollup == serial sum+scale composition,
+    at two tile sizes (tile-split invariance)."""
+    import pandas as pd
+    from gdal_spark.kernels import viewshed as kvs
+    from gdal_spark.operators.viewshed import cumulative_viewshed
+
+    gw = 64
+    grid = ((np.arange(gw * gw).reshape(gw, gw) * 7) % 256).astype(np.float64)
+    acc = np.zeros((gw, gw), dtype=np.uint32)
+    for x in range(0, gw, 16):
+        for y in range(0, gw, 16):
+            acc += (kvs.viewshed(grid, x, y, observer_z=30.0) != 0) \
+                .astype(np.uint32)
+    m = int(acc.max())
+    exp = np.floor((255.0 / m) * acc).astype(np.uint32) if m else acc
+
+    g8 = grid.astype(np.uint8)
+    for ts in (32, 16):
+        rows = [{"tx": tx, "ty": ty,
+                 "px": g8[ty * ts:(ty + 1) * ts,
+                          tx * ts:(tx + 1) * ts].tobytes()}
+                for ty in range(gw // ts) for tx in range(gw // ts)]
+        tiles = spark.createDataFrame(pd.DataFrame(rows))
+        got = cumulative_viewshed(tiles, gw, gw, 16, tile_size=ts,
+                                  observer_z=30.0).collect()
+        out = np.zeros((gw, gw), dtype=np.uint32)
+        for r in got:
+            out[r["ty"] * ts:(r["ty"] + 1) * ts,
+                r["tx"] * ts:(r["tx"] + 1) * ts] = np.frombuffer(
+                r["px"], dtype=np.uint32).reshape(ts, ts)
+        assert np.array_equal(out, exp), f"tile_size={ts}"
