@@ -211,3 +211,81 @@ def equalize_tiles(tiles: DataFrame, tile_size: int = 256,
 
     return src.groupBy("tx", "ty").applyInPandas(
         _apply, "tx long, ty long, band int, px binary")
+
+
+def translate_scale_tiles(tiles: DataFrame, src_min: float | None = None,
+                          src_max: float | None = None,
+                          dst_min: float = 0.0, dst_max: float = 255.0,
+                          exponent: float | None = None, clip: bool = True,
+                          dtype: str = "uint8",
+                          tile_size: int = 256) -> DataFrame:
+    """gdal_translate -scale [-exponent] (gdal_translate_lib.cpp:
+    2163-2284 scale/offset setup + VRTComplexSource application,
+    frmts/vrt/vrtsources.cpp:3591-3637).
+
+    Reference rules, exactly:
+      * src range defaults to the raster min/max (ComputeRasterMinMax
+        role) — here a distributed per-tile min/max partial + one
+        scalar agg;
+      * srcMax == srcMin -> srcMax += 0.1 (:2173);
+      * linear: out = v * scale + offset with
+        scale = (dstMax - dstMin)/(srcMax - srcMin),
+        offset = -srcMin * scale + dstMin (:2245-2247);
+      * exponential: p = (v - srcMin)/(srcMax - srcMin) (0 when
+        equal), clipped to [0, 1] unless -noclip, then
+        out = (dstMax - dstMin) * p^exponent + dstMin (:3621-3637).
+    Emits float64 tiles (the VRT working type before any output-type
+    conversion); the map is tile-local, no pixel shuffle.
+    """
+    np_dtype = np.dtype(dtype)
+
+    if src_min is None or src_max is None:
+        def _mm(batches):
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    a = np.frombuffer(r["px"], dtype=np_dtype)
+                    rows.append({"mn": float(a.min()),
+                                 "mx": float(a.max())})
+                yield pd.DataFrame(rows, columns=["mn", "mx"])
+        mm = (tiles.select("px").mapInPandas(_mm, "mn double, mx double")
+              .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+              .collect()[0])
+        src_min = float(mm["mn"]) if src_min is None else src_min
+        src_max = float(mm["mx"]) if src_max is None else src_max
+    if src_max == src_min:
+        src_max += 0.1
+
+    if exponent is None:
+        scale = (dst_max - dst_min) / (src_max - src_min)
+        offset = -1 * src_min * scale + dst_min
+
+        def _apply(batches):
+            for pdf in batches:
+                out = []
+                for _, r in pdf.iterrows():
+                    a = np.frombuffer(r["px"], dtype=np_dtype) \
+                        .astype(np.float64)
+                    out.append({"tx": int(r["tx"]), "ty": int(r["ty"]),
+                                "px": (a * scale + offset).tobytes()})
+                yield pd.DataFrame(out, columns=["tx", "ty", "px"])
+    else:
+        rng = src_max - src_min
+        span = dst_max - dst_min
+
+        def _apply(batches):
+            for pdf in batches:
+                out = []
+                for _, r in pdf.iterrows():
+                    a = np.frombuffer(r["px"], dtype=np_dtype) \
+                        .astype(np.float64)
+                    p = (a - src_min) / rng
+                    if clip:
+                        p = np.clip(p, 0.0, 1.0)
+                    v = span * np.power(p, exponent) + dst_min
+                    out.append({"tx": int(r["tx"]), "ty": int(r["ty"]),
+                                "px": v.tobytes()})
+                yield pd.DataFrame(out, columns=["tx", "ty", "px"])
+
+    return tiles.select("tx", "ty", "px").mapInPandas(
+        _apply, "tx long, ty long, px binary")

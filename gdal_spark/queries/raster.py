@@ -2042,3 +2042,73 @@ def equalize_q(spark, sf_dir):
 
 
 _equalize_reg(equalize_q)
+
+
+# -------------------------------------------------- translate -scale
+def _translate_rows_fn(exponent):
+    def q(spark, sf_dir):
+        from ..operators.raster_calc import translate_scale_tiles
+
+        ts = GW // 2
+        out = translate_scale_tiles(
+            _pixel_tiles_df(spark),
+            dst_min=50.0, dst_max=150.0, exponent=exponent,
+            tile_size=ts)
+
+        def _rows(batches: "Iterator[pd.DataFrame]") \
+                -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                for _, rr in pdf.iterrows():
+                    a = np.frombuffer(rr["px"], dtype=np.float64) \
+                        .reshape(ts, ts)
+                    ys, xs = np.mgrid[0:ts, 0:ts]
+                    yield pd.DataFrame({
+                        "r": (rr["ty"] * ts + ys).ravel(),
+                        "c": (rr["tx"] * ts + xs).ravel(),
+                        "out_v": np.round(a, 6).ravel()})
+
+        return (out.mapInPandas(_rows, "r long, c long, out_v double")
+                .orderBy("r", "c"))
+    return q
+
+
+register(
+    "translate_scale",
+    sql=f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM gpx)
+    SELECT g.r, g.c,
+           ROUND(g.v * ((150.0 - 50.0) / (mx - mn))
+                 + (-1 * mn * ((150.0 - 50.0) / (mx - mn)) + 50.0), 6)
+             AS out_v
+    FROM gpx g CROSS JOIN mm ORDER BY g.r, g.c
+    """,
+    desc="gdal_translate -scale (gdal_translate_lib.cpp:2245-2247 + "
+         "vrtsources.cpp linear scaling): auto src min/max via "
+         "distributed per-tile partials, v*scale+offset tile map",
+)(_translate_rows_fn(None))
+
+
+register(
+    "translate_exponent",
+    sql=f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    ),
+    mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM gpx)
+    SELECT g.r, g.c,
+           ROUND((150.0 - 50.0)
+                 * POW(LEAST(GREATEST((g.v - mn) / (mx - mn), 0.0), 1.0),
+                       2.0) + 50.0, 6) AS out_v
+    FROM gpx g CROSS JOIN mm ORDER BY g.r, g.c
+    """,
+    desc="gdal_translate -scale -exponent 2 (vrtsources.cpp:3621-3637 "
+         "SetPowerScaling): normalized-and-clipped power ramp into the "
+         "dst range",
+)(_translate_rows_fn(2.0))

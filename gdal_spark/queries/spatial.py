@@ -218,3 +218,134 @@ def knn(spark, sf_dir):
                    "pid", "dist2")
         .orderBy("qid", "rnk")
     )
+
+
+# ------------------------------------------------------ linear referencing
+_LINES_SQL = f"""
+    pts AS (
+      SELECT doc_id, doc_id % 16 AS line_id,
+             {dv.MINX!r} + {dv.W!r} * (CAST((doc_id * {dv.XMUL}) % {dv.PMOD}
+               AS DOUBLE) / {dv.PDIV!r}) AS x,
+             {dv.MINY!r} + {dv.H!r} * (CAST((doc_id * {dv.YMUL} + {dv.YADD})
+               % {dv.PMOD} AS DOUBLE) / {dv.PDIV!r}) AS y
+      FROM documents
+    ),
+    seg AS (
+      SELECT line_id,
+             ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY doc_id) - 1
+               AS si,
+             x AS ax, y AS ay,
+             LEAD(x) OVER (PARTITION BY line_id ORDER BY doc_id) AS bx,
+             LEAD(y) OVER (PARTITION BY line_id ORDER BY doc_id) AS by
+      FROM pts QUALIFY bx IS NOT NULL
+    ),
+    segl AS (
+      SELECT *, sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+               AS seglen
+      FROM seg
+    ),
+    segc AS (
+      SELECT *,
+             COALESCE(SUM(seglen) OVER (PARTITION BY line_id ORDER BY si
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS cum_before,
+             SUM(seglen) OVER (PARTITION BY line_id) AS total
+      FROM segl
+    )
+"""
+
+
+def _lines_df(spark, sf_dir):
+    pts = _points(spark, sf_dir).withColumn(
+        "line_id", F.col("doc_id") % 16)
+    return (pts.groupBy("line_id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("doc_id", "x", "y"))).alias("_v"))
+            .select(
+                "line_id",
+                F.expr("transform(_v, s -> s.x)").alias("xs"),
+                F.expr("transform(_v, s -> s.y)").alias("ys")))
+
+
+@register(
+    "lineref_interpolate",
+    sql=f"""
+    WITH {_LINES_SQL},
+    tgt AS (SELECT *, 0.35 * total AS target FROM segc),
+    cand AS (
+      SELECT line_id, si, ax, ay, bx, by, seglen, cum_before, target
+      FROM tgt
+      WHERE cum_before <= target AND target <= cum_before + seglen
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY si) = 1
+    )
+    SELECT line_id,
+           ROUND(ax + (CASE WHEN seglen > 0
+                       THEN (target - cum_before) / seglen ELSE 0.0 END)
+                 * (bx - ax), 6) AS x,
+           ROUND(ay + (CASE WHEN seglen > 0
+                       THEN (target - cum_before) / seglen ELSE 0.0 END)
+                 * (by - ay), 6) AS y
+    FROM cand ORDER BY line_id
+    """,
+    desc="linear referencing: point at 35% of each polyline's length "
+         "(ogrlineref -create milepost rule / ST_Line_Interpolate_Point) "
+         "— exploded segments + window cumsum, whole-stage-codegen "
+         "Column math, one shuffle on line_id",
+)
+def lineref_interpolate(spark, sf_dir):
+    from ..operators.lineref import interpolate_along
+
+    out = interpolate_along(_lines_df(spark, sf_dir), 0.35)
+    return out.select("line_id", F.round("x", 6).alias("x"),
+                      F.round("y", 6).alias("y")).orderBy("line_id")
+
+
+@register(
+    "lineref_locate",
+    sql=f"""
+    WITH {_LINES_SQL},
+    probe AS (
+      SELECT g.i AS line_id, g.i AS pid,
+             {dv.MINX!r} + {dv.W!r} * (CAST(((100000 + g.i) * {dv.XMUL})
+               % {dv.PMOD} AS DOUBLE) / {dv.PDIV!r}) AS px,
+             {dv.MINY!r} + {dv.H!r} * (CAST(((100000 + g.i) * {dv.YMUL}
+               + {dv.YADD}) % {dv.PMOD} AS DOUBLE) / {dv.PDIV!r}) AS py
+      FROM generate_series(0, 15) g(i)
+    ),
+    scored AS (
+      SELECT s.line_id, p.pid, s.si, s.seglen, s.cum_before, s.total,
+             CASE WHEN s.seglen > 0
+                  THEN LEAST(GREATEST(((p.px - s.ax) * (s.bx - s.ax)
+                       + (p.py - s.ay) * (s.by - s.ay))
+                       / (s.seglen * s.seglen), 0.0), 1.0)
+                  ELSE 0.0 END AS t,
+             p.px, p.py, s.ax, s.ay, s.bx, s.by
+      FROM segc s JOIN probe p ON p.line_id = s.line_id
+    ),
+    best AS (
+      SELECT *,
+             (px - (ax + t * (bx - ax))) * (px - (ax + t * (bx - ax)))
+             + (py - (ay + t * (by - ay))) * (py - (ay + t * (by - ay)))
+               AS d2
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY line_id, pid
+                                 ORDER BY d2 ASC, si ASC) = 1
+    )
+    SELECT line_id, pid,
+           ROUND((cum_before + t * seglen) / total, 6) AS frac
+    FROM best ORDER BY line_id
+    """,
+    desc="linear referencing: fraction of a probe point's projection "
+         "along its line (ogrlineref -get_pos / ST_Line_Locate_Point) — "
+         "clamped per-segment projection, argmin (d2, si), JVM-only",
+)
+def lineref_locate(spark, sf_dir):
+    from ..operators.lineref import locate_point
+
+    spark_probe = spark.range(16).select(
+        F.col("id").alias("line_id"), F.col("id").alias("pid"))
+    x, y = dv.point_cols(F.col("pid") + 100000)
+    probe = spark_probe.withColumn("px", x).withColumn("py", y)
+    out = locate_point(_lines_df(spark, sf_dir), probe)
+    return out.select("line_id", "pid",
+                      F.round("frac", 6).alias("frac")).orderBy("line_id")
