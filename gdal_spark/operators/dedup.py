@@ -293,3 +293,90 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", ham.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming").distinct())
+
+
+def paragraph_dedup(paras: DataFrame, id_col: str = "doc_id",
+                    idx_col: str = "pidx",
+                    para_col: str = "para") -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4 "any
+    three-sentence span occurring more than once is removed keeping
+    one" / CCNet paragraph-hash rule applied at paragraph grain):
+    every paragraph keeps exactly its FIRST occurrence by
+    (doc_id, pidx) and drops every other copy anywhere in the corpus.
+
+    Input: exploded (id, pidx, para) rows.  Output: the same rows
+    plus a boolean ``keep``.
+
+    Design for 10^12 docs: the canonical owner per paragraph digest
+    is a groupBy MIN of the packed (doc_id, pidx) struct — map-side
+    partial aggregation makes boilerplate paragraphs (the skew case:
+    a cookie banner appearing in 10^9 docs) collapse to one row per
+    partition before the shuffle, so no window-function sort over a
+    hot key.  The join back is digest-equi (AQE handles any residual
+    skew); no all-pairs work anywhere.
+    """
+    rows = paras.select(
+        F.col(id_col), F.col(idx_col), F.col(para_col),
+        F.md5(F.col(para_col)).alias("_dig"))
+    owner = rows.groupBy("_dig").agg(
+        F.min(F.struct(F.col(id_col), F.col(idx_col))).alias("_own"))
+    return (rows.join(owner, "_dig")
+            .select(id_col, idx_col, para_col,
+                    ((F.col("_own")[id_col] == F.col(id_col))
+                     & (F.col("_own")[idx_col] == F.col(idx_col)))
+                    .alias("keep")))
+
+
+def reassemble_paragraphs(kept: DataFrame, id_col: str = "doc_id",
+                          idx_col: str = "pidx",
+                          para_col: str = "para",
+                          sep: str = "\n") -> DataFrame:
+    """Rebuild (id, clean_text, n_paras, n_kept) from paragraph_dedup
+    output, preserving original paragraph order — the span-sequence
+    invariant: surviving paragraphs keep their relative order."""
+    return (kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(idx_col),
+                    F.when(F.col("keep"), F.col(para_col))
+                    .alias(para_col)))),
+                lambda s: s[para_col]),
+            sep).alias("clean_text"),
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept")))
+
+
+def contamination(docs: DataFrame, bench: DataFrame, n: int = 13,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination scan (the GPT-3/Llama n-gram overlap
+    rule: a training document is contaminated if it shares any
+    n-gram with an evaluation set; 13-grams in the published
+    recipes).  Returns per-doc (doc_id, n_hits, n_distinct_grams)
+    for contaminated docs only.
+
+    Design for 10^12 docs: the benchmark side is small by definition
+    (eval suites), so its distinct n-gram digests BROADCAST; the
+    corpus side explodes n-grams JVM-side and probes the broadcast
+    hash table — zero shuffle on the corpus until the final per-doc
+    count (map-side combined).  Digests are md5 strings so the
+    DuckDB oracle reproduces them bit-for-bit.
+    """
+    def grams(df):
+        base = df.select(F.col(id_col),
+                         tokens_col(F.col(text_col)).alias("_toks")) \
+            .filter(F.size("_toks") >= n)
+        idx = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+        g = F.transform(
+            idx,
+            lambda i: F.array_join(F.slice("_toks", i, n), " "))
+        return base.select(F.col(id_col),
+                           F.explode(g).alias("_gram")) \
+            .select(id_col, F.md5("_gram").alias("_dig"))
+
+    bench_grams = grams(bench).select("_dig").distinct()
+    hits = grams(docs).join(F.broadcast(bench_grams), "_dig")
+    return (hits.groupBy(id_col)
+            .agg(F.count("*").alias("n_hits"),
+                 F.countDistinct("_dig").alias("n_distinct_grams")))

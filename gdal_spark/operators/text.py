@@ -204,3 +204,73 @@ def bm25_topk(df: DataFrame, text_col: str = "text",
             .filter(F.col("_rn") <= k)
             .select(id_col, F.col("_rn").cast("long").alias("rnk"),
                     "term", "score"))
+
+
+def char_bigrams_col(text: Column) -> Column:
+    """All character bigrams of a string, JVM-side (sequence +
+    substr — no Python)."""
+    s = _sql_of(text)
+    return F.expr(
+        f"CASE WHEN length({s}) >= 2 THEN "
+        f"transform(sequence(1, length({s}) - 1), "
+        f"i -> substr({s}, i, 2)) "
+        f"ELSE array() END")
+
+
+def _sql_of(col: Column) -> str:
+    # Column -> SQL text for use inside F.expr lambdas (Spark's
+    # Python lambda API can't parameterize substr positions).
+    return col._jc.toString()  # noqa: SLF001
+
+
+def charlm_train(df: DataFrame, text_col: str = "text") -> tuple:
+    """Train an add-one-smoothed character-bigram LM over a corpus —
+    the CCNet-style "score every document under a reference LM and
+    bucket by perplexity" recipe, with the KenLM stand-in being a
+    bigram model the cluster can train in two aggregations.
+
+    Returns (bigram_counts, context_counts, vocab_size_df):
+    c2(gram, n2), c1(ctx, n1), and a 1-row vocab size.  All three are
+    bounded by charset^2 regardless of corpus size, so every model
+    table BROADCASTS at score time — the 10^12-doc path trains with
+    two map-side-combined shuffles and scores with zero corpus-side
+    shuffle before the final per-doc aggregate.
+    """
+    grams = df.select(F.explode(
+        char_bigrams_col(F.col(text_col))).alias("gram"))
+    c2 = grams.groupBy("gram").agg(F.count("*").alias("n2"))
+    c1 = (grams.select(F.substring("gram", 1, 1).alias("ctx"))
+          .groupBy("ctx").agg(F.count("*").alias("n1")))
+    vocab = c1.agg(F.count("*").alias("v"))
+    return c2, c1, vocab
+
+
+def charlm_score(df: DataFrame, model: tuple, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Average negative log-likelihood per character bigram under the
+    trained model, add-one smoothed: p(b|a) = (c2 + 1)/(c1 + V).
+
+    Engine-reproducible float discipline: each bigram's log term is
+    scaled to an integer (floor(ln(p) * 1e6 + 0.5)) BEFORE summation,
+    so the per-doc sum is exact integer arithmetic — independent of
+    summation order in either engine (see queries/__init__ conventions).
+    Returns (doc_id, n_bigrams, avg_nll).
+    """
+    c2, c1, vocab = model
+    grams = df.select(
+        F.col(id_col),
+        F.explode(char_bigrams_col(F.col(text_col))).alias("gram"))
+    grams = grams.withColumn("ctx", F.substring("gram", 1, 1))
+    j = (grams.join(F.broadcast(c2), "gram", "left")
+         .join(F.broadcast(c1), "ctx", "left")
+         .crossJoin(F.broadcast(vocab)))
+    p = (F.coalesce(F.col("n2"), F.lit(0)).cast("double") + 1.0) / (
+        F.coalesce(F.col("n1"), F.lit(0)).cast("double")
+        + F.col("v").cast("double"))
+    scaled = F.floor(F.log(p) * 1e6 + F.lit(0.5)).cast("long")
+    return (j.select(F.col(id_col), scaled.alias("_s"))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(-F.sum("_s").cast("double")
+                         / F.count("*").cast("double") / 1e6, 6)
+                 .alias("avg_nll")))

@@ -800,3 +800,147 @@ def repetition_metrics_q(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return repetition_metrics(docs).orderBy("doc_id")
+
+
+# ------------------------------------------------ paragraph-level dedup
+_PARAS_SQL = """
+    tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    paras AS (
+      SELECT doc_id, i.i AS pidx,
+             array_to_string(list_slice(toks, i.i * 8 + 1, i.i * 8 + 8),
+                             ' ') AS para
+      FROM tk, LATERAL (SELECT unnest(generate_series(0,
+             CAST(CEIL(len(toks) / 8.0) AS INT) - 1)) AS i) i
+    )
+"""
+
+
+@register(
+    "paragraph_dedup",
+    sql=f"""
+    WITH {_CORPUS_SQL}, {_PARAS_SQL},
+    own AS (
+      SELECT md5(para) AS dig, MIN(doc_id * 100000 + pidx) AS own
+      FROM paras GROUP BY 1
+    ),
+    flagged AS (
+      SELECT p.doc_id, p.pidx, p.para,
+             (p.doc_id * 100000 + p.pidx = o.own) AS keep
+      FROM paras p JOIN own o ON md5(p.para) = o.dig
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep THEN para END, ' | '
+                               ORDER BY pidx), '') AS clean_text,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="C4/CCNet corpus-wide paragraph dedup: md5 digest -> groupBy "
+         "MIN((doc,pidx)) canonical owner (map-side partials, no hot-key "
+         "window sort), digest equi-join back, order-preserving "
+         "reassembly — boilerplate paragraphs collapse before the "
+         "shuffle at 10^12 docs",
+)
+def paragraph_dedup_q(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    paras = corpus.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " ")))
+        .alias("pidx", "para"))
+    kept = dd.paragraph_dedup(paras)
+    out = dd.reassemble_paragraphs(kept, sep=" | ")
+    return out.select("doc_id", "clean_text", "n_paras",
+                      "n_kept").orderBy("doc_id")
+
+
+# ------------------------------------------------ benchmark decontamination
+@register(
+    "contamination",
+    sql=f"""
+    WITH {_CORPUS_SQL},
+    tkc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+            WHERE len(string_split(text, ' ')) >= 5),
+    gc AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i.i, i.i + 4), ' '))
+               AS dig
+      FROM tkc, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4))
+                         AS i) i
+    ),
+    tkb AS (SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 101 = 0
+              AND len(string_split(text, ' ')) >= 5),
+    gb AS (
+      SELECT DISTINCT
+             md5(array_to_string(list_slice(toks, i.i, i.i + 4), ' '))
+               AS dig
+      FROM tkb, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4))
+                         AS i) i
+    )
+    SELECT doc_id, COUNT(*) AS n_hits,
+           COUNT(DISTINCT dig) AS n_distinct_grams
+    FROM gc JOIN gb USING (dig)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="GPT-3/Llama eval-set decontamination: benchmark 5-gram "
+         "digests (small by definition) BROADCAST; the corpus explodes "
+         "n-grams JVM-side and probes the broadcast table — zero "
+         "corpus shuffle before the per-doc count",
+)
+def contamination_q(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    bench = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 101 == 0).select("doc_id", "text")
+    return dd.contamination(corpus, bench, n=5).orderBy("doc_id")
+
+
+# ------------------------------------------------ charlm perplexity scoring
+@register(
+    "charlm_perplexity",
+    sql=f"""
+    WITH {_CORPUS_SQL},
+    tg AS (
+      SELECT substr(text, i.i, 2) AS gram
+      FROM documents, LATERAL (SELECT unnest(generate_series(1,
+             len(text) - 1)) AS i) i
+      WHERE len(text) >= 2
+    ),
+    c2 AS (SELECT gram, COUNT(*) AS n2 FROM tg GROUP BY 1),
+    c1 AS (SELECT substr(gram, 1, 1) AS ctx, COUNT(*) AS n1
+           FROM tg GROUP BY 1),
+    vv AS (SELECT COUNT(*) AS v FROM c1),
+    sg AS (
+      SELECT doc_id, substr(text, i.i, 2) AS gram
+      FROM corpus, LATERAL (SELECT unnest(generate_series(1,
+             len(text) - 1)) AS i) i
+      WHERE len(text) >= 2
+    ),
+    scored AS (
+      SELECT sg.doc_id,
+             CAST(FLOOR(ln((COALESCE(c2.n2, 0) + 1.0)
+                           / (COALESCE(c1.n1, 0) + vv.v)) * 1e6 + 0.5)
+                  AS BIGINT) AS s
+      FROM sg
+      LEFT JOIN c2 USING (gram)
+      LEFT JOIN c1 ON substr(sg.gram, 1, 1) = c1.ctx
+      CROSS JOIN vv
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1e6, 6) AS avg_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="CCNet-style LM quality scoring with a char-bigram stand-in "
+         "for KenLM: model tables bounded by charset^2 so they "
+         "BROADCAST; per-gram log terms integer-scaled before the sum "
+         "(order-independent float discipline); avg NLL per doc",
+)
+def charlm_perplexity_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    model = tx.charlm_train(docs)
+    return tx.charlm_score(_dup_corpus(spark, sf_dir), model) \
+        .orderBy("doc_id")

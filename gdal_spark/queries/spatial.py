@@ -349,3 +349,140 @@ def lineref_locate(spark, sf_dir):
     out = locate_point(_lines_df(spark, sf_dir), probe)
     return out.select("line_id", "pid",
                       F.round("frac", 6).alias("frac")).orderBy("line_id")
+
+
+@register(
+    "line_substring",
+    sql=f"""
+    WITH {_LINES_SQL},
+    lim AS (
+      SELECT *, 0.2 * total AS t0, 0.7 * total AS t1 FROM segc
+    ),
+    s0 AS (
+      SELECT line_id, MIN(si) AS s0 FROM lim
+      WHERE seglen > 0 AND cum_before <= t0 AND t0 <= cum_before + seglen
+      GROUP BY line_id
+    ),
+    s1 AS (
+      SELECT line_id, MIN(si) AS s1 FROM lim
+      WHERE seglen > 0 AND cum_before <= t1 AND t1 <= cum_before + seglen
+      GROUP BY line_id
+    ),
+    marked AS (
+      SELECT l.*, s0.s0, s1.s1 FROM lim l
+      JOIN s0 USING (line_id) JOIN s1 USING (line_id)
+    ),
+    verts AS (
+      SELECT line_id, 0 AS ord, 0 AS sub,
+             ax * (1 - (t0 - cum_before) / seglen)
+               + bx * ((t0 - cum_before) / seglen) AS x,
+             ay * (1 - (t0 - cum_before) / seglen)
+               + by * ((t0 - cum_before) / seglen) AS y
+      FROM marked WHERE si = s0
+      UNION ALL
+      SELECT line_id, si + 1 AS ord, 0 AS sub, ax AS x, ay AS y
+      FROM marked WHERE si > s0 AND si <= s1
+      UNION ALL
+      SELECT line_id, si + 2 AS ord, 1 AS sub,
+             ax * (1 - (t1 - cum_before) / seglen)
+               + bx * ((t1 - cum_before) / seglen) AS x,
+             ay * (1 - (t1 - cum_before) / seglen)
+               + by * ((t1 - cum_before) / seglen) AS y
+      FROM marked WHERE si = s1
+    )
+    SELECT line_id,
+           ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY ord, sub) - 1
+             AS vi,
+           ROUND(x, 6) AS x, ROUND(y, 6) AS y
+    FROM verts ORDER BY line_id, vi
+    """,
+    desc="getSubLine between 20% and 70% of each polyline "
+         "(ogrlinestring.cpp:2250-2439, ogrlineref -create part "
+         "extraction): first-bracketing-segment interpolation + "
+         "interior vertices, three unioned vertex classes, one "
+         "cumsum shuffle",
+)
+def line_substring_q(spark, sf_dir):
+    from ..operators.lineref import line_substring
+
+    out = line_substring(_lines_df(spark, sf_dir), 0.2, 0.7)
+    return out.select("line_id", F.col("vi").cast("long").alias("vi"),
+                      F.round("x", 6).alias("x"),
+                      F.round("y", 6).alias("y")).orderBy("line_id", "vi")
+
+
+@register(
+    "segmentize",
+    sql=f"""
+    WITH {_LINES_SQL},
+    ends AS (
+      SELECT line_id,
+             FIRST_VALUE(x) OVER w AS x0, FIRST_VALUE(y) OVER w AS y0,
+             LAST_VALUE(x) OVER w AS xn, LAST_VALUE(y) OVER w AS yn,
+             doc_id, x, y
+      FROM pts
+      WINDOW w AS (PARTITION BY line_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+    ),
+    flagged AS (
+      SELECT *, (x0 < xn OR (x0 = xn AND y0 < yn)) AS rev FROM ends
+    ),
+    ordered AS (
+      SELECT line_id, rev, x, y,
+             ROW_NUMBER() OVER (PARTITION BY line_id
+               ORDER BY CASE WHEN rev THEN -doc_id ELSE doc_id END) - 1
+               AS si
+      FROM flagged
+    ),
+    nseg AS (
+      SELECT line_id, rev, si, x AS ax, y AS ay,
+             LEAD(x) OVER (PARTITION BY line_id ORDER BY si) AS bx,
+             LEAD(y) OVER (PARTITION BY line_id ORDER BY si) AS by
+      FROM ordered QUALIFY bx IS NOT NULL
+    ),
+    segn AS (
+      SELECT *,
+             (bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS d2,
+             CASE WHEN (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+                       - 160000.0 > 1e-5 * 160000.0
+                  THEN CAST(FLOOR(SQRT(((bx - ax) * (bx - ax)
+                       + (by - ay) * (by - ay)) / 160000.0) - 1e-2) AS INT)
+                  ELSE 0 END AS n
+      FROM nseg
+    ),
+    expanded AS (
+      SELECT line_id, rev, si, j.j AS j,
+             ax + j.j * ((bx - ax) / (CAST(n AS DOUBLE) + 1.0)) AS x,
+             ay + j.j * ((by - ay) / (CAST(n AS DOUBLE) + 1.0)) AS y
+      FROM segn, LATERAL (SELECT unnest(generate_series(0, n)) AS j) j
+      UNION ALL
+      SELECT line_id, rev, 2000000000 AS si, 0 AS j,
+             CASE WHEN rev THEN x0 ELSE xn END AS x,
+             CASE WHEN rev THEN y0 ELSE yn END AS y
+      FROM (SELECT DISTINCT line_id, rev, x0, y0, xn, yn FROM flagged)
+    ),
+    idxd AS (
+      SELECT line_id, rev, x, y,
+             ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY si, j) - 1
+               AS fwd,
+             COUNT(*) OVER (PARTITION BY line_id) AS cnt
+      FROM expanded
+    )
+    SELECT line_id,
+           CAST(CASE WHEN rev THEN cnt - 1 - fwd ELSE fwd END AS INT) AS vi,
+           ROUND(x, 6) AS x, ROUND(y, 6) AS y
+    FROM idxd ORDER BY line_id, vi
+    """,
+    desc="OGRSimpleCurve::segmentize maxlen=400 "
+         "(ogrlinestring.cpp:2661-2810): direction normalization, "
+         "REL_EPSILON split rule, ratio-divided-once intermediates — "
+         "sequence explode, zero Python",
+)
+def segmentize_q(spark, sf_dir):
+    from ..operators.lineref import segmentize
+
+    out = segmentize(_lines_df(spark, sf_dir), 400.0)
+    return out.select("line_id", F.col("vi").cast("int").alias("vi"),
+                      F.round("x", 6).alias("x"),
+                      F.round("y", 6).alias("y")).orderBy("line_id", "vi")
