@@ -60,6 +60,11 @@ HEADLINE = [
     "simhash_pairs",
     "bm25_topk",
     "stratified_sample",
+    "paragraph_dedup",
+    "contamination",
+    "charlm_perplexity",
+    "segmentize",
+    "line_substring",
 ]
 
 BIG_JOIN_N = 8_000_000

@@ -123,3 +123,72 @@ def grid_moving_average(points: DataFrame, grid: TileGrid, zoom: int,
         F.avg(value_col).alias("avg_v"),
         F.count("*").alias("n_pts"),
     )
+
+
+def grid_invdistnn(points: DataFrame, grid: TileGrid, zoom: int,
+                   radius_cells: int = 1, power: float = 2.0,
+                   smoothing: float = 0.0, max_points: int = 12,
+                   min_points: int = 0, value_col: str = "v",
+                   id_col: str = "pid") -> DataFrame:
+    """IDW restricted to the nearest ``max_points`` neighbors
+    (gdalgrid.cpp:241 GDALGridInverseDistanceToAPowerNearestNeighbor):
+    candidates within the REAL radius (d2 <= radius^2, :296-300) are
+    ordered by smoothed distance r2 = d2 + smoothing^2 (the multimap
+    at :266,298), the closest max_points kept (:323-328), and the
+    weights w = 1 / r2^(p/2) accumulated IN ASCENDING DISTANCE ORDER
+    (:319-325) — reproduced exactly by an array_sort + F.aggregate
+    ordered fold, so the float result bit-matches the serial loop.
+    A point with r2 < 1e-13 short-circuits to its value (:288-293;
+    the reference takes quadtree iteration order on ties — we take
+    the (d2, pid) minimum, identical whenever the hit is unique).
+    Cells with fewer than min_points neighbors emit no row (the
+    reference writes NoData, :331).
+
+    Scale shape: identical to grid_idw — points explode to their
+    cell disk, one shuffle keyed by output cell; the per-cell
+    neighbor list is bounded by the radius, the sort/fold is a JVM
+    higher-order function, no Python.
+    """
+    ts = grid.tile_span(zoom)
+    radius2 = float(radius_cells * ts) ** 2
+    s2 = float(smoothing) * float(smoothing)
+    cand = _cells_around_points(points, grid, zoom, radius_cells).filter(
+        F.col("d2") <= F.lit(radius2))
+    cand = cand.withColumn("_rs2", F.col("d2") + F.lit(s2))
+
+    agg = cand.groupBy("ctx", "cty").agg(
+        F.min(F.when(F.col("_rs2") < 1e-13,
+                     F.struct(F.col("d2").alias("d2"),
+                              F.col(id_col).alias("pid"),
+                              F.col(value_col).alias("z")))).alias("_hit"),
+        # exact-hit points are excluded from the neighbor list: the
+        # reference returns before inserting them (:288-293), and at
+        # r2 == 0 the weight would divide by zero
+        F.array_sort(F.collect_list(F.when(
+            F.col("_rs2") >= 1e-13,
+            F.struct(F.col("_rs2").alias("r2"),
+                     F.col(value_col).alias("z"),
+                     F.col(id_col).alias("pid"))))).alias("_nbrs"),
+    )
+    kept = F.slice(F.col("_nbrs"), 1, max_points) if max_points > 0 \
+        else F.col("_nbrs")
+    half_p = float(power) / 2.0
+    fold = F.aggregate(
+        kept,
+        F.struct(F.lit(0.0).alias("nom"), F.lit(0.0).alias("den"),
+                 F.lit(0).cast("long").alias("n")),
+        lambda acc, x: F.struct(
+            (acc["nom"] + (F.lit(1.0) / F.pow(x["r2"], F.lit(half_p)))
+             * x["z"]).alias("nom"),
+            (acc["den"] + F.lit(1.0)
+             / F.pow(x["r2"], F.lit(half_p))).alias("den"),
+            (acc["n"] + 1).alias("n")))
+    out = agg.withColumn("_f", fold)
+    val = F.when(F.col("_hit").isNotNull(), F.col("_hit")["z"]).otherwise(
+        F.col("_f")["nom"] / F.col("_f")["den"])
+    ok = F.col("_hit").isNotNull() | (
+        (F.col("_f")["n"] >= F.lit(int(min_points)))
+        & (F.col("_f")["den"] != 0.0))
+    return (out.filter(ok)
+            .select("ctx", "cty", val.alias("idwnn"),
+                    F.col("_f")["n"].alias("n_used")))

@@ -274,3 +274,37 @@ def charlm_score(df: DataFrame, model: tuple, text_col: str = "text",
                  F.round(-F.sum("_s").cast("double")
                          / F.count("*").cast("double") / 1e6, 6)
                  .alias("avg_nll")))
+
+
+# kept deliberately simple + RE2-compatible: the same literal pattern
+# must compile identically under Java regex (Spark) and RE2 (DuckDB
+# oracle) — no backrefs, no possessive quantifiers, no lookaround
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\d{3}-\\d{3}-\\d{4}",
+    "ip": "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII tagging + redaction (the anonymization stage of a
+    training-data pipeline — CCNet/Dolma-style taggers): per-doc
+    match counts for each PII class and the text with every match
+    replaced by a <CLASS> token, email -> phone -> ip order.
+
+    Pure JVM regexp Columns (regexp_extract_all / regexp_replace) —
+    embarrassingly parallel, zero shuffle, codegen throughout; at
+    10^12 docs this is a map-only stage that pipelines with the scan.
+    Returns (id, n_email, n_phone, n_ip, redacted).
+    """
+    counts = [
+        F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(pat), F.lit(0))).cast("long")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))

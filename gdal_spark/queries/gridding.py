@@ -133,3 +133,34 @@ def grid_moving_average_q(spark, sf_dir):
     return out.select(
         "ctx", "cty", F.round("avg_v", 6).alias("avg_v"), "n_pts"
     ).orderBy("ctx", "cty")
+
+
+@register(
+    "grid_invdistnn",
+    sql=f"""
+    WITH {_PAIRS},
+    rk AS (
+      SELECT ctx, cty, v, d2,
+             ROW_NUMBER() OVER (PARTITION BY ctx, cty
+                                ORDER BY d2, v, pid) AS rn
+      FROM inr
+    )
+    SELECT ctx, cty,
+           ROUND(SUM((1.0 / power(d2, 1.0)) * v)
+                 / SUM(1.0 / power(d2, 1.0)), 6) AS idwnn,
+           COUNT(*) AS n_used
+    FROM rk WHERE rn <= 8
+    GROUP BY ctx, cty ORDER BY ctx, cty
+    """,
+    desc="IDW over the nearest max_points=8 neighbors "
+         "(gdalgrid.cpp:241 invdistnn): radius-filtered candidates "
+         "sorted by smoothed distance, ordered JVM fold matching the "
+         "reference's ascending-multimap accumulation",
+)
+def grid_invdistnn_q(spark, sf_dir):
+    out = gi.grid_invdistnn(_pts_v(spark, sf_dir), dv.GRID, GZ,
+                            radius_cells=RADIUS_CELLS, power=2.0,
+                            smoothing=0.0, max_points=8)
+    return out.select(
+        "ctx", "cty", F.round("idwnn", 6).alias("idwnn"), "n_used"
+    ).orderBy("ctx", "cty")

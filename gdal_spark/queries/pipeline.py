@@ -944,3 +944,63 @@ def charlm_perplexity_q(spark, sf_dir):
     model = tx.charlm_train(docs)
     return tx.charlm_score(_dup_corpus(spark, sf_dir), model) \
         .orderBy("doc_id")
+
+
+# ------------------------------------------------------------ PII scrub
+_EM = tx.PII_PATTERNS["email"]
+_PH = tx.PII_PATTERNS["phone"]
+_IP = tx.PII_PATTERNS["ip"]
+
+
+@register(
+    "pii_scrub",
+    sql=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' 321-654-0987' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EM}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PH}')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_IP}')) AS BIGINT)
+             AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '{_EM}', '<EMAIL>', 'g'),
+             '{_PH}', '<PHONE>', 'g'),
+             '{_IP}', '<IP>', 'g') AS redacted
+    FROM pii ORDER BY doc_id
+    """,
+    desc="PII tagging + redaction (anonymization stage, CCNet/Dolma "
+         "tagger role): RE2/Java-compatible patterns, map-only "
+         "codegen stage, zero shuffle; counts + <CLASS> redaction "
+         "over deterministically planted emails/phones/IPs",
+)
+def pii_scrub_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" u"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@ex.org"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" 321-654-0987")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".7"))).otherwise(F.lit("")),
+        ).alias("text"))
+    return tx.pii_scrub(planted).orderBy("doc_id")

@@ -108,3 +108,18 @@ def test_charlm_unknown_chars_smoothed(spark):
                               "doc_id long, text string"), model2)
     got = {r["doc_id"]: r["avg_nll"] for r in both.collect()}
     assert got[1] < got[2]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.org or call 555-123-4567 from 10.0.0.1 and c@y.io"),
+         (2, "clean text no pii"),
+         (3, "ip 192.168.001.255 only")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (2, 1, 1)
+    assert out[1]["redacted"] == \
+        "mail <EMAIL> or call <PHONE> from <IP> and <EMAIL>"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ip"]) == (0, 0, 0)
+    assert out[2]["redacted"] == "clean text no pii"
+    assert out[3]["n_ip"] == 1 and "<IP>" in out[3]["redacted"]
