@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import register
+from . import register, t
 from . import _derive as dv
 from .spatial import _points
 from ..operators import grid_interp as gi
@@ -163,4 +163,154 @@ def grid_invdistnn_q(spark, sf_dir):
                             smoothing=0.0, max_points=8)
     return out.select(
         "ctx", "cty", F.round("idwnn", 6).alias("idwnn"), "n_used"
+    ).orderBy("ctx", "cty")
+
+
+# ------------------------------------------------------------ linear (TIN)
+# xor-mixed coordinate derivation: the plain multiplicative lattice
+# used by the other grid queries has exactly-collinear triples that
+# would make the Delaunay triangulation non-unique; this mix is
+# verified general-position (BW == enumeration) at sf0.001/0.01/0.1
+LIN_STEP = 100          # doc_id % 100 == 0 rows are the TIN samples
+LIN_MOD = 9973
+LXA, LYA, LYB = 2654435761, 1779033703, 7919
+LZ = 4                  # 16x16 output cells
+LEPS = 1e-10            # containment tolerance (delaunay.c:402)
+LSCALE = 1048576.0      # 2^20 integerization
+
+
+def _lin_pts(spark, sf_dir):
+    d = F.col("doc_id")
+    mx = ((d * LXA).bitwiseXOR(d * 128) % LIN_MOD).cast("double")
+    my = ((d * LYA + LYB).bitwiseXOR(d * 128) % LIN_MOD).cast("double")
+    return (t(spark, sf_dir, "documents")
+            .filter(d % LIN_STEP == 0)
+            .select(d.alias("pid"),
+                    (F.lit(dv.MINX) + F.lit(dv.W)
+                     * (mx / F.lit(float(LIN_MOD)))).alias("x"),
+                    (F.lit(dv.MINY) + F.lit(dv.MAXY - dv.MINY)
+                     * (my / F.lit(float(LIN_MOD)))).alias("y"),
+                    ((d * 7919) % 256).cast("double").alias("v")))
+
+
+_LIN_PTS_SQL = f"""
+      SELECT doc_id AS pid,
+             {dv.MINX!r}::DOUBLE + {dv.W!r}::DOUBLE
+               * (CAST(xor(doc_id * {LXA}, doc_id * 128) % {LIN_MOD}
+                       AS DOUBLE) / {float(LIN_MOD)!r}::DOUBLE) AS x,
+             {dv.MINY!r}::DOUBLE + {dv.MAXY - dv.MINY!r}::DOUBLE
+               * (CAST(xor(doc_id * {LYA} + {LYB}, doc_id * 128) % {LIN_MOD}
+                       AS DOUBLE) / {float(LIN_MOD)!r}::DOUBLE) AS y,
+             CAST((doc_id * 7919) % 256 AS DOUBLE) AS v
+      FROM documents WHERE doc_id % {LIN_STEP} = 0
+"""
+
+_LTS = dv.GRID.tile_span(LZ)
+_LN = (1 << LZ) - 1
+_LCX = (f"({dv.GRID.top_left_x!r}::DOUBLE"
+        f" + (CAST(g1.i AS DOUBLE) + 0.5) * {_LTS!r}::DOUBLE)")
+_LCY = (f"({dv.GRID.top_left_y!r}::DOUBLE"
+        f" - (CAST(g2.i AS DOUBLE) + 0.5) * {_LTS!r}::DOUBLE)")
+
+# incircle determinant of (a,b,c; d), sign-corrected by orientation —
+# the enumeration definition of Delaunay (empty circumcircle), the
+# same float expression as kernels/delaunay.py::_circumcircle_contains
+_INCIRC = """
+      ((a.x - d.x) * (a.x - d.x) + (a.y - d.y) * (a.y - d.y))
+        * ((b.x - d.x) * (c.y - d.y) - (c.x - d.x) * (b.y - d.y))
+      - ((b.x - d.x) * (b.x - d.x) + (b.y - d.y) * (b.y - d.y))
+        * ((a.x - d.x) * (c.y - d.y) - (c.x - d.x) * (a.y - d.y))
+      + ((c.x - d.x) * (c.x - d.x) + (c.y - d.y) * (c.y - d.y))
+        * ((a.x - d.x) * (b.y - d.y) - (b.x - d.x) * (a.y - d.y))
+"""
+_ORIENT = "((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x))"
+
+
+@register(
+    "grid_linear",
+    sql=f"""
+    WITH pts AS ({_LIN_PTS_SQL}),
+    tris AS (
+      SELECT a.pid i, b.pid j, c.pid k,
+             a.x x1, a.y y1, a.v z1, b.x x2, b.y y2, b.v z2,
+             c.x x3, c.y y3, c.v z3
+      FROM pts a JOIN pts b ON a.pid < b.pid JOIN pts c ON b.pid < c.pid
+      WHERE {_ORIENT} <> 0.0
+        AND NOT EXISTS (
+          SELECT 1 FROM pts d
+          WHERE d.pid NOT IN (a.pid, b.pid, c.pid)
+            AND ({_INCIRC}) * {_ORIENT} > 0.0)
+    ),
+    coef AS (
+      SELECT *,
+             (y2 - y3) / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3))
+               AS m1x,
+             (x3 - x2) / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3))
+               AS m1y,
+             (y3 - y1) / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3))
+               AS m2x,
+             (x1 - x3) / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3))
+               AS m2y
+      FROM tris
+      WHERE ABS((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3))
+            >= 1e-5
+    ),
+    cand AS (
+      SELECT g1.i AS ctx, g2.i AS cty, coef.*,
+             m1x * ({_LCX} - x3) + m1y * ({_LCY} - y3) AS l1,
+             m2x * ({_LCX} - x3) + m2y * ({_LCY} - y3) AS l2
+      FROM coef, generate_series(0, {_LN}) g1(i),
+                 generate_series(0, {_LN}) g2(i)
+    ),
+    inside AS (
+      SELECT ctx, cty, l1, l2, 1.0 - l1 - l2 AS l3, z1, z2, z3,
+             ROW_NUMBER() OVER (PARTITION BY ctx, cty
+                                ORDER BY i, j, k) AS rn
+      FROM cand
+      WHERE l1 >= -{LEPS!r}::DOUBLE AND l2 >= -{LEPS!r}::DOUBLE
+        AND (1.0 - l1 - l2) >= -{LEPS!r}::DOUBLE
+    ),
+    tin AS (
+      SELECT ctx, cty, l1 * z1 + l2 * z2 + l3 * z3 AS linear,
+             TRUE AS in_hull
+      FROM inside WHERE rn = 1
+    ),
+    miss AS (
+      SELECT g1.i AS ctx, g2.i AS cty, {_LCX} AS cx, {_LCY} AS cy
+      FROM generate_series(0, {_LN}) g1(i), generate_series(0, {_LN}) g2(i)
+      WHERE NOT EXISTS (SELECT 1 FROM tin
+                        WHERE tin.ctx = g1.i AND tin.cty = g2.i)
+    ),
+    near AS (
+      SELECT ctx, cty, v AS linear, FALSE AS in_hull
+      FROM (
+        SELECT m.ctx, m.cty, p.v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY m.ctx, m.cty
+                 ORDER BY (p.x - m.cx) * (p.x - m.cx)
+                          + (p.y - m.cy) * (p.y - m.cy), p.pid) AS rn
+        FROM miss m, pts p)
+      WHERE rn = 1
+    )
+    SELECT ctx, cty,
+           CAST(FLOOR(linear * {LSCALE!r}::DOUBLE + 0.5) AS BIGINT)
+             AS slin,
+           in_hull
+    FROM (SELECT * FROM tin UNION ALL SELECT * FROM near)
+    ORDER BY ctx, cty
+    """,
+    desc="gdal_grid -a linear (GDALGridLinear, gdalgrid.cpp:2459): "
+         "driver Bowyer-Watson + distributed barycentric Column "
+         "interpolation; the oracle re-derives the Delaunay "
+         "triangulation INDEPENDENTLY by empty-circumcircle "
+         "enumeration and the hull-exterior nearest fallback in SQL",
+)
+def grid_linear_q(spark, sf_dir):
+    out = gi.grid_linear(_lin_pts(spark, sf_dir), dv.GRID, LZ)
+    return out.select(
+        F.col("ctx").cast("long").alias("ctx"),
+        F.col("cty").cast("long").alias("cty"),
+        F.floor(F.col("linear") * F.lit(LSCALE) + F.lit(0.5))
+        .cast("long").alias("slin"),
+        "in_hull",
     ).orderBy("ctx", "cty")

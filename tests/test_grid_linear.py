@@ -1,0 +1,100 @@
+"""Delaunay kernel + grid_linear (gdal_grid -a linear role):
+Bowyer-Watson vs the enumeration definition, planar-field
+exactness, hull fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.kernels.cells import TileGrid
+from gdal_spark.kernels.delaunay import (brute_force_delaunay,
+                                         delaunay_triangles)
+from gdal_spark.operators.grid_interp import grid_linear
+
+GRID = TileGrid.local(0.0, 0.0, 16.0, 16.0)
+Z = 3     # 8x8 cells
+
+
+def _mix(i, salt):
+    # multiplicative hash: no collinear / cocircular lattice structure
+    return ((i * 2654435761 + salt * 40503) ^ (i << 7)) % 9973
+
+
+def _pts(n, salt=0):
+    xs = [_mix(i, salt) / 9973.0 * 14.0 + 1.0 for i in range(n)]
+    ys = [_mix(i + 1000, salt + 7) / 9973.0 * 14.0 + 1.0 for i in range(n)]
+    return xs, ys
+
+
+@pytest.mark.parametrize("n,salt", [(8, 0), (15, 1), (25, 2), (40, 3)])
+def test_bowyer_watson_matches_enumeration(n, salt):
+    xs, ys = _pts(n, salt)
+    bw = delaunay_triangles(xs, ys)
+    brute = brute_force_delaunay(xs, ys)
+    assert bw == brute
+    # Euler: for a triangulation of the convex hull,
+    # #triangles = 2n - 2 - hull_size
+    from math import atan2
+    cxm, cym = sum(xs) / n, sum(ys) / n
+    # hull size via monotone chain
+    pts = sorted(zip(xs, ys))
+
+    def half(pts):
+        out = []
+        for p in pts:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+    hull = len(half(pts)) + len(half(pts[::-1])) - 2
+    assert len(bw) == 2 * n - 2 - hull
+
+
+def test_degenerate_inputs():
+    assert delaunay_triangles([0.0, 1.0], [0.0, 1.0]) == []
+    tris = delaunay_triangles([0.0, 4.0, 0.0], [0.0, 0.0, 4.0])
+    assert tris == [(0, 1, 2)]
+
+
+def test_planar_field_reproduced_exactly(spark):
+    """A TIN of samples from v = a*x + b*y + c interpolates the
+    plane exactly at every in-hull cell center (the defining
+    property of GDALGridLinear)."""
+    xs, ys = _pts(30)
+    a, b, c = 0.5, -0.25, 3.0
+    rows = [(i, xs[i], ys[i], a * xs[i] + b * ys[i] + c)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "pid long, x double, y double, v double")
+    out = grid_linear(df, GRID, Z)
+    ts = GRID.tile_span(Z)
+    for r in out.filter(F.col("in_hull")).collect():
+        cx = GRID.top_left_x + (r["ctx"] + 0.5) * ts
+        cy = GRID.top_left_y - (r["cty"] + 0.5) * ts
+        assert r["linear"] == pytest.approx(a * cx + b * cy + c,
+                                            abs=1e-9), (r["ctx"], r["cty"])
+
+
+def test_hull_fallback_nearest(spark):
+    # 3 points in one corner: most cells are outside the hull and
+    # must carry the (d2, pid)-nearest value
+    rows = [(0, 2.0, 14.0, 10.0), (1, 4.0, 14.0, 20.0), (2, 3.0, 12.0, 30.0)]
+    df = spark.createDataFrame(rows, "pid long, x double, y double, v double")
+    out = grid_linear(df, GRID, Z)
+    n = out.count()
+    assert n == 64                      # full cell universe covered
+    far = out.filter((F.col("ctx") == 7) & (F.col("cty") == 7)).collect()[0]
+    assert not far["in_hull"]
+    # nearest to cell center (15,-15 local=top-left... compute):
+    ts = GRID.tile_span(Z)
+    cx = GRID.top_left_x + 7.5 * ts
+    cy = GRID.top_left_y - 7.5 * ts
+    d = [(cx - x) ** 2 + (cy - y) ** 2 for _, x, y, _v in rows]
+    assert far["linear"] == rows[int(np.argmin(d))][3]
+    # fallback="none" keeps only in-hull rows
+    assert grid_linear(df, GRID, Z, fallback="none") \
+        .filter(~F.col("in_hull")).count() == 0
