@@ -308,3 +308,203 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+# ------------------------------------------------------------ DSIR
+# hashed n-gram importance resampling (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling")
+
+DSIR_BUCKETS = 1024
+DSIR_ALPHA = 0.5        # additive smoothing per bucket
+
+
+def _gram_bucket(gram: Column) -> Column:
+    """md5-derived bucket id — the dedup family's digest idiom, so
+    the DuckDB twin is ('0x'||substr(md5(g),1,15))::BIGINT with the
+    same pmod."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long"),
+        F.lit(DSIR_BUCKETS))
+
+
+def hashed_gram_rows(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, bucket) rows over unigrams + bigrams hashed into
+    DSIR_BUCKETS buckets.  Map-only explode; the bucket space is
+    fixed, so every aggregate over it is O(buckets) regardless of
+    corpus size."""
+    toks = tokens_col(F.col(text_col))
+    uni = df.select(F.col(id_col), F.explode(toks).alias("g"))
+    big_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat(F.element_at(toks, i + 1), F.lit(" "),
+                               F.element_at(toks, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    big = df.select(F.col(id_col), F.explode(big_arr).alias("g"))
+    return uni.unionByName(big).select(
+        F.col(id_col), _gram_bucket(F.col("g")).alias("bucket"))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 ndigits: int = 6) -> DataFrame:
+    """Per-document importance weight log p_target(doc)/p_raw(doc)
+    under bag-of-hashed-ngrams unigram models (the DSIR estimator):
+
+        w(doc) = sum over the doc's grams of
+                 log(c_t[b] + a) - log(N_t + a*K)
+               - log(c_r[b] + a) + log(N_r + a*K)
+
+    Scale shape: two O(buckets) aggregates (map-side partials into
+    1024 rows) whose totals are two bounded driver actions, the
+    1024-row log-ratio table broadcast onto the gram stream, one
+    groupBy(id).  The weight is rounded to ``ndigits`` so engine
+    log/summation-order ulps cannot flip a comparison.  Returns
+    (id, n_grams, dsir_w)."""
+    import math
+
+    def bucket_counts(d: DataFrame):
+        cnt = (hashed_gram_rows(d, text_col, id_col)
+               .groupBy("bucket").agg(F.count("*").alias("c")))
+        tot = cnt.agg(F.sum("c")).collect()[0][0] or 0
+        return cnt, float(tot) + DSIR_ALPHA * DSIR_BUCKETS
+
+    t_cnt, t_denom = bucket_counts(target)
+    r_cnt, r_denom = bucket_counts(raw)
+    floor_t = math.log(DSIR_ALPHA) - math.log(t_denom)
+    floor_r = math.log(DSIR_ALPHA) - math.log(r_denom)
+    ratio = (t_cnt.withColumnRenamed("c", "ct")
+             .join(r_cnt.withColumnRenamed("c", "cr"), "bucket", "full")
+             .select(
+                 "bucket",
+                 (F.coalesce(
+                     F.log(F.col("ct").cast("double") + F.lit(DSIR_ALPHA))
+                     - F.lit(math.log(t_denom)), F.lit(floor_t))
+                  - F.coalesce(
+                     F.log(F.col("cr").cast("double") + F.lit(DSIR_ALPHA))
+                     - F.lit(math.log(r_denom)), F.lit(floor_r))
+                  ).alias("lw")))
+    grams = hashed_gram_rows(raw, text_col, id_col)
+    return (grams.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.round(F.sum("lw"), ndigits).alias("dsir_w")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, keep: int,
+                text_col: str = "text", id_col: str = "doc_id"
+                ) -> DataFrame:
+    """Deterministic DSIR selection: rank by (rounded weight desc,
+    id asc), keep the top ``keep`` — the argmax-k variant of
+    Gumbel-top-k resampling; identical across engines because the
+    rank key is the ROUNDED weight."""
+    w = dsir_weights(raw, target, text_col, id_col)
+    win = Window.orderBy(F.col("dsir_w").desc(), F.col(id_col).asc())
+    return (w.withColumn("rank", F.row_number().over(win).cast("long"))
+            .filter(F.col("rank") <= keep)
+            .select(id_col, "dsir_w", "rank"))
+
+
+# ------------------------------------------------------------ URL filter
+
+URL_BLOCK_PATTERNS = {
+    # UT1-blocklist-style category regexes (RE2/Java compatible)
+    "adult": "(porn|xxx|adult)",
+    "gambling": "(casino|bet|poker)",
+    "shortener": "^(bit\\.ly|t\\.co|goo\\.gl)$",
+}
+
+
+def url_host_col(url: Column) -> Column:
+    """Lower-cased host of an URL (scheme and path stripped) — pure
+    regexp Column."""
+    return F.lower(F.regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1))
+
+
+def url_filter(df: DataFrame, blocklist: DataFrame,
+               url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Domain filtering (the CCNet / Dolma URL-tagger role): flags a
+    document whose host is on the (broadcast) blocklist or matches a
+    category pattern.  Map-only plus one broadcast left join — no
+    shuffle of the corpus.  Returns (id, host, block_reason), NULL
+    reason for clean rows; blocklist beats category patterns, which
+    apply in fixed dict order (same precedence in the oracle)."""
+    host = url_host_col(F.col(url_col))
+    out = df.select(F.col(id_col), host.alias("host"))
+    bl = blocklist.select(F.col("host").alias("host"),
+                          F.lit("blocklist").alias("_bl"))
+    out = out.join(F.broadcast(bl), "host", "left")
+    reason = F.col("_bl")
+    for name, pat in URL_BLOCK_PATTERNS.items():
+        reason = F.coalesce(
+            reason, F.when(F.col("host").rlike(pat), F.lit(name)))
+    return out.select(id_col, "host", reason.alias("block_reason"))
+
+
+# ---------------------------------------------- exact substring dedup
+
+SUBSTR_WIN = 40      # window length (chars)
+SUBSTR_STEP = 20     # window stride
+
+
+def substring_dup_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        win: int = SUBSTR_WIN,
+                        step: int = SUBSTR_STEP) -> DataFrame:
+    """Cross-document exact-substring duplication (the suffix-array
+    dedup role of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", at fixed window granularity):
+    every ``win``-char window at ``step`` stride is md5-hashed;
+    windows whose digest occurs in >= 2 DISTINCT documents are
+    duplicated spans.  Returns one row per duplicated (id, off)
+    span with the digest's global doc frequency.
+
+    Scale shape: the explode is map-only (fan-out len/step), the
+    digest groupBy is one shuffle with map-side partials, and the
+    rejoin hits only duplicated digests — the digest exchange is
+    the single wide stage, like minhash banding."""
+    txt = F.col(text_col)
+    offs = F.when(
+        F.length(txt) >= win,
+        F.sequence(F.lit(0), F.length(txt) - win, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (df.select(F.col(id_col), txt.alias("_t"),
+                      F.explode(offs).alias("off"))
+            .select(F.col(id_col), "off",
+                    F.md5(F.substring(F.col("_t"), F.col("off") + 1, win))
+                    .alias("d")))
+    freq = (wins.select(id_col, "d").distinct()
+            .groupBy("d").agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") >= 2))
+    return wins.join(freq, "d").select(id_col, "off", "n_docs")
+
+
+def substring_dup_stats(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        win: int = SUBSTR_WIN,
+                        step: int = SUBSTR_STEP) -> DataFrame:
+    """Per-document duplicated-window count + duplicated-char
+    fraction (stride-weighted upper bound, capped at 1).  Returns
+    (id, n_windows, n_dup_windows, dup_frac)."""
+    txt = F.col(text_col)
+    spans = substring_dup_spans(df, text_col, id_col, win, step)
+    n_dup = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_windows"))
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(txt) >= win,
+               F.floor((F.length(txt) - win) / step) + 1)
+        .otherwise(0).cast("long").alias("n_windows"),
+        F.length(txt).cast("long").alias("_len"))
+    out = base.join(n_dup, id_col, "left").fillna({"n_dup_windows": 0})
+    frac = F.least(
+        F.lit(1.0),
+        (F.col("n_dup_windows").cast("double") * step)
+        / F.col("_len").cast("double"))
+    return out.select(
+        id_col, "n_windows",
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.round(F.when(F.col("_len") > 0, frac).otherwise(0.0), 6)
+        .alias("dup_frac"))

@@ -171,7 +171,7 @@ def grid_invdistnn_q(spark, sf_dir):
 # used by the other grid queries has exactly-collinear triples that
 # would make the Delaunay triangulation non-unique; this mix is
 # verified general-position (BW == enumeration) at sf0.001/0.01/0.1
-LIN_STEP = 100          # doc_id % 100 == 0 rows are the TIN samples
+LIN_STEP = 10           # doc_id % 10 == 0 rows are the TIN samples
 LIN_MOD = 9973
 LXA, LYA, LYB = 2654435761, 1779033703, 7919
 LZ = 4                  # 16x16 output cells

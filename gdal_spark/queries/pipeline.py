@@ -1004,3 +1004,197 @@ def pii_scrub_q(spark, sf_dir):
                             F.lit(".7"))).otherwise(F.lit("")),
         ).alias("text"))
     return tx.pii_scrub(planted).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ DSIR
+_DSIR_K = tx.DSIR_BUCKETS
+_DSIR_A = tx.DSIR_ALPHA
+_DSIR_KEEP = 100
+
+_DSIR_GRAMS = """
+    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS a
+             FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(a) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               generate_series(1, len(a) - 1),
+               i -> a[i] || ' ' || a[i + 1])) AS g
+      FROM toks WHERE len(a) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {K} AS bucket
+      FROM grams
+    )
+""".format(K=_DSIR_K)
+
+
+@register(
+    "dsir_select",
+    sql=f"""
+    WITH {_DSIR_GRAMS},
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM bg WHERE lang = 'en'
+           GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS cr FROM bg GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc)
+               + {_DSIR_A!r}::DOUBLE * {_DSIR_K} AS nt,
+             (SELECT COALESCE(SUM(cr), 0) FROM rc)
+               + {_DSIR_A!r}::DOUBLE * {_DSIR_K} AS nr
+    ),
+    ratio AS (
+      SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+             (COALESCE(ln(CAST(ct AS DOUBLE) + {_DSIR_A!r}::DOUBLE)
+                       - ln(nt), ln({_DSIR_A!r}::DOUBLE) - ln(nt)))
+             - (COALESCE(ln(CAST(cr AS DOUBLE) + {_DSIR_A!r}::DOUBLE)
+                         - ln(nr), ln({_DSIR_A!r}::DOUBLE) - ln(nr)))
+               AS lw
+      FROM tc FULL JOIN rc ON tc.bucket = rc.bucket, tot
+    ),
+    w AS (
+      SELECT bg.doc_id, ROUND(SUM(lw), 6) AS dsir_w
+      FROM bg JOIN ratio ON bg.bucket = ratio.bucket
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, dsir_w, rank FROM (
+      SELECT doc_id, dsir_w,
+             ROW_NUMBER() OVER (ORDER BY dsir_w DESC, doc_id) AS rank
+      FROM w)
+    WHERE rank <= {_DSIR_KEEP} ORDER BY rank
+    """,
+    desc="DSIR importance resampling (Xie et al. 2023): hashed "
+         "unigram+bigram bucket models target(lang=en) vs raw, "
+         "log-likelihood-ratio weights, deterministic top-k "
+         "selection on the rounded weight",
+)
+def dsir_select_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en")
+    return tx.dsir_select(docs, target, keep=_DSIR_KEEP).orderBy("rank")
+
+
+# ------------------------------------------------------------ URL filter
+_URL_SQL = """
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 13 = 0 THEN 'www.bigcasino.com'
+                  WHEN doc_id % 17 = 0 THEN 'bit.ly'
+                  WHEN doc_id % 11 = 0 THEN 'evil.example.org'
+                  ELSE source || '.example.org' END
+             || '/p/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+"""
+
+
+@register(
+    "url_filter",
+    sql=f"""
+    WITH u AS ({_URL_SQL}),
+    h AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host
+      FROM u
+    ),
+    bl(bhost) AS (VALUES ('evil.example.org'), ('blocked.test')),
+    j AS (
+      SELECT h.doc_id, h.host,
+             CASE WHEN bl.bhost IS NOT NULL THEN 'blocklist'
+                  WHEN regexp_matches(host, '(porn|xxx|adult)')
+                    THEN 'adult'
+                  WHEN regexp_matches(host, '(casino|bet|poker)')
+                    THEN 'gambling'
+                  WHEN regexp_matches(host, '^(bit\\.ly|t\\.co|goo\\.gl)$')
+                    THEN 'shortener'
+             END AS block_reason
+      FROM h LEFT JOIN bl ON h.host = bl.bhost
+    )
+    SELECT doc_id, host, block_reason FROM j ORDER BY doc_id
+    """,
+    desc="URL/domain filtering (CCNet/Dolma URL-tagger role): host "
+         "extraction, broadcast blocklist join, category regexes in "
+         "fixed precedence — map-only corpus pass",
+)
+def url_filter_q(spark, sf_dir):
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 13 == 0, F.lit("www.bigcasino.com"))
+        .when(d % 17 == 0, F.lit("bit.ly"))
+        .when(d % 11 == 0, F.lit("evil.example.org"))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.org"))),
+        F.lit("/p/"), d.cast("string"))
+    docs = t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("evil.example.org",), ("blocked.test",)], "host string")
+    return tx.url_filter(docs, bl).orderBy("doc_id")
+
+
+# ------------------------------------------ exact substring dedup
+_SSD_WIN = tx.SUBSTR_WIN
+_SSD_STEP = tx.SUBSTR_STEP
+_SSD_SLOGAN = ("this exact sentence is shared across many documents "
+               "of the corpus verbatim")
+
+_SSD_CORPUS = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || ' ' || '{_SSD_SLOGAN}'
+                  ELSE text END AS text
+      FROM documents
+"""
+
+
+@register(
+    "substring_dedup",
+    sql=f"""
+    WITH c AS ({_SSD_CORPUS}),
+    w AS (
+      SELECT doc_id, unnest(generate_series(0, len(text) - {_SSD_WIN},
+                                            {_SSD_STEP})) AS off, text
+      FROM c WHERE len(text) >= {_SSD_WIN}
+    ),
+    d AS (
+      SELECT doc_id, off,
+             md5(substr(text, off + 1, {_SSD_WIN})) AS dig
+      FROM w
+    ),
+    fr AS (
+      SELECT dig, COUNT(*) AS n_docs FROM (
+        SELECT DISTINCT doc_id, dig FROM d) GROUP BY dig
+      HAVING COUNT(*) >= 2
+    ),
+    dup AS (
+      SELECT d.doc_id, COUNT(*) AS n_dup_windows
+      FROM d JOIN fr ON d.dig = fr.dig GROUP BY d.doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN len(text) >= {_SSD_WIN}
+                  THEN CAST(FLOOR((len(text) - {_SSD_WIN})
+                                  / {_SSD_STEP}) AS BIGINT) + 1
+                  ELSE 0 END AS n_windows,
+             len(text) AS l FROM c
+    )
+    SELECT base.doc_id, n_windows,
+           COALESCE(n_dup_windows, 0) AS n_dup_windows,
+           ROUND(CASE WHEN l > 0 THEN
+             LEAST(1.0, CAST(COALESCE(n_dup_windows, 0) AS DOUBLE)
+                        * {_SSD_STEP} / CAST(l AS DOUBLE))
+             ELSE 0.0 END, 6) AS dup_frac
+    FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id
+    ORDER BY base.doc_id
+    """,
+    desc="exact-substring window dedup (Lee et al. 2022 suffix-array "
+         "role at fixed granularity): 40-char windows at stride 20, "
+         "md5 digests, cross-document frequency, per-doc dup stats",
+)
+def substring_dedup_q(spark, sf_dir):
+    d = F.col("doc_id")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 9 == 0,
+               F.concat(F.col("text"), F.lit(" " + _SSD_SLOGAN)))
+        .otherwise(F.col("text")).alias("text"))
+    return tx.substring_dup_stats(docs).orderBy("doc_id")
