@@ -65,6 +65,13 @@ HEADLINE = [
     "charlm_perplexity",
     "segmentize",
     "line_substring",
+    # round-3 second batch
+    "rpc_forward",
+    "rpc_inverse",
+    "grid_linear",
+    "dsir_select",
+    "substring_dedup",
+    "url_filter",
 ]
 
 BIG_JOIN_N = 8_000_000
