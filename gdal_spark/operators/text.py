@@ -508,3 +508,172 @@ def substring_dup_stats(df: DataFrame, text_col: str = "text",
         F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
         F.round(F.when(F.col("_len") > 0, frac).otherwise(0.0), 6)
         .alias("dup_frac"))
+
+
+# ------------------------------------------------- Gopher rule battery
+
+BULLET_PREFIXES = ("- ", "* ")
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Table A1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (# and ...), bullet-line fraction, ellipsis-line fraction,
+    fraction of words containing an alphabetic character, and a
+    minimum stop-word hit count.  Every signal is a pure Column
+    expression (zero shuffle, map-only — the 100 TB shape), and every
+    float is a ratio of integers rounded to 6 so the DuckDB twin
+    hash-matches.
+
+    Returns one row per document with each signal plus per-rule
+    booleans and the final ``keep`` conjunction.
+    """
+    txt = F.col(text_col)
+    toks = tokens_col(txt)
+    lines = F.split(txt, "\\. ")     # sentence-ish lines (corpus is 1-line)
+    n_words = F.size(toks)
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    n_sym = (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+             + (F.length(txt)
+                - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: F.substring(ln, 1, 2).isin(*BULLET_PREFIXES)))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...")))
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    avg_wl = ((F.length(txt) - n_words + 1).cast("double")
+              / n_words.cast("double"))
+
+    sig = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(avg_wl, 6).alias("avg_word_len"),
+        F.round(n_sym.cast("double") / n_words.cast("double"), 6)
+        .alias("symbol_ratio"),
+        F.round(bullet_lines.cast("double") / n_lines.cast("double"), 6)
+        .alias("bullet_frac"),
+        F.round(ellipsis_lines.cast("double") / n_lines.cast("double"), 6)
+        .alias("ellipsis_frac"),
+        F.round(n_alpha_words.cast("double") / n_words.cast("double"), 6)
+        .alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"))
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("avg_word_len") >= GOPHER_MIN_AVG_WORD_LEN)
+        & (F.col("avg_word_len") <= GOPHER_MAX_AVG_WORD_LEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS))
+    return sig.withColumn("keep", keep)
+
+
+# --------------------------------- hashing-trick linear quality model
+
+QC_BUCKETS = 4096
+QC_WEIGHT_SPAN = 1000     # weights in [-1000, 1000], integer
+QC_BIAS = -40             # scaled by token count
+
+
+def _qc_weight(gram: Column) -> Column:
+    """Deterministic integer weight for a token: the 'pretrained
+    model' is the md5-derived map bucket -> weight, identically
+    computable in any engine (the DSIR bucket idiom).  Two
+    independent md5 draws: one for the bucket, one for the weight of
+    that bucket, so collisions share weights exactly like a real
+    hashing-trick model."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("qc:"), gram)), 1, 15),
+               16, 10).cast("long"),
+        F.lit(QC_BUCKETS))
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("qw:"),
+                                          bucket.cast("string"))), 1, 15),
+               16, 10).cast("long"),
+        F.lit(2 * QC_WEIGHT_SPAN + 1)) - QC_WEIGHT_SPAN
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """fastText-style linear quality scorer (the CCNet / RedPajama
+    model-based filter role): bag-of-tokens hashed into QC_BUCKETS
+    buckets, one integer weight per bucket, logit = mean bucket
+    weight + bias.  The whole score is ONE aggregate() fold over the
+    token array — zero shuffle, zero explode, exact int64 arithmetic
+    until the final division (rounded to 6), so a 10^12-doc corpus
+    scores in a single map stage and the DuckDB twin hash-matches.
+
+    Returns (id, n_tokens, logit_num, score, keep):
+      logit_num = sum of token weights + BIAS * n_tokens   (exact)
+      score     = logit_num / (n_tokens * QC_WEIGHT_SPAN)  (rounded)
+      keep      = logit_num > 0
+    """
+    toks = tokens_col(F.col(text_col))
+    wsum = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, tok: acc + _qc_weight(tok))
+    n = F.size(toks)
+    num = (wsum + F.lit(QC_BIAS) * n).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        num.alias("logit_num"),
+        F.round(num.cast("double")
+                / (n.cast("double") * QC_WEIGHT_SPAN), 6).alias("score"),
+        (num > 0).alias("keep"))
+
+
+# --------------------------------------------- vocabulary + OOV rate
+
+
+def build_vocab(df: DataFrame, size: int, text_col: str = "text") -> DataFrame:
+    """Top-``size`` word vocabulary by corpus frequency (count desc,
+    word asc ties) with contiguous ids — the tokenizer-training /
+    vocab-induction step.  One exploded word-count (map-side
+    partials) plus a tiny global top-k: the ONLY full-width shuffle
+    is the classic word count, and the ranked result is bounded by
+    ``size`` so it broadcasts downstream.
+
+    Returns (token_id, term, n) with token_id = 0-based rank.
+    """
+    counts = (df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+              .groupBy("term").agg(F.count("*").alias("n")))
+    # orderBy + limit is a distributed TakeOrdered (per-partition
+    # top-k, tiny driver merge) — the global row_number window runs
+    # over only the ``size`` survivors, never the full term table.
+    top = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(size)
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return (top.withColumn("token_id",
+                           F.row_number().over(w).cast("long") - 1)
+            .select("token_id", "term", "n"))
+
+
+def oov_stats(df: DataFrame, vocab: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document out-of-vocabulary statistics against a (small,
+    broadcast) vocabulary: explode -> broadcast left join -> per-doc
+    reaggregate.  Returns (id, n_tokens, n_oov, oov_rate)."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col(F.col(text_col))).alias("term"))
+    v = vocab.select("term", F.lit(1).alias("_in_v"))
+    joined = toks.join(F.broadcast(v), "term", "left")
+    return (joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_oov"))
+        .withColumn("oov_rate",
+                    F.round(F.col("n_oov").cast("double")
+                            / F.col("n_tokens").cast("double"), 6)))

@@ -20,6 +20,7 @@ from . import register, t
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
+from ..operators import sketch as sk
 from ..operators import text as tx
 
 DIM = 64
@@ -1198,3 +1199,273 @@ def substring_dedup_q(spark, sf_dir):
                F.concat(F.col("text"), F.lit(" " + _SSD_SLOGAN)))
         .otherwise(F.col("text")).alias("text"))
     return tx.substring_dup_stats(docs).orderBy("doc_id")
+
+
+# ------------------------------------------------- Gopher rule battery
+# The corpus is single-line word soup, so bullet / ellipsis / symbol
+# structure is PLANTED deterministically (the pii_scrub idiom) to
+# exercise every rule in both engines.
+_GOPHER_AUG_SQL = """
+    aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 4 = 0
+                THEN '. - alpha beta. * gamma delta' ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                THEN '. trailing thought...' ELSE '' END
+             || CASE WHEN doc_id % 9 = 0 THEN ' ###' ELSE '' END AS text
+      FROM documents
+    )"""
+
+_GOPHER_STOP = "('the','a','of','and','to','in','is','it')"
+
+
+def _gopher_aug(docs):
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(". - alpha beta. * gamma delta")).otherwise(""),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit(". trailing thought...")).otherwise(""),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit(" ###")).otherwise(""),
+        ).alias("text"))
+
+
+@register(
+    "gopher_rules",
+    sql=f"""
+    WITH {_GOPHER_AUG_SQL},
+    sig AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1
+                        AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS avg_word_len,
+             ROUND((CAST(length(text) - length(replace(text, '#', ''))
+                         AS DOUBLE)
+                    + (length(text)
+                       - length(replace(text, '...', ''))) / 3)
+                   / len(string_split(text, ' ')), 6) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(string_split_regex(text, '\\. '),
+                       ln -> substr(ln, 1, 2) IN ('- ', '* '))) AS DOUBLE)
+                   / len(string_split_regex(text, '\\. ')), 6)
+               AS bullet_frac,
+             ROUND(CAST(len(list_filter(string_split_regex(text, '\\. '),
+                       ln -> ends_with(ln, '...'))) AS DOUBLE)
+                   / len(string_split_regex(text, '\\. ')), 6)
+               AS ellipsis_frac,
+             ROUND(CAST(len(list_filter(string_split(text, ' '),
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS alpha_word_frac,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN {_GOPHER_STOP})) AS stop_hits
+      FROM aug
+    )
+    SELECT *,
+           n_words BETWEEN 5 AND 1000
+           AND avg_word_len BETWEEN 3.0 AND 10.0
+           AND symbol_ratio <= 0.1
+           AND bullet_frac <= 0.9
+           AND ellipsis_frac <= 0.3
+           AND alpha_word_frac >= 0.8
+           AND stop_hits >= 2 AS keep
+    FROM sig ORDER BY doc_id
+    """,
+    desc="Gopher quality-rule battery (Rae et al. 2021 Table A1): "
+         "word-count / mean-word-length bounds, symbol ratio, bullet "
+         "and ellipsis line fractions, alpha-word fraction, stop-word "
+         "hits — all pure Column (map-only, zero shuffle); structure "
+         "planted deterministically in both engines",
+)
+def gopher_rules_q(spark, sf_dir):
+    docs = _gopher_aug(t(spark, sf_dir, "documents"))
+    out = tx.gopher_rules(docs)
+    return out.select(
+        "doc_id", "n_words", "avg_word_len", "symbol_ratio",
+        "bullet_frac", "ellipsis_frac", "alpha_word_frac",
+        "stop_hits", "keep").orderBy("doc_id")
+
+
+# --------------------------------- hashing-trick linear quality model
+@register(
+    "quality_classifier",
+    sql=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_sum(list_transform(string_split(text, ' '), tok ->
+             ('0x' || substr(md5('qw:' || CAST(
+                ('0x' || substr(md5('qc:' || tok), 1, 15))::BIGINT
+                % {tx.QC_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT
+             % {2 * tx.QC_WEIGHT_SPAN + 1} - {tx.QC_WEIGHT_SPAN}))::BIGINT
+           + {tx.QC_BIAS} * len(string_split(text, ' ')) AS logit_num,
+           ROUND(CAST(list_sum(list_transform(string_split(text, ' '),
+             tok ->
+             ('0x' || substr(md5('qw:' || CAST(
+                ('0x' || substr(md5('qc:' || tok), 1, 15))::BIGINT
+                % {tx.QC_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT
+             % {2 * tx.QC_WEIGHT_SPAN + 1} - {tx.QC_WEIGHT_SPAN}))
+             + {tx.QC_BIAS} * len(string_split(text, ' ')) AS DOUBLE)
+             / (len(string_split(text, ' ')) * {tx.QC_WEIGHT_SPAN}), 6)
+             AS score,
+           list_sum(list_transform(string_split(text, ' '), tok ->
+             ('0x' || substr(md5('qw:' || CAST(
+                ('0x' || substr(md5('qc:' || tok), 1, 15))::BIGINT
+                % {tx.QC_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT
+             % {2 * tx.QC_WEIGHT_SPAN + 1} - {tx.QC_WEIGHT_SPAN}))
+           + {tx.QC_BIAS} * len(string_split(text, ' ')) > 0 AS keep
+    FROM documents ORDER BY doc_id
+    """,
+    desc="fastText-style hashing-trick linear quality scorer (CCNet/"
+         "RedPajama model-filter role): md5 bucket -> md5 integer "
+         "weight, logit = one aggregate() fold over the token array — "
+         "zero shuffle, exact int64 until the final rounded division",
+)
+def quality_classifier_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return tx.quality_classifier(docs).orderBy("doc_id")
+
+
+# --------------------------------------------- vocabulary + OOV rate
+_VOCAB_SIZE = 40
+
+
+@register(
+    "vocab_oov",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    vocab AS (SELECT term FROM counts
+              ORDER BY n DESC, term ASC LIMIT {_VOCAB_SIZE})
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    desc="vocabulary induction + per-doc OOV rate: word count with "
+         "map-side partials, distributed TakeOrdered top-k vocab "
+         "(count desc, term asc), broadcast left join back — the "
+         "tokenizer-training / coverage-audit step",
+)
+def vocab_oov_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    vocab = tx.build_vocab(docs, _VOCAB_SIZE)
+    return tx.oov_stats(docs, vocab).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ sketches
+@register(
+    "hll_distinct",
+    sql=f"""
+    WITH h AS (
+      SELECT source,
+             ('0x' || substr(md5('hll:' || text), 1, 15))::BIGINT AS hv,
+             text
+      FROM documents
+    ),
+    regs AS (
+      SELECT source, hv % {1 << sk.HLL_P} AS bucket,
+             MAX(CASE WHEN (hv >> {sk.HLL_P}) = 0
+                 THEN {sk.HLL_REG_BITS + 1}
+                 ELSE instr(lpad(bin(hv >> {sk.HLL_P}),
+                                 {sk.HLL_REG_BITS}, '0'), '1') END)
+               AS max_rho
+      FROM h GROUP BY source, bucket
+    ),
+    agg AS (
+      SELECT source,
+             SUM(1::BIGINT << ({sk.HLL_REG_BITS + 1} - max_rho))
+               AS denom_scaled,
+             COUNT(*) AS n_present
+      FROM regs GROUP BY source
+    ),
+    est AS (
+      SELECT source,
+             {1 << sk.HLL_P} - n_present AS zeros,
+             CAST({sk.HLL_ALPHA_64 * (1 << sk.HLL_P) ** 2} AS DOUBLE)
+             / (CAST(denom_scaled AS DOUBLE)
+                / {float(1 << (sk.HLL_REG_BITS + 1))}
+                + CAST({1 << sk.HLL_P} - n_present AS DOUBLE)) AS raw
+      FROM agg
+    ),
+    ex AS (SELECT source, COUNT(DISTINCT text) AS exact_distinct
+           FROM documents GROUP BY source)
+    SELECT e.source,
+           ROUND(CASE WHEN raw <= {2.5 * (1 << sk.HLL_P)} AND zeros > 0
+                 THEN {1 << sk.HLL_P}
+                      * ln({float(1 << sk.HLL_P)} / zeros)
+                 ELSE raw END, 2) AS hll_estimate,
+           zeros AS empty_buckets,
+           ex.exact_distinct
+    FROM est e JOIN ex ON ex.source = e.source
+    ORDER BY e.source
+    """,
+    desc="HyperLogLog distinct-count per source (Flajolet et al. "
+         "2007): md5-derived engine-reproducible hash (unlike the "
+         "JVM-private builtin HLL++), fixed 2^P register table via "
+         "one map-side-MAX groupBy, linear-counting small-range "
+         "branch; exact distinct joined alongside for audit",
+)
+def hll_distinct_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    est = sk.hll_estimate(docs, "text", ["source"])
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("text").alias("exact_distinct"))
+    return est.join(exact, "source").orderBy("source")
+
+
+@register(
+    "cm_topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS v FROM documents
+    ),
+    pr AS (
+      SELECT v, r.r AS row,
+             (('0x' || substr(md5('cm:' || v), 1, 15))::BIGINT
+              + r.r * ('0x' || substr(md5('cm2:' || v), 1, 15))::BIGINT)
+             % {sk.CM_WIDTH} AS bucket
+      FROM toks, (SELECT unnest(generate_series(0,
+                  {sk.CM_DEPTH - 1})) AS r) r
+    ),
+    sketch AS (
+      SELECT row, bucket, COUNT(*) AS cnt
+      FROM pr GROUP BY row, bucket
+    ),
+    terms AS (SELECT DISTINCT v AS term FROM toks),
+    probes AS (
+      SELECT term, r.r AS row,
+             (('0x' || substr(md5('cm:' || term), 1, 15))::BIGINT
+              + r.r * ('0x' || substr(md5('cm2:' || term), 1, 15))::BIGINT)
+             % {sk.CM_WIDTH} AS bucket
+      FROM terms, (SELECT unnest(generate_series(0,
+                   {sk.CM_DEPTH - 1})) AS r) r
+    ),
+    est AS (
+      SELECT term, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+      FROM probes p LEFT JOIN sketch s USING (row, bucket)
+      GROUP BY term
+    )
+    SELECT term, est FROM est ORDER BY est DESC, term ASC LIMIT 20
+    """,
+    desc="Count-Min heavy hitters (Cormode & Muthukrishnan 2005): "
+         "D*W-counter sketch built in one map-side-combined groupBy, "
+         "point queries via broadcast join + row-wise MIN; top-20 "
+         "terms by estimated frequency",
+)
+def cm_topk_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    stream = docs.select(F.explode(tx.tokens_col(F.col("text"))).alias("v"))
+    sketch = sk.cm_sketch(stream, "v")
+    terms = stream.distinct().select(F.col("v").alias("term"))
+    est = sk.cm_estimate(terms, sketch)
+    return est.orderBy(F.col("est").desc(), F.col("term").asc()).limit(20)
