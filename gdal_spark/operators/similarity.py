@@ -362,3 +362,72 @@ def kmeans_centroids(vectors: DataFrame, dim: int, k: int = 8,
     rows = [(cid, pos, int(v)) for cid, cv in enumerate(cents)
             for pos, v in enumerate(cv)]
     return spark.createDataFrame(rows, "cid int, pos int, val long")
+
+
+def _centroid_arrays(centroids: DataFrame) -> DataFrame:
+    """(cid, pos, val) rows -> (cid, _cv array<long>)."""
+    return (centroids.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val")))
+                 .alias("_pv"))
+            .select(F.col("cid").cast("long").alias("cid"),
+                    F.transform("_pv", lambda s: s.getField("val"))
+                    .alias("_cv")))
+
+
+def semdedup(vectors: DataFrame, dim: int, k: int = 4, iters: int = 2,
+             tau: float = 0.96, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): k-means
+    the embedding space, then deduplicate ONLY within each cluster —
+    the cluster equi-join bounds the pair blowup to
+    sum(cluster_size^2) instead of n^2, and the cluster shuffle is
+    the single wide stage over the corpus.
+
+    Determinism / oracle-exactness: centroids come from the exact
+    integer Lloyd's (kmeans_centroids) or a caller-supplied table;
+    assignment is the same broadcast argmin as ivf_topk (ties d2 asc,
+    cid asc); a vector is dropped iff a LOWER-id vector in its
+    cluster has cos >= tau.  The threshold compares
+    ``dot^2 * TD >= TN * na * nb  (and dot > 0)`` where tau^2 =
+    TN/TD exactly — integer-derived doubles, bit-identical in any
+    IEEE engine, no sqrt.
+
+    Returns (id, cid, keep) for every input vector.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, dim, k=k, iters=iters,
+                                     id_col=id_col, vec_col=vec_col)
+    cents = _centroid_arrays(centroids)
+
+    sv = vectors.select(F.col(id_col),
+                        scaled_col(F.col(vec_col)).alias("_sv"))
+    sv = sv.withColumn("_n2", dot_scaled(F.col("_sv"), F.col("_sv")))
+    d = sv.crossJoin(F.broadcast(cents)).withColumn(
+        "_d2", dist2_scaled(F.col("_sv"), F.col("_cv")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_d2").asc(), F.col("cid").asc())
+    assigned = (d.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select(id_col, "cid", "_sv", "_n2"))
+
+    tau_n = int(round(tau * 1000)) ** 2          # TN = (1000*tau)^2
+    tau_d = 1000 ** 2
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("cid"),
+                        F.col("_sv").alias("_va"), F.col("_n2").alias("_na"))
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col("cid"),
+                        F.col("_sv").alias("_vb"), F.col("_n2").alias("_nb"))
+    dot = dot_scaled(F.col("_va"), F.col("_vb"))
+    dup = (a.join(b, "cid")
+           .filter(F.col("id_a") < F.col("id_b"))
+           .withColumn("_dot", dot)
+           .filter((F.col("_dot") > 0)
+                   & (F.col("_dot").cast("double") * F.col("_dot")
+                      * tau_d
+                      >= F.lit(float(tau_n)) * F.col("_na") * F.col("_nb")))
+           .select(F.col("id_b").alias(id_col)).distinct()
+           .withColumn("_dup", F.lit(True)))
+    return (assigned.join(dup, id_col, "left")
+            .select(id_col, F.col("cid").cast("long").alias("cid"),
+                    F.col("_dup").isNull().alias("keep")))

@@ -1469,3 +1469,140 @@ def cm_topk_q(spark, sf_dir):
     terms = stream.distinct().select(F.col("v").alias("term"))
     est = sk.cm_estimate(terms, sketch)
     return est.orderBy(F.col("est").desc(), F.col("term").asc()).limit(20)
+
+
+# ------------------------------------------------- sequence packing
+_SEQ_LEN = 128
+_PACK_BUCKET = 64
+
+
+@register(
+    "pack_sequences",
+    sql=f"""
+    WITH nt AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    off AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS o
+      FROM nt
+    ),
+    ex AS (
+      SELECT doc_id, n, o,
+             unnest(generate_series(o // {_SEQ_LEN},
+                                    (o + n - 1) // {_SEQ_LEN})) AS seq_id
+      FROM off WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(GREATEST(seq_id * {_SEQ_LEN} - o, 0) AS BIGINT)
+             AS doc_tok_start,
+           CAST(LEAST((seq_id + 1) * {_SEQ_LEN}, o + n) - o AS BIGINT)
+             AS doc_tok_end,
+           CAST(GREATEST(o, seq_id * {_SEQ_LEN}) - seq_id * {_SEQ_LEN}
+                AS BIGINT) AS seq_tok_start,
+           CAST(LEAST((seq_id + 1) * {_SEQ_LEN}, o + n)
+                - GREATEST(o, seq_id * {_SEQ_LEN}) AS BIGINT) AS n_toks
+    FROM ex ORDER BY doc_id, seq_id
+    """,
+    desc="concat-then-chunk sequence packing (GPT pre-training shard "
+         "layout): global token offsets via a TWO-LEVEL parallel "
+         "prefix sum (per-bucket partials + bounded within-bucket "
+         "windows — no global sort at 10^12 docs), boundary-"
+         "straddling docs split across sequences; all-int64 DIV math",
+)
+def pack_sequences_q(spark, sf_dir):
+    from ..operators import packing as pk
+    docs = t(spark, sf_dir, "documents")
+    out = pk.pack_sequences(docs, _SEQ_LEN, bucket_size=_PACK_BUCKET)
+    return out.orderBy("doc_id", "seq_id")
+
+
+# ------------------------------------------------------------ SemDeDup
+_SD_TAU_N = 921600           # (1000 * 0.96)^2
+_SD_TAU_D = 1000000
+
+_KM_ASSIGN_FINAL = """
+    d3 AS (
+      SELECT p.vec_id, c.cid, SUM((p.val - c.val) * (p.val - c.val)) AS d2
+      FROM pos p JOIN cent2 c ON p.pos = c.pos
+      GROUP BY p.vec_id, c.cid
+    ),
+    a3 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d3) WHERE rn = 1
+    )"""
+
+
+# exact-duplicate rows are PLANTED (vec_id + 100000 copies of every
+# 20th vector) in both engines so the drop path is exercised, not
+# just the all-kept case.
+@register(
+    "semdedup",
+    sql=lambda: f"""
+    WITH {_SCALED_SQL},
+    svp AS (
+      SELECT vec_id, v FROM sv
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, v FROM sv WHERE vec_id % 20 = 0
+    ),
+    pos AS (
+      SELECT vec_id, t.i - 1 AS pos, v[t.i] AS val
+      FROM svp, generate_series(1, {DIM}) t(i)
+    ),
+    seed AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+      FROM (SELECT vec_id FROM svp ORDER BY vec_id LIMIT 4)
+    ),
+    cent0 AS (
+      SELECT s.cid, p.pos, p.val FROM seed s JOIN pos p USING (vec_id)
+    ),{_KM_ITER.format(n=1, m=0)},{_KM_ITER.format(n=2, m=1)},
+    {_KM_ASSIGN_FINAL},
+    n2 AS (
+      SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS n2
+      FROM pos GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.ia, c.ib, CAST(SUM(pa.val * pb.val) AS BIGINT) AS dot
+      FROM cand c
+      JOIN pos pa ON pa.vec_id = c.ia
+      JOIN pos pb ON pb.vec_id = c.ib AND pb.pos = pa.pos
+      GROUP BY c.ia, c.ib
+    ),
+    dup AS (
+      SELECT DISTINCT d.ib AS vec_id
+      FROM dots d
+      JOIN n2 na ON na.vec_id = d.ia
+      JOIN n2 nb ON nb.vec_id = d.ib
+      WHERE d.dot > 0
+        AND CAST(d.dot AS DOUBLE) * d.dot * {_SD_TAU_D}
+            >= {float(_SD_TAU_N)} * na.n2 * nb.n2
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           dup.vec_id IS NULL AS keep
+    FROM a3 a LEFT JOIN dup ON dup.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+    desc="SemDeDup (Abbas et al. 2023): k-means clusters bound the "
+         "pair space to sum(cluster^2) — one cluster equi-join, never "
+         "n^2; exact integer Lloyd's centroids, argmin assignment, "
+         "drop iff a lower-id cluster-mate has cos >= 0.96 via the "
+         "sqrt-free dot^2*TD >= TN*na*nb integer-derived comparison",
+)
+def semdedup_q(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return sim.semdedup(emb.unionByName(planted), DIM, k=4, iters=2,
+                        tau=0.96).orderBy("vec_id")
