@@ -46,7 +46,8 @@ TILE_SCHEMA = "z int, tx bigint, ty bigint, band int, px binary, checksum long"
 def rasterize_tiles(geoms: DataFrame, grid: TileGrid, zoom: int,
                     burn: float = 1.0, value_col: str | None = None,
                     merge: str = kr.MERGE_REPLACE, all_touched: bool = False,
-                    dtype: str = "uint8", tile_size: int | None = None) -> DataFrame:
+                    dtype: str = "uint8", tile_size: int | None = None,
+                    invert: bool = False) -> DataFrame:
     """Burn a geometry table into (z, tx, ty) tiles.
 
     geoms: DF(fid bigint, wkb binary, xmin/ymin/xmax/ymax double
@@ -54,6 +55,14 @@ def rasterize_tiles(geoms: DataFrame, grid: TileGrid, zoom: int,
     reference burns features in iteration order).  Returns the tiles
     DF (TILE_SCHEMA): px is the raw dtype buffer, checksum the GDAL
     golden checksum of the tile.
+
+    invert: the gdal_rasterize -i flag (gdalrasterize.cpp
+    GDALRasterizeLayers bInverse path): ``burn`` lands on every pixel
+    NOT covered by any geometry; covered pixels keep the init value
+    (0).  The tile universe expands to the FULL zoom matrix (a tile
+    with no geometry is entirely burned) — at scale pass a
+    pre-filtered AOI by intersecting ``geoms``'s extent upstream, the
+    join below stays a left join from the 4^zoom-row universe.
     """
     ts = tile_size or grid.tile_size
     cols = ["fid", "wkb"]
@@ -69,6 +78,12 @@ def rasterize_tiles(geoms: DataFrame, grid: TileGrid, zoom: int,
         gf.cell_y_col(F.col("cell")).alias("ty"),
         *cols,
     )
+    if invert:
+        n = 1 << zoom
+        universe = (geoms.sparkSession.range(n * n)
+                    .select((F.col("id") % n).alias("tx"),
+                            F.expr(f"id DIV {n}").alias("ty")))
+        cells = universe.join(cells, ["tx", "ty"], "left")
 
     np_dtype = np.dtype(dtype)
     is_float = np.issubdtype(np_dtype, np.floating)
@@ -79,8 +94,15 @@ def rasterize_tiles(geoms: DataFrame, grid: TileGrid, zoom: int,
         img = np.zeros((ts, ts), dtype=np_dtype)
         pdf = pdf.sort_values("fid")
         for _, row in pdf.iterrows():
+            if row["wkb"] is None:          # universe tile, no geometry
+                continue
             gtype, payload = kwkb.parse_wkb(bytes(row["wkb"]))
-            val = float(row[value_col]) if value_col else burn
+            if invert:
+                val = 1.0                   # mask pass; inverted below
+            elif value_col:
+                val = float(row[value_col])
+            else:
+                val = burn
             if gtype == kwkb.POINT:
                 px = kr.world_to_pixel(np.array([payload]), gt)[0]
             elif gtype in (kwkb.LINESTRING,):
@@ -94,6 +116,9 @@ def rasterize_tiles(geoms: DataFrame, grid: TileGrid, zoom: int,
             else:
                 continue
             kr.rasterize_geometry(img, gtype, px, val, merge, all_touched)
+        if invert:
+            img = np.where(img == 0, np_dtype.type(burn),
+                           np_dtype.type(0)).astype(np_dtype)
         return pd.DataFrame({
             "z": [zoom], "tx": [tx], "ty": [ty], "band": [1],
             "px": [img.tobytes()],
@@ -541,3 +566,39 @@ def raster_histogram(tiles: DataFrame, dfmin: float, dfmax: float,
         .select("band", "bucket",
                 F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
     )
+
+
+def xyz_rows(tiles: DataFrame, grid: TileGrid, zoom: int,
+             dtype: str = "uint8", tile_size: int | None = None,
+             skip_value: float | None = None) -> DataFrame:
+    """gdal2xyz: tiles -> one (x, y, band, v) row per pixel, x/y at
+    the PIXEL CENTER in world coordinates (gdal2xyz.py emits
+    ``gt[0] + (col + 0.5) * gt[1]``).  ``skip_value`` plays the
+    -skipnodata role.
+
+    Scale shape: a map-only Arrow explode — each tile row fans out to
+    tile_size^2 rows with zero shuffle; downstream sinks partition by
+    the already-present (tx, ty).
+    """
+    ts = tile_size or grid.tile_size
+    np_dtype = np.dtype(dtype)
+
+    def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                a = np.frombuffer(r["px"], dtype=np_dtype).reshape(ts, ts)
+                gt = grid.geotransform(zoom, int(r["tx"]), int(r["ty"]))
+                rows_i, cols_i = np.indices(a.shape)
+                v = a.ravel()
+                x = gt[0] + (cols_i.ravel() + 0.5) * gt[1]
+                y = gt[3] + (rows_i.ravel() + 0.5) * gt[5]
+                out = pd.DataFrame({
+                    "x": x, "y": y,
+                    "band": np.full(v.size, int(r["band"]), np.int32),
+                    "v": v.astype(np.float64),
+                })
+                if skip_value is not None:
+                    out = out[out["v"] != skip_value]
+                yield out
+
+    return tiles.mapInPandas(_emit, "x double, y double, band int, v double")

@@ -2112,3 +2112,115 @@ register(
          "SetPowerScaling): normalized-and-clipped power ramp into the "
          "dst range",
 )(_translate_rows_fn(2.0))
+
+
+# ----------------------------------------------- rasterize -i (invert)
+@register(
+    "rasterize_invert",
+    sql=f"""
+    WITH pts AS (
+      SELECT DISTINCT ((k.i * 29) % 640) // 10 AS x,
+             ((k.i * 37) % 640) // 10 AS y
+      FROM generate_series(0, {_RQ_N - 1}) k(i)
+    ),
+    allpx AS (
+      SELECT c.i AS x, r.i AS y
+      FROM generate_series(0, 63) r(i), generate_series(0, 63) c(i)
+    ),
+    px AS (
+      SELECT a.x, a.y,
+             CASE WHEN p.x IS NULL THEN 5 ELSE 0 END AS v
+      FROM allpx a LEFT JOIN pts p ON p.x = a.x AND p.y = a.y
+    )
+    SELECT x // 32 AS tx, y // 32 AS ty,
+           CAST(SUM(v % ({_PRIMES})[{_RQ_PRIME_IDX}]) AS BIGINT) & 65535
+             AS checksum,
+           CAST(SUM(CASE WHEN v = 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_burned,
+           CAST(SUM(v) AS BIGINT) AS total
+    FROM px GROUP BY x // 32, y // 32
+    ORDER BY tx, ty
+    """,
+    desc="gdal_rasterize -i (GDALRasterizeLayers bInverse): burn lands "
+         "on every pixel NOT covered by any geometry over the FULL "
+         "tile universe (left join from the 4^zoom matrix); oracle = "
+         "independent SQL anti-join pixel arithmetic + checksum fold",
+)
+def rasterize_invert_q(spark, sf_dir):
+    from ..kernels import wkb as kwkb
+
+    rows = []
+    for k in range(_RQ_N):
+        fx_ = ((k * 29) % 640) / 10.0
+        fy = ((k * 37) % 640) / 10.0
+        wx, wy = fx_, 64.0 - fy
+        rows.append({"fid": k, "wkb": kwkb.wkb_point(wx, wy),
+                     "xmin": wx, "ymin": wy, "xmax": wx, "ymax": wy})
+    geoms = spark.createDataFrame(pd.DataFrame(rows))
+    grid = TileGrid(0.0, 64.0, 64.0, tile_size=32)
+    tiles = rasterize_tiles(geoms, grid, 1, burn=5.0, dtype="float64",
+                            tile_size=32, invert=True)
+
+    def _stats(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                a = np.frombuffer(r["px"], dtype=np.float64).reshape(
+                    32, 32).astype(np.int64)
+                yield pd.DataFrame({
+                    "tx": [int(r["tx"])], "ty": [int(r["ty"])],
+                    "checksum": [kck.checksum(a)],
+                    "n_burned": [int((a == 5).sum())],
+                    "total": [int(a.sum())],
+                })
+
+    return tiles.mapInPandas(
+        _stats, "tx long, ty long, checksum long, n_burned long, "
+        "total long").orderBy("tx", "ty")
+
+
+# ------------------------------------------------------------ gdal2xyz
+@register(
+    "xyz_export",
+    sql=f"""
+    SELECT CAST(100.0 + (c.i + 0.5) * 0.5 AS DOUBLE) AS x,
+           CAST(200.0 - (r.i + 0.5) * 0.5 AS DOUBLE) AS y,
+           1 AS band,
+           CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+    FROM generate_series(0, {GW - 1}) r(i), generate_series(0, {GW - 1}) c(i)
+    WHERE ((r.i * {GW} + c.i) * 7) % 256 <> 0
+    ORDER BY y DESC, x ASC
+    """,
+    desc="gdal2xyz export (gdal2xyz.py): tiles -> pixel-center "
+         "(x, y, band, v) rows, -skipnodata semantics; map-only Arrow "
+         "explode, zero shuffle; oracle re-derives centers from the "
+         "geotransform formula",
+)
+def xyz_export_q(spark, sf_dir):
+    from ..operators.raster_tile import xyz_rows
+
+    ts = GW // 2
+    px = _derived_grid_df(spark)
+
+    def _mk_tiles(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.zeros(GW * GW, dtype=np.uint8)
+        a[pdf["idx"].to_numpy()] = pdf["v"].to_numpy()
+        a = a.reshape(GW, GW)
+        rows = []
+        for tyy in range(2):
+            for txx in range(2):
+                rows.append({
+                    "z": 1, "tx": txx, "ty": tyy, "band": 1,
+                    "px": a[tyy * ts:(tyy + 1) * ts,
+                            txx * ts:(txx + 1) * ts].tobytes(),
+                    "checksum": 0,
+                })
+        return pd.DataFrame(rows)
+
+    tiles = px.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _mk_tiles,
+        "z int, tx long, ty long, band int, px binary, checksum long")
+    # world: origin (100, 200), resolution 0.5 -> zoom-1 tile span 16
+    grid = TileGrid(100.0, 200.0, 32.0, tile_size=ts)
+    out = xyz_rows(tiles, grid, 1, dtype="uint8", tile_size=ts,
+                   skip_value=0.0)
+    return out.orderBy(F.col("y").desc(), F.col("x").asc())
