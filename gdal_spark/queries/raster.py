@@ -2224,3 +2224,65 @@ def xyz_export_q(spark, sf_dir):
     out = xyz_rows(tiles, grid, 1, dtype="uint8", tile_size=ts,
                    skip_value=0.0)
     return out.orderBy(F.col("y").desc(), F.col("x").asc())
+
+
+# ------------------------------------------------------------ UTM tmerc
+# Shared expression text: the SAME step strings drive the Spark plan
+# (F.expr fold, whole-stage codegen) and the DuckDB oracle (CTE chain),
+# so the Snyder-series formula structure is identical by construction;
+# outputs are rounded in both engines to absorb libm trig ULPs.
+from ..operators import tmerc as _tm  # noqa: E402
+
+_TM_LON = ("-78.0 + 6.0 * (CAST((doc_id * 2654435761) % 1000003"
+           " AS DOUBLE) / 1000003.0)")
+_TM_LAT = ("0.5 + 83.0 * (CAST((doc_id * 40503 + 12345) % 1000003"
+           " AS DOUBLE) / 1000003.0)")
+_TM_X = ("200000.0 + 600000.0 * (CAST((doc_id * 2654435761) % 1000003"
+         " AS DOUBLE) / 1000003.0)")
+_TM_Y = ("10000.0 + 8990000.0 * (CAST((doc_id * 40503 + 12345) % 1000003"
+         " AS DOUBLE) / 1000003.0)")
+
+
+@register(
+    "utm_forward",
+    sql=_tm.steps_to_cte(
+        f"SELECT doc_id, {_TM_LON} AS lon, {_TM_LAT} AS lat FROM documents",
+        _tm.tmerc_forward_steps("lon", "lat", _tm.utm_lon0(18)),
+        "SELECT doc_id, ROUND(tmx, 3) AS tmx, ROUND(tmy, 3) AS tmy"
+        " FROM {last} ORDER BY doc_id"),
+    desc="UTM zone 18N forward (gdalwarp -t_srs EPSG:32618 role, "
+         "ogrct.cpp:2264 array transform): Snyder PP-1395 series as pure "
+         "Column math; oracle runs the same step text as a DuckDB CTE chain",
+)
+def utm_forward_q(spark, sf_dir):
+    from . import t as _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = (docs.withColumn("lon", F.expr(_TM_LON))
+                .withColumn("lat", F.expr(_TM_LAT)))
+    out = _tm.utm_forward(base, "lon", "lat", 18)
+    return out.select(
+        "doc_id", F.round("tmx", 3).alias("tmx"),
+        F.round("tmy", 3).alias("tmy")).orderBy("doc_id")
+
+
+@register(
+    "utm_inverse",
+    sql=_tm.steps_to_cte(
+        f"SELECT doc_id, {_TM_X} AS e, {_TM_Y} AS n FROM documents",
+        _tm.tmerc_inverse_steps("e", "n", _tm.utm_lon0(18)),
+        "SELECT doc_id, ROUND(tmlon, 7) AS tmlon, ROUND(tmlat, 7) AS tmlat"
+        " FROM {last} ORDER BY doc_id"),
+    desc="UTM zone 18N inverse (EPSG:32618 -> 4326): footpoint-latitude "
+         "series (Snyder 8-17..8-25) as pure Column math, same-text oracle",
+)
+def utm_inverse_q(spark, sf_dir):
+    from . import t as _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = (docs.withColumn("e", F.expr(_TM_X))
+                .withColumn("n", F.expr(_TM_Y)))
+    out = _tm.utm_inverse(base, "e", "n", 18)
+    return out.select(
+        "doc_id", F.round("tmlon", 7).alias("tmlon"),
+        F.round("tmlat", 7).alias("tmlat")).orderBy("doc_id")
