@@ -201,3 +201,39 @@ def covering_cells_col(grid: TileGrid, z: int,
     pairs = F.flatten(F.transform(
         xs, lambda x: F.transform(ys, lambda y: F.struct(x.alias("tx"), y.alias("ty")))))
     return F.transform(pairs, lambda p: pack_cell_col(z, p["tx"], p["ty"]))
+
+
+def s2_cell_pandas(x: Column, y: Column, z: Column,
+                   level: int = 30) -> Column:
+    """Arrow-vectorized S2 cell encoding (north-star op): direction
+    vector -> struct(face int, pos long).  numpy kernel inside a
+    scalar pandas UDF — 30 vectorized passes per Arrow batch, no
+    per-row Python (kernels/s2.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels import s2 as ks2
+
+    @pandas_udf("face int, pos long")
+    def _s2(xs: pd.Series, ys: pd.Series, zs: pd.Series) -> pd.DataFrame:
+        f, p = ks2.s2_encode_xyz(xs.to_numpy(dtype="float64"),
+                                 ys.to_numpy(dtype="float64"),
+                                 zs.to_numpy(dtype="float64"), level)
+        return pd.DataFrame({"face": f.astype("int32"), "pos": p})
+
+    return _s2(x, y, z)
+
+
+def s2_cell_lonlat_pandas(lon: Column, lat: Column,
+                          level: int = 30) -> Column:
+    """Degrees -> struct(face, pos) via the unit sphere (same kernel)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels import s2 as ks2
+
+    @pandas_udf("face int, pos long")
+    def _s2(lons: pd.Series, lats: pd.Series) -> pd.DataFrame:
+        f, p = ks2.s2_encode_lonlat(lons.to_numpy(dtype="float64"),
+                                    lats.to_numpy(dtype="float64"), level)
+        return pd.DataFrame({"face": f.astype("int32"), "pos": p})
+
+    return _s2(lon, lat)

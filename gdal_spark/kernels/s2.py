@@ -1,0 +1,133 @@
+"""S2 cell-id encoding, numpy-vectorized (public S2 geometry spec).
+
+The baseline's north star calls for "vectorized H3/S2 cell encoding
+... executed as Arrow-backed pandas UDFs".  This kernel implements the
+S2 scheme from the public specification (s2geometry.io; Google's
+S2CellId::FromFaceIJ definition): project the direction vector onto
+one of 6 cube faces, apply the quadratic UV->ST transform, quantize to
+a 2^level grid, and walk the per-level Hilbert state machine to get
+the position along the space-filling curve.  All arrays, no per-row
+Python; the 30-level loop is 30 vectorized numpy passes.
+
+The reference reaches the same need through quadtree tiles + Hilbert
+keys (/root/reference/gcore/overview rollups; our
+operators/partitioning.py); S2 adds the sphere-native variant.
+
+We expose (face, pos) rather than the packed uint64 id: Spark longs
+are signed, and face >= 4 would wrap the sign bit; (face:int,
+pos:<2^(2*level)) is the same bijection without int64 overflow, and
+``token = printf('%d%015x', face, pos)`` is a stable string key both
+engines format identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Hilbert traversal tables (S2 spec): for each orientation (bit0 =
+# swap axes, bit1 = invert bits), the curve position of each ij
+# sub-quadrant, and the orientation delta each position applies.
+KIJ_TO_POS = np.array([
+    [0, 1, 3, 2],   # canonical order (0,0) (0,1) (1,1) (1,0)
+    [0, 3, 1, 2],   # axes swapped
+    [2, 3, 1, 0],   # bits inverted
+    [2, 1, 3, 0],   # swapped & inverted
+], dtype=np.int64)
+KPOS_TO_IJ = np.array([
+    [0, 1, 3, 2],
+    [0, 2, 3, 1],
+    [3, 2, 0, 1],
+    [3, 1, 0, 2],
+], dtype=np.int64)
+KPOS_TO_ORIENTATION = np.array([1, 0, 0, 3], dtype=np.int64)
+
+MAX_LEVEL = 30
+
+
+def face_uv_from_xyz(x, y, z):
+    """Largest-abs-component face selection + per-face UV ratios
+    (S2::GetFace / ValidFaceXYZtoUV).  Scale-invariant: callers may
+    pass unnormalized direction vectors."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    comp = np.choose(axis, [x, y, z])
+    face = axis + np.where(comp < 0.0, 3, 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y], default=-x / z)
+    return face.astype(np.int64), u, v
+
+
+def st_from_uv(u):
+    """Quadratic projection (S2: STtoUV inverse), u in [-1,1] -> [0,1]."""
+    u = np.asarray(u, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        # np.where evaluates both branches; each sqrt is only read
+        # where its argument is non-negative.
+        return np.where(u >= 0.0,
+                        0.5 * np.sqrt(1.0 + 3.0 * u),
+                        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def ij_from_st(s, level=MAX_LEVEL):
+    n = 1 << level
+    return np.clip(np.floor(np.asarray(s) * n).astype(np.int64), 0, n - 1)
+
+
+def hilbert_pos(face, i, j, level=MAX_LEVEL):
+    """Position along the face's Hilbert curve at ``level`` (the
+    definitional per-level recurrence of S2CellId::FromFaceIJ;
+    initial orientation = face & 1 per the spec)."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    orient = face & 1
+    pos = np.zeros_like(i)
+    for k in range(level - 1, -1, -1):
+        ijb = ((i >> k) & 1) * 2 + ((j >> k) & 1)
+        pb = KIJ_TO_POS[orient, ijb]
+        pos = pos * 4 + pb
+        orient = orient ^ KPOS_TO_ORIENTATION[pb]
+    return pos
+
+
+def ij_from_pos(face, pos, level=MAX_LEVEL):
+    """Inverse walk (test support): curve position -> (i, j)."""
+    face = np.asarray(face, dtype=np.int64)
+    pos = np.asarray(pos, dtype=np.int64)
+    orient = face & 1
+    i = np.zeros_like(pos)
+    j = np.zeros_like(pos)
+    for k in range(level - 1, -1, -1):
+        pb = (pos >> (2 * k)) & 3
+        ijb = KPOS_TO_IJ[orient, pb]
+        i = i * 2 + (ijb >> 1)
+        j = j * 2 + (ijb & 1)
+        orient = orient ^ KPOS_TO_ORIENTATION[pb]
+    return i, j
+
+
+def s2_encode_xyz(x, y, z, level=MAX_LEVEL):
+    """Direction vectors -> (face, hilbert pos).  Pure IEEE ops
+    (ratios, sqrt, floor), so any engine computing the same formula
+    chain over the same doubles produces identical cells."""
+    face, u, v = face_uv_from_xyz(x, y, z)
+    i = ij_from_st(st_from_uv(u), level)
+    j = ij_from_st(st_from_uv(v), level)
+    return face, hilbert_pos(face, i, j, level)
+
+
+def s2_encode_lonlat(lon_deg, lat_deg, level=MAX_LEVEL):
+    """Degrees -> (face, pos) via the unit sphere."""
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    cl = np.cos(lat)
+    return s2_encode_xyz(cl * np.cos(lon), cl * np.sin(lon), np.sin(lat),
+                         level)

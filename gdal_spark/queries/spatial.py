@@ -486,3 +486,105 @@ def segmentize_q(spark, sf_dir):
     return out.select("line_id", F.col("vi").cast("int").alias("vi"),
                       F.round("x", 6).alias("x"),
                       F.round("y", 6).alias("y")).orderBy("line_id", "vi")
+
+
+# --------------------------------------------------------------- S2 cells
+_S2_PX = ("-1.0 + 2.0 * (CAST((doc_id * 2654435761) % 1000003"
+          " AS DOUBLE) / 1000003.0)")
+_S2_PY = ("-1.0 + 2.0 * (CAST((doc_id * 40503 + 12345) % 1000003"
+          " AS DOUBLE) / 1000003.0)")
+_S2_PZ = ("-1.0 + 2.0 * (CAST((doc_id * 69069 + 54321) % 1000003"
+          " AS DOUBLE) / 1000003.0)")
+
+_S2_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {_S2_PX} AS px, {_S2_PY} AS py, {_S2_PZ} AS pz
+  FROM documents
+),
+fc AS (
+  SELECT doc_id, px, py, pz,
+    CASE WHEN abs(px) > abs(py)
+         THEN (CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END)
+         ELSE (CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END) END AS axis
+  FROM base
+),
+fc2 AS (
+  SELECT doc_id, px, py, pz,
+    axis + CASE WHEN (CASE axis WHEN 0 THEN px WHEN 1 THEN py ELSE pz END)
+                     < 0.0 THEN 3 ELSE 0 END AS face
+  FROM fc
+),
+uv AS (
+  SELECT doc_id, face,
+    CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+              WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS u,
+    CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+              WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS v
+  FROM fc2
+),
+st AS (
+  SELECT doc_id, face,
+    CASE WHEN u >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+         ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+    CASE WHEN v >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+         ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+  FROM uv
+),
+ij AS (
+  SELECT doc_id, face,
+    LEAST(GREATEST(CAST(floor(s * 1073741824.0) AS BIGINT), 0),
+          1073741823) AS i,
+    LEAST(GREATEST(CAST(floor(t * 1073741824.0) AS BIGINT), 0),
+          1073741823) AS j
+  FROM st
+),
+h AS (
+  SELECT doc_id, face, i, j, 29 AS k,
+         CAST(face % 2 AS BIGINT) AS orient, CAST(0 AS BIGINT) AS pos
+  FROM ij
+  UNION ALL
+  SELECT doc_id, face, i, j, k - 1,
+         xor(orient, CASE pb WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+         pos * 4 + pb
+  FROM (
+    SELECT *,
+      CASE orient * 4 + (((i >> k) & 1) * 2 + ((j >> k) & 1))
+        WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 2
+        WHEN 4 THEN 0 WHEN 5 THEN 3 WHEN 6 THEN 1 WHEN 7 THEN 2
+        WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 10 THEN 1 WHEN 11 THEN 0
+        ELSE CASE orient * 4 + (((i >> k) & 1) * 2 + ((j >> k) & 1))
+          WHEN 12 THEN 2 WHEN 13 THEN 1 WHEN 14 THEN 3 ELSE 0 END
+      END AS pb
+    FROM h WHERE k >= 0
+  )
+)
+SELECT doc_id, CAST(face AS INT) AS face, pos,
+       printf('%d%015x', face, pos) AS token
+FROM h WHERE k = -1 ORDER BY doc_id
+"""
+
+
+@register(
+    "s2_encode",
+    sql=_S2_SQL,
+    desc="S2 cell-id encoding (north-star 'vectorized H3/S2 cell "
+         "encoding' op; public S2 spec): cube-face selection, quadratic "
+         "UV->ST, level-30 Hilbert state machine — Arrow pandas UDF with "
+         "a 30-pass numpy kernel (kernels/s2.py); oracle RE-DERIVES the "
+         "whole state machine independently as a recursive SQL CTE",
+)
+def s2_encode_q(spark, sf_dir):
+    from . import t as _t
+    from .. import functions as gf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = (docs.withColumn("px", F.expr(_S2_PX))
+                .withColumn("py", F.expr(_S2_PY))
+                .withColumn("pz", F.expr(_S2_PZ)))
+    cell = base.withColumn("c", gf.s2_cell_pandas(
+        F.col("px"), F.col("py"), F.col("pz"), level=30))
+    return cell.select(
+        "doc_id", F.col("c.face").alias("face"), F.col("c.pos").alias("pos"),
+        F.format_string("%d%015x", F.col("c.face"), F.col("c.pos"))
+         .alias("token"),
+    ).orderBy("doc_id")
