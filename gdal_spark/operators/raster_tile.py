@@ -602,3 +602,48 @@ def xyz_rows(tiles: DataFrame, grid: TileGrid, zoom: int,
                 yield out
 
     return tiles.mapInPandas(_emit, "x double, y double, band int, v double")
+
+
+def compare_tiles(a: DataFrame, b: DataFrame, dtype: str = "uint8",
+                  join_cols: tuple = ("tx", "ty")) -> DataFrame:
+    """gdalcompare role (swig/python/gdal-utils/.../gdalcompare.py
+    compare_band: pixel-difference count + magnitude between two
+    rasters of identical tiling).
+
+    Distributed shape: equi-join the two tile tables on the tile key
+    (co-partitioned shuffle, or broadcast when one side is small —
+    left to AQE), one Arrow pass computing per-tile partials, then a
+    map-side-combinable global aggregate.  No driver-side pixels.
+
+    Returns one row: n_pixels, n_diff, max_abs_diff, sum_abs_diff.
+    """
+    jc = list(join_cols)
+    joined = (a.select(*jc, F.col("px").alias("px_a"))
+               .join(b.select(*jc, F.col("px").alias("px_b")), jc, "inner"))
+    npdt = np.dtype(dtype)
+
+    def _partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = np.zeros(len(pdf), dtype=np.int64)
+            nd = np.zeros(len(pdf), dtype=np.int64)
+            mx = np.zeros(len(pdf), dtype=np.float64)
+            sm = np.zeros(len(pdf), dtype=np.float64)
+            for i, (pa, pb) in enumerate(zip(pdf["px_a"], pdf["px_b"])):
+                ta = np.frombuffer(pa, dtype=npdt).astype(np.float64)
+                tb = np.frombuffer(pb, dtype=npdt).astype(np.float64)
+                d = np.abs(ta - tb)
+                n[i] = ta.size
+                nd[i] = int((d != 0.0).sum())
+                mx[i] = float(d.max()) if d.size else 0.0
+                sm[i] = float(d.sum())
+            yield pd.DataFrame({"n": n, "nd": nd, "mx": mx, "sm": sm})
+
+    parts = joined.mapInPandas(
+        _partials, "n long, nd long, mx double, sm double")
+    return parts.agg(
+        F.sum("n").alias("n_pixels"),
+        F.sum("nd").alias("n_diff"),
+        F.max("mx").alias("max_abs_diff"),
+        F.sum("sm").alias("sum_abs_diff"))

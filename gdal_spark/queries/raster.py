@@ -2286,3 +2286,32 @@ def utm_inverse_q(spark, sf_dir):
     return out.select(
         "doc_id", F.round("tmlon", 7).alias("tmlon"),
         F.round("tmlat", 7).alias("tmlat")).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ gdalcompare
+@register(
+    "raster_compare",
+    sql=f"""
+    WITH gpx AS (
+      SELECT i,
+             CAST((i * 7) % 256 AS DOUBLE) AS va,
+             CAST((i * 13) % 256 AS DOUBLE) AS vb
+      FROM generate_series(0, {GW * GW - 1}) t(i)
+    )
+    SELECT COUNT(*) AS n_pixels,
+           CAST(SUM(CASE WHEN va <> vb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_diff,
+           MAX(abs(va - vb)) AS max_abs_diff,
+           SUM(abs(va - vb)) AS sum_abs_diff
+    FROM gpx
+    """,
+    desc="gdalcompare role (gdalcompare.py compare_band): tile-key "
+         "equi-join of two rasters, Arrow per-tile partials, "
+         "map-side-combinable global diff stats; oracle re-derives the "
+         "diff over the generating formulas in SQL",
+)
+def raster_compare_q(spark, sf_dir):
+    from ..operators.raster_tile import compare_tiles
+
+    a, b = _two_band_tiles(spark)
+    return compare_tiles(a, b, dtype="uint8")

@@ -588,3 +588,46 @@ def s2_encode_q(spark, sf_dir):
         F.format_string("%d%015x", F.col("c.face"), F.col("c.pos"))
          .alias("token"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------- hex binning
+_HX_X = ("-5000.0 + 10000.0 * (CAST((doc_id * 2654435761) % 1000003"
+         " AS DOUBLE) / 1000003.0)")
+_HX_Y = ("-5000.0 + 10000.0 * (CAST((doc_id * 40503 + 12345) % 1000003"
+         " AS DOUBLE) / 1000003.0)")
+
+
+def _hexbin_oracle():
+    from ..operators.hexbin import hexbin_sql
+
+    return hexbin_sql(
+        f"SELECT doc_id, {_HX_X} AS hx, {_HX_Y} AS hy FROM documents",
+        "hx", "hy", 150.0,
+        "SELECT hexq, hexr, ROUND(hexx, 6) AS hexx, ROUND(hexy, 6) AS hexy,"
+        " COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id"
+        " FROM {last} GROUP BY hexq, hexr, hexx, hexy"
+        " ORDER BY hexq, hexr")
+
+
+@register(
+    "hexbin_agg",
+    sql=_hexbin_oracle,
+    desc="H3-style hexagonal binning (planar axial/cube-round lattice, "
+         "documented planar analogue of geodesic H3): bin-and-aggregate "
+         "as pure shared-expression-text Column math — same step strings "
+         "drive the Spark plan and the DuckDB CTE oracle",
+)
+def hexbin_agg_q(spark, sf_dir):
+    from . import t as _t
+    from ..operators.hexbin import with_hex_cell
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = (docs.withColumn("hx", F.expr(_HX_X))
+                .withColumn("hy", F.expr(_HX_Y)))
+    cells = with_hex_cell(base, "hx", "hy", 150.0)
+    return (cells.groupBy("hexq", "hexr", "hexx", "hexy")
+            .agg(F.count("*").alias("n"), F.sum("doc_id").alias("sum_id"))
+            .select("hexq", "hexr",
+                    F.round("hexx", 6).alias("hexx"),
+                    F.round("hexy", 6).alias("hexy"), "n", "sum_id")
+            .orderBy("hexq", "hexr"))
