@@ -1606,3 +1606,69 @@ def semdedup_q(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     return sim.semdedup(emb.unionByName(planted), DIM, k=4, iters=2,
                         tau=0.96).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------- BPE train
+_BPE_K = 12
+
+
+def _bpe_oracle(k: int = _BPE_K) -> str:
+    """Unrolled K-round SQL re-derivation of BPE training: pair
+    extraction by list indexing, count DESC / pair ASC tie-break,
+    non-overlapping replace — independent of operators/bpe.py."""
+    ctes = ["""w0 AS MATERIALIZED (
+      SELECT array_to_string(string_split(word, ''), chr(31)) AS s, freq
+      FROM (
+        SELECT word, COUNT(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents
+        ) GROUP BY word
+      )
+    )"""]
+    for r in range(k):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+          SELECT l[i] || chr(31) || l[i+1] AS pair, freq
+          FROM (
+            SELECT string_split(s, chr(31)) AS l, freq,
+                   unnest(generate_series(1,
+                       len(string_split(s, chr(31))) - 1)) AS i
+            FROM w{r}
+          )
+        )""")
+        ctes.append(f"""b{r} AS MATERIALIZED (
+          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM p{r} GROUP BY pair
+          ORDER BY cnt DESC, pair ASC LIMIT 1
+        )""")
+        ctes.append(f"""w{r + 1} AS MATERIALIZED (
+          SELECT replace(s, (SELECT pair FROM b{r}),
+                         replace((SELECT pair FROM b{r}), chr(31), '')) AS s,
+                 freq
+          FROM w{r}
+        )""")
+    rounds = " UNION ALL ".join(
+        f"SELECT {r} AS rank, string_split(pair, chr(31))[1] AS lhs,"
+        f" string_split(pair, chr(31))[2] AS rhs, cnt FROM b{r}"
+        for r in range(k))
+    return (f"WITH {', '.join(ctes)}"
+            f" SELECT * FROM ({rounds}) ORDER BY rank")
+
+
+@register(
+    "bpe_train",
+    sql=_bpe_oracle,
+    desc="distributed BPE tokenizer training (Sennrich 2016): corpus "
+         "collapsed once to a distinct-word freq table, each merge round "
+         "= one map-side-combinable pair aggregation + top-1 collect "
+         "(bounded driver, kmeans pattern); merges applied as JVM "
+         "left-to-right replace (= greedy BPE). Oracle re-derives all 12 "
+         "rounds as unrolled SQL",
+)
+def bpe_train_q(spark, sf_dir):
+    from ..operators import bpe
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    merges = bpe.bpe_train(docs, num_merges=_BPE_K)
+    rows = [(r, lf, rt, cnt) for r, (lf, rt, cnt) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, cnt bigint")
