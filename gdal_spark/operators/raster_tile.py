@@ -647,3 +647,56 @@ def compare_tiles(a: DataFrame, b: DataFrame, dtype: str = "uint8",
         F.sum("nd").alias("n_diff"),
         F.max("mx").alias("max_abs_diff"),
         F.sum("sm").alias("sum_abs_diff"))
+
+
+def zonal_stats(value_tiles: DataFrame, zone_tiles: DataFrame,
+                dtype: str = "uint8", zone_dtype: str = "uint8",
+                nodata_zone: int = 0,
+                join_cols: tuple = ("tx", "ty")) -> DataFrame:
+    """Zonal statistics: per-zone count/min/max/sum/mean of a value
+    raster under a zone-id raster of identical tiling (the
+    rasterize-then-aggregate composition of gdal_rasterize +
+    ComputeStatistics; zone tiles typically come from
+    ``rasterize_tiles`` burning polygon fids).
+
+    Scale shape: equi-join the two tile tables on the tile key (no
+    pixel-level shuffle — AQE picks broadcast when one side is small),
+    one Arrow pass per joined tile emitting np.bincount-style partials
+    bounded by zones-present-per-tile, then a map-side-combinable
+    groupBy(zone) merge.  Works at any tile count; driver never sees
+    pixels.
+    """
+    jc = list(join_cols)
+    joined = (value_tiles.select(*jc, F.col("px").alias("px_v"))
+              .join(zone_tiles.select(*jc, F.col("px").alias("px_z")),
+                    jc, "inner"))
+    vdt, zdt = np.dtype(dtype), np.dtype(zone_dtype)
+
+    def _partials(batches):
+        for pdf in batches:
+            out = []
+            for pv, pz in zip(pdf["px_v"], pdf["px_z"]):
+                v = np.frombuffer(pv, dtype=vdt).astype(np.float64)
+                z = np.frombuffer(pz, dtype=zdt).astype(np.int64)
+                m = z != nodata_zone
+                if not m.any():
+                    continue
+                zm, vm = z[m], v[m]
+                zs = np.unique(zm)
+                for zid in zs:
+                    vv = vm[zm == zid]
+                    out.append({"zone": int(zid), "n": vv.size,
+                                "vmin": float(vv.min()),
+                                "vmax": float(vv.max()),
+                                "vsum": float(vv.sum())})
+            yield pd.DataFrame(
+                out, columns=["zone", "n", "vmin", "vmax", "vsum"])
+
+    parts = joined.mapInPandas(
+        _partials, "zone long, n long, vmin double, vmax double, vsum double")
+    return (parts.groupBy("zone")
+            .agg(F.sum("n").alias("n_pixels"),
+                 F.min("vmin").alias("vmin"),
+                 F.max("vmax").alias("vmax"),
+                 F.sum("vsum").alias("vsum"))
+            .withColumn("vmean", F.col("vsum") / F.col("n_pixels")))

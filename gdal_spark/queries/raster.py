@@ -2315,3 +2315,57 @@ def raster_compare_q(spark, sf_dir):
 
     a, b = _two_band_tiles(spark)
     return compare_tiles(a, b, dtype="uint8")
+
+
+# ------------------------------------------------------------ zonal stats
+_ZS_ZONE = ("CASE WHEN r BETWEEN 2 AND 20 AND c BETWEEN 3 AND 30 THEN 1 "
+            "WHEN r BETWEEN 25 AND 60 AND c BETWEEN 0 AND 40 THEN 2 "
+            "WHEN r BETWEEN 5 AND 15 AND c BETWEEN 40 AND 63 THEN 3 "
+            "ELSE 0 END")
+
+
+@register(
+    "zonal_stats",
+    sql=f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS v
+      FROM generate_series(0, {GW - 1}) r(i),
+           generate_series(0, {GW - 1}) c(i)
+    ),
+    zoned AS (SELECT v, {_ZS_ZONE} AS zone FROM gpx)
+    SELECT CAST(zone AS BIGINT) AS zone, COUNT(*) AS n_pixels,
+           MIN(v) AS vmin, MAX(v) AS vmax,
+           SUM(v) AS vsum, SUM(v) / COUNT(*) AS vmean
+    FROM zoned WHERE zone <> 0 GROUP BY zone ORDER BY zone
+    """,
+    desc="zonal statistics (rasterize + ComputeStatistics composition): "
+         "tile-key equi-join of value and zone rasters, Arrow per-tile "
+         "bincount partials bounded by zones-per-tile, map-side-"
+         "combinable merge; oracle re-derives zones + stats in SQL",
+)
+def zonal_stats_q(spark, sf_dir):
+    from ..operators.raster_tile import zonal_stats
+
+    ts = GW // 2
+    values, _b = _two_band_tiles(spark)
+
+    def _mk_zones(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rr, cc = np.mgrid[0:GW, 0:GW]
+        z = np.zeros((GW, GW), dtype=np.uint8)
+        z[(rr >= 2) & (rr <= 20) & (cc >= 3) & (cc <= 30)] = 1
+        z[(rr >= 25) & (rr <= 60) & (cc >= 0) & (cc <= 40)] = 2
+        z[(rr >= 5) & (rr <= 15) & (cc >= 40) & (cc <= 63)] = 3
+        rows = []
+        for tyy in range(2):
+            for txx in range(2):
+                rows.append({"tx": txx, "ty": tyy,
+                             "px": z[tyy * ts:(tyy + 1) * ts,
+                                     txx * ts:(txx + 1) * ts].tobytes()})
+        return pd.DataFrame(rows)
+
+    zones = (spark.range(1).withColumn("_g", F.lit(1)).groupBy("_g")
+             .applyInPandas(_mk_zones, "tx long, ty long, px binary"))
+    out = zonal_stats(values, zones, dtype="uint8", zone_dtype="uint8")
+    return out.select("zone", "n_pixels", "vmin", "vmax", "vsum",
+                      "vmean").orderBy("zone")
