@@ -72,6 +72,13 @@ HEADLINE = [
     "dsir_select",
     "substring_dedup",
     "url_filter",
+    # round-3 third batch (this session)
+    "s2_encode",
+    "hexbin_agg",
+    "utm_forward",
+    "bpe_train",
+    "zonal_stats",
+    "raster_compare",
 ]
 
 BIG_JOIN_N = 8_000_000

@@ -37,8 +37,12 @@ def hexbin_steps(x_col: str, y_col: str, size: float) -> list[tuple[str, str]]:
     with the largest rounding error so q + s + r == 0 holds.
     """
     return [
+        # NO decimal-decimal arithmetic in shared text: Spark folds
+        # "2.0 / 3.0" in DECIMAL (-> 0.666667) while DuckDB divides in
+        # DOUBLE — a cross-engine divergence near cube-round
+        # boundaries.  All constants are pre-folded Python doubles.
         ("cx", f"({SQRT3_3!r} * ({x_col}) - ({y_col}) / 3.0) / {size!r}"),
-        ("cz", f"(2.0 / 3.0) * ({y_col}) / {size!r}"),
+        ("cz", f"({y_col}) / {1.5 * size!r}"),
         ("cy", "-cx - cz"),
         ("rx", "floor(cx + 0.5)"),
         ("ry", "floor(cy + 0.5)"),

@@ -105,8 +105,11 @@ def tmerc_inverse_steps(x_col: str, y_col: str, lon0_deg: float,
     j8 = 1097.0 * e1 ** 4 / 512.0
     lam0 = math.radians(lon0_deg)
     return [
-        # footpoint latitude (eqs. 7-19, 3-26, 3-24)
-        ("mu", f"(({y_col}) - {fn!r}) / ({k0!r} * {a!r} * {c0!r})"),
+        # footpoint latitude (eqs. 7-19, 3-26, 3-24); the divisor is
+        # pre-folded in Python — engines must never evaluate
+        # decimal-decimal literal arithmetic themselves (Spark folds
+        # it in DECIMAL, DuckDB in its own decimal rules).
+        ("mu", f"(({y_col}) - {fn!r}) / {k0 * a * c0!r}"),
         ("phi1", f"mu + {j2!r} * sin(2.0 * mu) + {j4!r} * sin(4.0 * mu)"
                  f" + {j6!r} * sin(6.0 * mu) + {j8!r} * sin(8.0 * mu)"),
         ("sphi1", "sin(phi1)"),
@@ -115,8 +118,8 @@ def tmerc_inverse_steps(x_col: str, y_col: str, lon0_deg: float,
         ("cc1", f"{ep2!r} * cphi1 * cphi1"),
         ("tt1", "tphi1 * tphi1"),
         ("n1", f"{a!r} / sqrt(1.0 - {e2!r} * sphi1 * sphi1)"),
-        # meridian radius of curvature (eq. 8-24)
-        ("r1", f"{a!r} * (1.0 - {e2!r})"
+        # meridian radius of curvature (eq. 8-24); a*(1-e2) pre-folded
+        ("r1", f"{a * (1.0 - e2)!r}"
                f" * pow(1.0 - {e2!r} * sphi1 * sphi1, -1.5)"),
         ("dd", f"(({x_col}) - {fe!r}) / (n1 * {k0!r})"),
         # eq. 8-17
