@@ -49,7 +49,11 @@ round-2 Manhattan/LOS divergences:
   v >= level, crossing interpolant (level - va) / (vb - va) in that
   operand order (bit-identical on shared edges, the stitching
   invariant), saddles disambiguated on the corner average; pinned by
-  tests/test_contour.py incl. the round-3 saddle case.
+  tests/test_contour.py incl. the round-3 saddle case.  The CELL
+  GEOMETRY (16-case table + interpolation + saddle rule + tile-halo
+  assembly) is now ALSO SQL-verified end-to-end by the
+  contour_segments query (queries/raster.py), so only the polyline
+  stitching itself still rests on this golden.
 * viewshed / viewshed_curved (viewshed_executor.cpp): CalcHeight*
   recurrences :52-75 verbatim; setOutput :179-192 including the
   non-Normal "+= then clamp at 0" order; adjustHeight :244-328 with

@@ -2369,3 +2369,102 @@ def zonal_stats_q(spark, sf_dir):
     out = zonal_stats(values, zones, dtype="uint8", zone_dtype="uint8")
     return out.select("zone", "n_pixels", "vmin", "vmax", "vsum",
                       "vmean").orderBy("zone")
+
+
+# ----------------------------------------------------- contour cell segments
+# Independent-SQL verification of the marching-squares CELL GEOMETRY
+# (the stitched-polyline query `contour` keeps its serial golden; this
+# pins the per-cell segment table + crossing interpolation + saddle
+# rule + the tile-halo assembly end-to-end against pure SQL).
+_MS_LEVEL = 128
+
+
+@register(
+    "contour_segments",
+    sql=f"""
+    WITH cells AS (
+      SELECT r.i AS y, c.i AS x,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS DOUBLE) AS a,
+             CAST(((r.i * {GW} + c.i + 1) * 7) % 256 AS DOUBLE) AS b,
+             CAST((((r.i + 1) * {GW} + c.i) * 7) % 256 AS DOUBLE) AS cc,
+             CAST((((r.i + 1) * {GW} + c.i + 1) * 7) % 256 AS DOUBLE) AS d
+      FROM generate_series(0, {GW - 2}) r(i),
+           generate_series(0, {GW - 2}) c(i)
+    ),
+    idxd AS (
+      SELECT *,
+             (CASE WHEN a >= {_MS_LEVEL} THEN 1 ELSE 0 END
+            + CASE WHEN b >= {_MS_LEVEL} THEN 2 ELSE 0 END
+            + CASE WHEN d >= {_MS_LEVEL} THEN 4 ELSE 0 END
+            + CASE WHEN cc >= {_MS_LEVEL} THEN 8 ELSE 0 END) AS idx,
+             ((a + b + cc + d) / 4.0 >= {_MS_LEVEL}) AS ctr
+      FROM cells
+    ),
+    expand AS (
+      SELECT *, unnest([0, 1]) AS k FROM idxd
+    ),
+    prs AS (
+      SELECT *,
+        CASE WHEN k = 0 THEN
+          CASE idx WHEN 1 THEN 3 WHEN 14 THEN 0 WHEN 2 THEN 0
+                   WHEN 13 THEN 1 WHEN 4 THEN 1 WHEN 11 THEN 2
+                   WHEN 8 THEN 2 WHEN 7 THEN 3 WHEN 3 THEN 3
+                   WHEN 12 THEN 1 WHEN 6 THEN 0 WHEN 9 THEN 2
+                   WHEN 5 THEN 3 WHEN 10 THEN 0 ELSE NULL END
+        ELSE CASE idx WHEN 5 THEN 1 WHEN 10 THEN 2 ELSE NULL END
+        END AS ef,
+        CASE WHEN k = 0 THEN
+          CASE idx WHEN 1 THEN 0 WHEN 14 THEN 3 WHEN 2 THEN 1
+                   WHEN 13 THEN 0 WHEN 4 THEN 2 WHEN 11 THEN 1
+                   WHEN 8 THEN 3 WHEN 7 THEN 2 WHEN 3 THEN 1
+                   WHEN 12 THEN 3 WHEN 6 THEN 2 WHEN 9 THEN 0
+                   WHEN 5 THEN (CASE WHEN ctr THEN 0 ELSE 2 END)
+                   WHEN 10 THEN (CASE WHEN ctr THEN 1 ELSE 3 END)
+                   ELSE NULL END
+        ELSE CASE idx WHEN 5 THEN (CASE WHEN ctr THEN 2 ELSE 0 END)
+                      WHEN 10 THEN (CASE WHEN ctr THEN 3 ELSE 1 END)
+                      ELSE NULL END
+        END AS et
+      FROM expand
+    ),
+    segs AS (
+      SELECT
+        CASE ef WHEN 0 THEN x + ({_MS_LEVEL} - a) / (b - a)
+                WHEN 1 THEN CAST(x + 1 AS DOUBLE)
+                WHEN 2 THEN x + ({_MS_LEVEL} - cc) / (d - cc)
+                ELSE CAST(x AS DOUBLE) END AS x1,
+        CASE ef WHEN 0 THEN CAST(y AS DOUBLE)
+                WHEN 1 THEN y + ({_MS_LEVEL} - b) / (d - b)
+                WHEN 2 THEN CAST(y + 1 AS DOUBLE)
+                ELSE y + ({_MS_LEVEL} - a) / (cc - a) END AS y1,
+        CASE et WHEN 0 THEN x + ({_MS_LEVEL} - a) / (b - a)
+                WHEN 1 THEN CAST(x + 1 AS DOUBLE)
+                WHEN 2 THEN x + ({_MS_LEVEL} - cc) / (d - cc)
+                ELSE CAST(x AS DOUBLE) END AS x2,
+        CASE et WHEN 0 THEN CAST(y AS DOUBLE)
+                WHEN 1 THEN y + ({_MS_LEVEL} - b) / (d - b)
+                WHEN 2 THEN CAST(y + 1 AS DOUBLE)
+                ELSE y + ({_MS_LEVEL} - a) / (cc - a) END AS y2
+      FROM prs WHERE ef IS NOT NULL
+    )
+    SELECT ROUND(x1, 6) AS x1, ROUND(y1, 6) AS y1,
+           ROUND(x2, 6) AS x2, ROUND(y2, 6) AS y2
+    FROM segs ORDER BY x1, y1, x2, y2
+    """,
+    desc="marching-squares cell segments at level 128 "
+         "(alg/marching_squares/ square.h): >=-rule corner index, "
+         "(level-va)/(vb-va) crossing interpolant, corner-average "
+         "saddle rule — oracle RE-DERIVES the whole 16-case table + "
+         "interpolation in SQL, pinning the tile-halo assembly",
+)
+def contour_segments_q(spark, sf_dir):
+    from ..operators.contour import tile_segments
+
+    ts = GW // 2
+    a, _b = _two_band_tiles(spark)
+    segs = tile_segments(a, [float(_MS_LEVEL)], dtype="uint8",
+                         tile_size=ts)
+    return segs.select(
+        F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"),
+        F.round("x2", 6).alias("x2"), F.round("y2", 6).alias("y2"),
+    ).orderBy("x1", "y1", "x2", "y2")
