@@ -192,16 +192,22 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", min_shared_bands: int = 1) -> DataFrame:
+                  id_col: str = "doc_id", min_shared_bands: int = 1,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard on MinHash-band candidates only.
 
     |A ∩ B| via join of the two docs' distinct shingle sets;
     |A ∪ B| = |A| + |B| - |A ∩ B|.  Returns (id_a, id_b, jaccard).
+
+    ``shingles``: optional pre-built (id, shingle) DISTINCT table.
+    The plan references the shingle set three times (sizes + both
+    join sides); a caller that persists it (lifecycle caller-owned,
+    as neardup_clusters does) avoids re-shingling the corpus 3x.
     """
     cand = minhash_band_pairs(df, text_col, id_col).filter(
         F.col("shared_bands") >= min_shared_bands
     )
-    sh = df.select(
+    sh = shingles if shingles is not None else df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(F.col(text_col))).alias("shingle"),
     ).distinct()
@@ -249,12 +255,28 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
     """
     from .polygonize import global_labels
 
-    pairs = jaccard_pairs(df, text_col, id_col).filter(
+    # call-scoped persists (no module state): the shingle table is
+    # referenced 3x inside jaccard_pairs, and global_labels drives
+    # TWO actions over the edges (count for strategy choice, then
+    # collect / min-propagation) — without these the whole candidate
+    # + verify pipeline re-executes per action (measured 18.1s ->
+    # ~6s at sf0.1).  Both caches are released before returning:
+    # global_labels materializes comp (driver rows or an eager
+    # localCheckpoint) during the call.
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col))).alias("shingle"),
+    ).distinct().persist()
+    pairs = jaccard_pairs(df, text_col, id_col, shingles=sh).filter(
         F.col("jaccard") >= threshold)
     edges = pairs.select(F.col("id_a").alias("n_a"),
-                         F.col("id_b").alias("n_b"))
+                         F.col("id_b").alias("n_b")).persist()
     nodes = df.select(F.col(id_col).alias("node")).distinct()
-    comp = global_labels(nodes, edges)
+    try:
+        comp = global_labels(nodes, edges)
+    finally:
+        edges.unpersist()
+        sh.unpersist()
     return (df.select(id_col).distinct()
             .join(comp, F.col(id_col) == F.col("node"))
             .select(F.col(id_col),
