@@ -366,9 +366,18 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     import math
 
     def bucket_counts(d: DataFrame):
-        cnt = (hashed_gram_rows(d, text_col, id_col)
-               .groupBy("bucket").agg(F.count("*").alias("c")))
-        tot = cnt.agg(F.sum("c")).collect()[0][0] or 0
+        # ONE corpus scan: the aggregate is <= DSIR_BUCKETS rows, so
+        # collect it and rebuild a local DF — the ratio table then
+        # never re-triggers the gram stream at action time (the
+        # previous shape re-scanned each corpus twice: once for the
+        # total, once when the lazily-referenced counts re-executed
+        # under the final action).
+        rows = (hashed_gram_rows(d, text_col, id_col)
+                .groupBy("bucket").agg(F.count("*").alias("c")).collect())
+        tot = sum(r["c"] for r in rows)
+        cnt = d.sparkSession.createDataFrame(
+            [(int(r["bucket"]), int(r["c"])) for r in rows] or
+            [(0, 0)], "bucket long, c long")
         return cnt, float(tot) + DSIR_ALPHA * DSIR_BUCKETS
 
     t_cnt, t_denom = bucket_counts(target)
