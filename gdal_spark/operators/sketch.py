@@ -132,3 +132,38 @@ def cm_estimate(terms: DataFrame, sketch: DataFrame, term_col: str = "term",
     return (joined.groupBy("term")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("long").alias("est")))
+
+
+# ------------------------------------------------------------- Bloom filter
+BF_M = 4096   # bit-space size
+BF_K = 4      # hash functions
+
+
+def bloom_bits(df: DataFrame, value_col: str,
+               m: int = BF_M, k: int = BF_K) -> DataFrame:
+    """Distributed Bloom-filter build (Bloom 1970): the filter is the
+    DISTINCT set of bit positions over k md5-derived hashes — a
+    map-only explode + an O(m)-bounded distinct, mergeable across any
+    partitioning (set union = the Bloom OR).  Returns (bit) rows,
+    at most ``m`` of them regardless of corpus size."""
+    pos = [F.pmod(_hash60(F.col(value_col), f"bf{i}:"), F.lit(m))
+           for i in range(k)]
+    return (df.select(F.explode(F.array(*pos)).alias("bit"))
+            .distinct())
+
+
+def bloom_contains(queries: DataFrame, bits: DataFrame, value_col: str,
+                   m: int = BF_M, k: int = BF_K) -> DataFrame:
+    """Membership probe: maybe_present iff ALL k probe bits are set.
+    The bit table is <= m rows — Spark broadcasts it; the probe side
+    never shuffles."""
+    pos = [F.pmod(_hash60(F.col(value_col), f"bf{i}:"), F.lit(m))
+           for i in range(k)]
+    probes = queries.select(
+        F.col(value_col), F.explode(F.array(*pos)).alias("bit"))
+    hit = (probes.join(F.broadcast(bits.withColumn("_set", F.lit(1))),
+                       "bit", "left")
+           .groupBy(value_col)
+           .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k)
+                .alias("maybe_present")))
+    return hit

@@ -1672,3 +1672,49 @@ def bpe_train_q(spark, sf_dir):
     rows = [(r, lf, rt, cnt) for r, (lf, rt, cnt) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, lhs string, rhs string, cnt bigint")
+
+
+# -------------------------------------------------------------- Bloom filter
+def _bf_pos_sql(expr: str) -> list[str]:
+    return [f"(('0x' || substr(md5('bf{i}:' || {expr}), 1, 15))::BIGINT)"
+            f" % 4096" for i in range(4)]
+
+
+@register(
+    "bloom_filter",
+    sql=f"""
+    WITH vals AS (
+      SELECT CAST(doc_id AS VARCHAR) AS v FROM documents WHERE doc_id % 7 = 0
+    ),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT unnest([{', '.join(_bf_pos_sql('v'))}]) AS bit FROM vals)
+    ),
+    probes AS (
+      SELECT CAST(doc_id AS VARCHAR) AS v,
+             unnest([{', '.join(_bf_pos_sql('CAST(doc_id AS VARCHAR)'))}])
+               AS bit
+      FROM documents
+    )
+    SELECT p.v AS value,
+           (SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4)
+             AS maybe_present
+    FROM probes p LEFT JOIN bits b USING (bit)
+    GROUP BY p.v ORDER BY p.v
+    """,
+    desc="Bloom filter (Bloom 1970) alongside HLL/Count-Min: build = "
+         "map-only k-hash explode + O(m)-bounded distinct (set union = "
+         "Bloom OR, mergeable across any partitioning); probe = "
+         "broadcast join, all-k-bits rule; same md5 hash family "
+         "re-derived in the SQL oracle",
+)
+def bloom_filter_q(spark, sf_dir):
+    members = (t(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") % 7 == 0)
+               .select(F.col("doc_id").cast("string").alias("v")))
+    probes = (t(spark, sf_dir, "documents")
+              .select(F.col("doc_id").cast("string").alias("v")))
+    bits = sk.bloom_bits(members, "v")
+    out = sk.bloom_contains(probes, bits, "v")
+    return (out.select(F.col("v").alias("value"), "maybe_present")
+            .orderBy("value"))
