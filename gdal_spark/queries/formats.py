@@ -152,3 +152,45 @@ def gpkg_scan_q(spark, sf_dir):
     df = read_geopackage(spark, path, n_partitions=2)
     return df.select("fid", "xmin", "ymin", "xmax", "ymax", "name",
                      "lanes").orderBy("fid")
+
+
+@register(
+    "geojson_seq_scan",
+    sql="""
+    SELECT CAST(i AS BIGINT) AS fid,
+           CAST(i AS DOUBLE) * 1.5 - 10.0 AS x,
+           100.0 - CAST(i AS DOUBLE) * 2.25 AS y,
+           'f' || CAST(i AS VARCHAR) AS name,
+           CAST((i * 7) % 13 AS BIGINT) AS val
+    FROM generate_series(0, 39) t(i) ORDER BY fid
+    """,
+    desc="GeoJSONSeq scan (RFC 8142 / OGR GeoJSONSeq driver): one "
+         "feature per line, natively line-splittable text source, "
+         "sequential FID rule; fixture generated from a formula the "
+         "oracle RE-DERIVES in SQL (not a VALUES twin); roundtrip via "
+         "the part-file writer in tests",
+)
+def geojson_seq_scan_q(spark, sf_dir):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_geojson_seq
+
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    path = os.path.join(_FIX_DIR, "pts.geojsonl")
+    with open(path, "w") as fh:
+        for i in range(40):
+            fh.write(_json.dumps({
+                "type": "Feature",
+                "geometry": {"type": "Point",
+                             "coordinates": [i * 1.5 - 10.0,
+                                             100.0 - i * 2.25]},
+                "properties": {"name": f"f{i}", "val": (i * 7) % 13},
+            }, sort_keys=True) + "\n")
+    df = read_geojson_seq(spark, path, n_partitions=3)
+    props = F.from_json("props", "name string, val long")
+    return df.select(
+        "fid", F.col("xmin").alias("x"), F.col("ymin").alias("y"),
+        props["name"].alias("name"), props["val"].alias("val"),
+    ).orderBy("fid")

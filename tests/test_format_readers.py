@@ -361,3 +361,59 @@ def test_geopackage_layer_envelope_in_contents(tmp_path, spark):
         assert (minx, miny, maxx, maxy) == (1.0, -5.0, 5.0, -1.0)
     finally:
         con.close()
+
+
+def test_geojson_seq_roundtrip(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark.sources.readers import (read_geojson_seq,
+                                            write_geojson_seq)
+
+    src = tmp_path / "in.geojsonl"
+    with open(src, "w") as fh:
+        for i in range(25):
+            fh.write(json.dumps({
+                "type": "Feature",
+                "geometry": {"type": "Point",
+                             "coordinates": [float(i), float(2 * i)]},
+                "properties": {"tag": f"t{i}", "k": i % 4},
+            }) + "\n")
+    df = read_geojson_seq(spark, str(src), n_partitions=4)
+    assert df.count() == 25
+    # sequential FID rule: fid i carries point (i, 2i)
+    bad = df.filter((F.col("xmin") != F.col("fid").cast("double")) |
+                    (F.col("ymin") != (F.col("fid") * 2).cast("double"))
+                    ).count()
+    assert bad == 0
+
+    out = tmp_path / "out"
+    n_parts = write_geojson_seq(df.repartition(3), str(out),
+                                props_cols=["fid", "props"])
+    assert n_parts >= 1
+    back = read_geojson_seq(spark, str(out) + "/*.geojsonl")
+    assert back.count() == 25
+    orig_pts = {(r["xmin"], r["ymin"]) for r in df.collect()}
+    back_pts = {(r["xmin"], r["ymin"]) for r in back.collect()}
+    assert orig_pts == back_pts
+
+
+def test_geojson_seq_rs_markers_and_blanks(spark, tmp_path):
+    import json
+
+    from gdal_spark.sources.readers import read_geojson_seq
+
+    src = tmp_path / "rs.geojsonl"
+    with open(src, "w") as fh:
+        fh.write("\x1e" + json.dumps({
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+            "properties": {}}) + "\n\n")
+        fh.write("\x1e" + json.dumps({
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [3.0, 4.0]},
+            "properties": {}}) + "\n")
+    df = read_geojson_seq(spark, str(src))
+    rows = df.orderBy("fid").collect()
+    assert [(r["xmin"], r["ymin"]) for r in rows] == [(1.0, 2.0), (3.0, 4.0)]
