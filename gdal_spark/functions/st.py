@@ -6,7 +6,8 @@ Mirrors the reference's SQLite-dialect registrations
 ST_IsEmpty/IsSimple/IsValid, ST_Area, ST_Length, ST_Centroid,
 ST_Distance, ST_Intersects/ST_Disjoint (point/polygon + bbox
 pessimistic), ST_Within/ST_Contains (point-in-polygon subset),
-ST_SRID/ST_Transform (EPSG:4326 <-> 3857 only, SURVEY non-goals),
+ST_SRID/ST_Transform (EPSG:4326 <-> 3857, plus 4326 -> UTM
+32601-32660/32701-32760 via the Snyder tmerc kernel),
 set ops/relates on the overlay kernel, plus ST_X/ST_Y accessors —
 full parity with the reference's registration list.
 
@@ -484,6 +485,13 @@ def _st_transform(bs: pd.Series, to_srid: pd.Series) -> pd.Series:
             x, y = kgeom.lonlat_to_mercator(p[0], p[1])
         elif int(srid) == 4326:
             x, y = kgeom.mercator_to_lonlat(p[0], p[1])
+        elif 32601 <= int(srid) <= 32660:      # WGS84 / UTM north
+            zone = int(srid) - 32600
+            x, y = kgeom.tmerc_forward(p[0], p[1], -183.0 + 6.0 * zone)
+        elif 32701 <= int(srid) <= 32760:      # WGS84 / UTM south
+            zone = int(srid) - 32700
+            x, y = kgeom.tmerc_forward(p[0], p[1], -183.0 + 6.0 * zone,
+                                       fn=10_000_000.0)
         else:
             raise ValueError(f"unsupported SRID {srid}")
         return kwkb.wkb_point(float(x), float(y))

@@ -167,3 +167,40 @@ def geodesic_length(line_lonlat) -> float:
     h = (np.sin(dlat / 2) ** 2
          + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2) ** 2)
     return float(2 * WGS84_AUTHALIC_R * np.arcsin(np.sqrt(h)).sum())
+
+
+# ---- Transverse Mercator (numpy twin of operators/tmerc.py) --------------
+def tmerc_forward(lon_deg, lat_deg, lon0_deg, a=6378137.0,
+                  f=1.0 / 298.257223563, k0=0.9996, fe=500000.0,
+                  fn=0.0):
+    """Snyder PP-1395 series forward, SAME formula order as the
+    Column steps in operators/tmerc.py::tmerc_forward_steps.  mul /
+    div / sqrt are identical IEEE ops; trig and pow may differ by
+    ULPs between numpy's libm and the JVM, so parity with the Column
+    path is asserted at sub-micron tolerance (tests/test_tmerc.py),
+    not bitwise."""
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    c6 = 35.0 * e6 / 3072.0
+    lam0 = float(np.radians(lon0_deg))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    sphi, cphi, tphi = np.sin(phi), np.cos(phi), np.tan(phi)
+    nn = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    tt = tphi * tphi
+    cc = ep2 * cphi * cphi
+    aa = (np.radians(np.asarray(lon_deg, dtype=np.float64)) - lam0) * cphi
+    mm = a * (c0 * phi - c2 * np.sin(2.0 * phi)
+              + c4 * np.sin(4.0 * phi) - c6 * np.sin(6.0 * phi))
+    x = fe + k0 * nn * (aa + (1.0 - tt + cc) * aa * aa * aa / 6.0
+                        + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc
+                           - 58.0 * ep2) * aa ** 5.0 / 120.0)
+    y = fn + k0 * (mm + nn * tphi * (aa * aa / 2.0
+                   + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc)
+                   * aa ** 4.0 / 24.0
+                   + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc
+                      - 330.0 * ep2) * aa ** 6.0 / 720.0))
+    return x, y

@@ -81,3 +81,44 @@ def test_no_udf_in_plan(spark):
     out = tm.utm_forward(df, "lon", "lat", 18)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_numpy_twin_matches_column_path(spark):
+    import numpy as np
+
+    from gdal_spark.kernels import geom as kg
+
+    pts = [(tm.utm_lon0(18) + dl, lat)
+           for dl in (-2.5, 0.0, 2.5) for lat in (5.0, 45.0, 75.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    col = tm.utm_forward(df, "lon", "lat", 18).orderBy("lon", "lat") \
+        .collect()
+    lon = np.array(sorted(p[0] for p in pts))
+    arr = sorted(pts)
+    nx, ny = kg.tmerc_forward(np.array([p[0] for p in arr]),
+                              np.array([p[1] for p in arr]),
+                              tm.utm_lon0(18))
+    for r, ex, ey in zip(col, nx, ny):
+        assert abs(r["tmx"] - ex) < 1e-6 and abs(r["tmy"] - ey) < 1e-6
+
+
+def test_st_transform_utm(spark):
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.kernels import geom as kg, wkb as kwkb
+
+    register_st_functions(spark)
+    df = spark.createDataFrame(
+        [(bytearray(kwkb.wkb_point(-73.5, 40.5)),)], "g binary")
+    df.createOrReplaceTempView("tgeo")
+    r = spark.sql(
+        "SELECT ST_X(ST_Transform(g, 32618)) AS x,"
+        " ST_Y(ST_Transform(g, 32618)) AS y FROM tgeo").first()
+    ex, ey = kg.tmerc_forward(-73.5, 40.5, -75.0)
+    assert abs(r["x"] - float(ex)) < 1e-9 and abs(r["y"] - float(ey)) < 1e-9
+    # south zone: false northing 10,000,000
+    df2 = spark.createDataFrame(
+        [(bytearray(kwkb.wkb_point(151.2, -33.8)),)], "g binary")
+    df2.createOrReplaceTempView("tgeo2")
+    r2 = spark.sql(
+        "SELECT ST_Y(ST_Transform(g, 32756)) AS y FROM tgeo2").first()
+    assert 5_000_000 < r2["y"] < 10_000_000
