@@ -686,3 +686,56 @@ def oov_stats(df: DataFrame, vocab: DataFrame, text_col: str = "text",
         .withColumn("oov_rate",
                     F.round(F.col("n_oov").cast("double")
                             / F.col("n_tokens").cast("double"), 6)))
+
+
+# ------------------------------------------------------------- winnowing
+WINNOW_K = 5       # character k-gram width
+WINNOW_W = 4       # winnowing window (guarantee threshold t = w+k-1)
+_WN_POSB = 1 << 20  # pos packs into the low 20 bits of the min key
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS local document fingerprinting): hash every character k-gram,
+    slide a w-window over the hash sequence, keep the MINIMUM hash of
+    each window (ties -> RIGHTMOST position, the robust-winnowing
+    rule), dedupe.  Guarantees any shared substring of length
+    >= w + k - 1 yields a shared fingerprint.
+
+    Distribution: one explode to (id, pos, h) rows — k-gram hashing
+    is JVM md5 Column math — then ONE window function per document
+    partition (min over ROWS CURRENT..w-1 FOLLOWING) and a distinct.
+    The tie rule folds into a single integer min key:
+    ``h * 2^20 + (2^20 - 1 - pos)`` (docs are capped at 2^20 chars
+    per the corpus contract), so the windowed MIN is exactly
+    (min h, rightmost pos) — reproducible verbatim in the SQL oracle.
+    Returns (id, pos, h) distinct fingerprints.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {k - 1},"
+            f" 0)), i -> named_struct('pos', i, 'g',"
+            f" substring({text_col}, i, {k})))")).alias("kg"),
+    ).select(
+        id_col, F.col("kg.pos").alias("pos"),
+        F.conv(F.substring(F.md5(F.col("kg.g")), 1, 10), 16, 10)
+         .cast("long").alias("h"))
+    key = (F.col("h") * _WN_POSB
+           + (F.lit(_WN_POSB - 1) - F.col("pos")))
+    win = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(0, w - 1))
+    sel = (grams
+           .withColumn("_mk", F.min(key).over(win))
+           .withColumn("_cnt", F.count("*").over(win))
+           .filter(F.col("_cnt") == w))
+    # decode with INTEGER ops only: the key reaches ~2^60, past double
+    # precision, so `div` (not float division) recovers h exactly.
+    return (sel.select(
+        F.col(id_col),
+        (F.lit(_WN_POSB - 1) - F.pmod("_mk", F.lit(_WN_POSB)))
+        .alias("pos"),
+        F.expr(f"_mk div {_WN_POSB}").alias("h"))
+        .distinct())

@@ -1718,3 +1718,47 @@ def bloom_filter_q(spark, sf_dir):
     out = sk.bloom_contains(probes, bits, "v")
     return (out.select(F.col("v").alias("value"), "maybe_present")
             .orderBy("value"))
+
+
+# --------------------------------------------------------------- winnowing
+@register(
+    "winnow_fingerprints",
+    sql=f"""
+    WITH grams AS (
+      SELECT doc_id, i.pos AS pos,
+             ('0x' || substr(md5(substr(text, i.pos, {tx.WINNOW_K})),
+                             1, 10))::BIGINT AS h
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1,
+                GREATEST(length(text) - {tx.WINNOW_K - 1}, 0))) AS pos) i
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             h * {tx._WN_POSB} + ({tx._WN_POSB - 1} - pos) AS key
+      FROM grams
+    ),
+    winmin AS (
+      SELECT doc_id,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND
+                            {tx.WINNOW_W - 1} FOLLOWING) AS mk,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND
+                            {tx.WINNOW_W - 1} FOLLOWING) AS cnt
+      FROM keyed
+    )
+    SELECT DISTINCT doc_id,
+           {tx._WN_POSB - 1} - (mk % {tx._WN_POSB}) AS pos,
+           mk // {tx._WN_POSB} AS h
+    FROM winmin WHERE cnt = {tx.WINNOW_W}
+    ORDER BY doc_id, pos, h
+    """,
+    desc="winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 MOSS): "
+         "k-gram md5 hashes, windowed min with rightmost-tie rule folded "
+         "into one integer key, distinct — one window function per doc "
+         "partition; oracle restates the whole selection in SQL windows",
+)
+def winnow_fingerprints_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.winnow_fingerprints(docs)
+    return out.orderBy("doc_id", "pos", "h")

@@ -95,3 +95,43 @@ def test_substring_dup_within_doc_only_not_counted(spark):
     df = spark.createDataFrame(
         [(1, blk + blk)], "doc_id long, text string")
     assert tx.substring_dup_spans(df).count() == 0
+
+
+def test_winnowing_reference_and_guarantee(spark):
+    import hashlib
+
+    from gdal_spark.operators import text as tx
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "xxxx the quick brown fox sleeps zzzz"),
+        (2, "completely different content here entirely"),
+        (3, "ab"),   # shorter than k -> no fingerprints
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"], r["h"])
+           for r in tx.winnow_fingerprints(df).collect()}
+
+    # independent reference implementation (plain python, dict-based)
+    k, w, pb = tx.WINNOW_K, tx.WINNOW_W, tx._WN_POSB
+
+    def h40(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:10], 16)
+
+    want = set()
+    for did, t in texts:
+        hs = [(i + 1, h40(t[i:i + k])) for i in range(len(t) - k + 1)]
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            best = min(win, key=lambda ph: (ph[1], -(ph[0])))
+            want.add((did, best[0], best[1]))
+    assert got == want
+
+    # the winnowing guarantee: docs 0 and 1 share "the quick brown fox"
+    # (19 chars >= w + k - 1 = 8) -> at least one shared hash
+    h0 = {h for d, p, h in got if d == 0}
+    h1 = {h for d, p, h in got if d == 1}
+    h2 = {h for d, p, h in got if d == 2}
+    assert h0 & h1
+    assert not (h0 & h2)
+    assert not any(d == 3 for d, p, h in got)
