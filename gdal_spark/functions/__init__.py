@@ -237,3 +237,20 @@ def s2_cell_lonlat_pandas(lon: Column, lat: Column,
         return pd.DataFrame({"face": f.astype("int32"), "pos": p})
 
     return _s2(lon, lat)
+
+
+def s2_cell_pandas_key(lon: Column, lat: Column, level: int) -> Column:
+    """Single-int64 S2 cell key at ``level`` (kernels.s2.cell_key):
+    Arrow-vectorized, one key per point — the join key of
+    spatial_join_s2."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels import s2 as ks2
+
+    @pandas_udf("long")
+    def _k(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        f, p = ks2.s2_encode_lonlat(lons.to_numpy(dtype="float64"),
+                                    lats.to_numpy(dtype="float64"))
+        return pd.Series(ks2.cell_key(f, p, level))
+
+    return _k(lon, lat)

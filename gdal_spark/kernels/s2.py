@@ -131,3 +131,50 @@ def s2_encode_lonlat(lon_deg, lat_deg, level=MAX_LEVEL):
     cl = np.cos(lat)
     return s2_encode_xyz(cl * np.cos(lon), cl * np.sin(lon), np.sin(lat),
                          level)
+
+
+def cell_key(face, pos, level):
+    """Pack (face, level-30 pos) into one int64 key at ``level``:
+    face * 4^level + (pos >> 2*(30-level)).  Monotone in the curve
+    order within a face; fits signed 64 for level <= 28."""
+    face = np.asarray(face, dtype=np.int64)
+    pos = np.asarray(pos, dtype=np.int64)
+    return face * (1 << (2 * level)) + (pos >> (2 * (MAX_LEVEL - level)))
+
+
+def cover_bbox_lonlat(xmin, ymin, xmax, ymax, level, samples=17,
+                      max_cells=16384):
+    """Level-``level`` S2 cells covering a lon/lat box — the candidate
+    generator for the S2-keyed spatial join (overcoverage is fine, the
+    exact PIP phase filters; undercoverage is bounded below).
+
+    Method: encode a ``samples`` x ``samples`` boundary-inclusive grid
+    of the box, group hits per face, take the ij hull per face,
+    DILATE BY ONE CELL, enumerate.  The true ij extent of the box can
+    exceed the sampled hull only by the projection's deviation across
+    one sample step — for boxes up to a few degrees that is far under
+    one level<=12 cell, which the dilation absorbs (brute-force
+    asserted in tests/test_s2.py).
+    """
+    ss = np.linspace(0.0, 1.0, samples)
+    gx, gy = np.meshgrid(xmin + ss * (xmax - xmin),
+                         ymin + ss * (ymax - ymin))
+    face, pos = s2_encode_lonlat(gx.ravel(), gy.ravel(), MAX_LEVEL)
+    keys = []
+    n = 1 << level
+    for f in np.unique(face):
+        m = face == f
+        i, j = ij_from_pos(np.full(m.sum(), f), pos[m], MAX_LEVEL)
+        il = np.clip(i >> (MAX_LEVEL - level), 0, n - 1)
+        jl = np.clip(j >> (MAX_LEVEL - level), 0, n - 1)
+        i0, i1 = max(int(il.min()) - 1, 0), min(int(il.max()) + 1, n - 1)
+        j0, j1 = max(int(jl.min()) - 1, 0), min(int(jl.max()) + 1, n - 1)
+        if (i1 - i0 + 1) * (j1 - j0 + 1) > max_cells:
+            raise ValueError(
+                f"covering too fine: {(i1-i0+1)*(j1-j0+1)} cells at "
+                f"level {level}; choose a coarser level")
+        ii, jj = np.mgrid[i0:i1 + 1, j0:j1 + 1]
+        p = hilbert_pos(np.full(ii.size, f), ii.ravel(), jj.ravel(), level)
+        keys.append(np.int64(f) * (1 << (2 * level)) + p)
+    return np.unique(np.concatenate(keys)) if keys else \
+        np.empty(0, dtype=np.int64)

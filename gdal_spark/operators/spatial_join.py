@@ -239,3 +239,82 @@ def spatial_join(points: DataFrame, polys: DataFrame, grid: TileGrid,
                                 pt_cols[0:1], "left_anti")
         matched = matched.unionByName(unmatched, allowMissingColumns=True)
     return matched
+
+
+def spatial_join_s2(points: DataFrame, polys: DataFrame,
+                    level: int = 8, how: str = "inner",
+                    broadcast: bool | None = None,
+                    first_match: bool = False,
+                    edges: DataFrame | None = None) -> DataFrame:
+    """S2-keyed variant of the two-phase spatial join (the north
+    star's "H3/S2 cell" join path; the quadtree ``spatial_join`` is
+    the planar twin — results must be identical, asserted by the
+    pip_join_s2 oracle and tests).
+
+    Phase 1 keys both sides on level-``level`` S2 cells: points via
+    the Arrow pandas UDF (kernels/s2.py, one key per point), polygons
+    via the bbox coverer (overcovering candidate set; undercoverage
+    bounded by the coverer's dilation rule).  Phase 1b/2 are the SAME
+    envelope pretest + JVM ray-cast edge fold as spatial_join, so the
+    exact semantics are shared, not re-implemented.
+
+    points: DF with lon/lat degree columns named x, y.
+    polys:  DF(fid, wkb, xmin/ymin/xmax/ymax) in the same lon/lat CRS.
+    """
+    from ..kernels import s2 as ks2
+
+    pts = points.withColumn(
+        "_c", gf.s2_cell_pandas_key(F.col("x"), F.col("y"), level)
+    ).withColumnRenamed("_c", "cell")
+
+    def _cover(batches):
+        for pdf in batches:
+            rows = {"cell": [], "fid": [], "xmin": [], "ymin": [],
+                    "xmax": [], "ymax": []}
+            for _, r in pdf.iterrows():
+                keys = ks2.cover_bbox_lonlat(
+                    r["xmin"], r["ymin"], r["xmax"], r["ymax"], level)
+                for kk in keys:
+                    rows["cell"].append(int(kk))
+                    rows["fid"].append(int(r["fid"]))
+                    for c in ("xmin", "ymin", "xmax", "ymax"):
+                        rows[c].append(float(r[c]))
+            yield pd.DataFrame(rows)
+
+    pcells = polys.select("fid", "xmin", "ymin", "xmax", "ymax") \
+        .mapInPandas(_cover, "cell long, fid long, xmin double, "
+                             "ymin double, xmax double, ymax double")
+
+    right = F.broadcast(pcells) if broadcast is True else pcells
+    cand = pts.join(right, "cell", "inner").filter(
+        (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax")))
+
+    if edges is None:
+        edges = edges_table(polys)
+    edges_b = F.broadcast(edges) if broadcast is not False else edges
+    matched = (cand.join(edges_b, "fid", "inner")
+               .filter(gf.pip_inside_col(F.col("edges"),
+                                         F.col("x"), F.col("y")))
+               .drop("edges", "cell", "xmin", "ymin", "xmax", "ymax"))
+    # distinct candidate (point, fid) pairs can repeat only if a point
+    # bbox-matched one polygon through two covering cells -> impossible
+    # (a point has exactly ONE cell key), so no dedup needed.
+
+    attrs = polys.drop("wkb")
+    attrs = attrs.drop(*[c for c in ("xmin", "ymin", "xmax", "ymax")
+                         if c in attrs.columns])
+    matched = matched.join(F.broadcast(attrs), "fid", "inner")
+
+    if first_match:
+        from pyspark.sql.window import Window
+        pt_key = [c for c in points.columns if c not in ("x", "y", "spans")]
+        w = Window.partitionBy(*pt_key).orderBy(F.col("fid").asc())
+        matched = (matched.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+    if how == "left":
+        keep = points.join(
+            matched.select(*points.columns).distinct(),
+            points.columns, "left_anti")
+        matched = matched.unionByName(keep, allowMissingColumns=True)
+    return matched

@@ -631,3 +631,64 @@ def hexbin_agg_q(spark, sf_dir):
                     F.round("hexx", 6).alias("hexx"),
                     F.round("hexy", 6).alias("hexy"), "n", "sum_id")
             .orderBy("hexq", "hexr"))
+
+
+# ------------------------------------------------------- S2-keyed PIP join
+def _scaled_fixture(spark, sf_dir):
+    """The pip_join fixture affine-mapped into lon/lat degrees (the
+    S2 join's native CRS).  Containment is affine-invariant, so the
+    ORACLE is the same independent planar SQL ray-cast as pip_join —
+    it knows nothing about S2 or the scaling."""
+    import numpy as np
+
+    from ..kernels import wkb as kwkb
+
+    minx, miny, maxx, maxy = fx.POLY_BBOX
+    cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+    s = 2.0 / (maxx - minx)
+
+    pdf = fx.polygons_pandas()
+    rows = []
+    for _, r in pdf.iterrows():
+        rings = [np.asarray(ring, dtype=np.float64).copy()
+                 for ring in kwkb.polygon_rings(bytes(r["wkb"]))]
+        for ring in rings:
+            ring[:, 0] = (ring[:, 0] - cx) * s
+            ring[:, 1] = (ring[:, 1] - cy) * s
+        d = dict(r)
+        d["wkb"] = kwkb.wkb_polygon(rings)
+        d["xmin"] = (r["xmin"] - cx) * s
+        d["xmax"] = (r["xmax"] - cx) * s
+        d["ymin"] = (r["ymin"] - cy) * s
+        d["ymax"] = (r["ymax"] - cy) * s
+        rows.append(d)
+    import pandas as pd
+    polys = spark.createDataFrame(pd.DataFrame(rows))
+
+    pts = _points(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("x") - cx) * s).alias("x"),
+        ((F.col("y") - cy) * s).alias("y"))
+    return pts, polys
+
+
+@register(
+    "pip_join_s2",
+    sql=None,   # assigned below: byte-identical to pip_join's oracle
+    desc="S2-keyed two-phase spatial join (north-star H3/S2 path): "
+         "points keyed by level-8 S2 cells (Arrow kernel), polygons by "
+         "the dilated bbox coverer, SAME envelope + JVM ray-cast exact "
+         "phase as the quadtree join; oracle = pip_join's independent "
+         "planar SQL ray-cast (affine-invariant containment), so the "
+         "two join paths are proven to agree",
+)
+def pip_join_s2_q(spark, sf_dir):
+    from ..operators.spatial_join import spatial_join_s2
+
+    pts, polys = _scaled_fixture(spark, sf_dir)
+    out = spatial_join_s2(pts, polys, level=8, broadcast=True)
+    return out.select("doc_id", "fid", "eas_id").orderBy("doc_id", "fid")
+
+
+from . import QUERIES as _Q  # noqa: E402
+_Q["pip_join_s2"].sql = _Q["pip_join"].sql

@@ -99,3 +99,32 @@ def test_spark_udf_matches_kernel(spark):
                                 out["lat"].to_numpy())
     assert (out["face"].to_numpy() == f).all()
     assert (out["pos"].to_numpy() == p).all()
+
+
+def test_cover_bbox_no_undercoverage():
+    # brute force: every point of a dense grid inside the box must
+    # land in a covered cell.
+    rng = np.random.RandomState(5)
+    for _ in range(8):
+        cx = rng.uniform(-150, 150)
+        cy = rng.uniform(-60, 60)
+        w = rng.uniform(0.1, 3.0)
+        h = rng.uniform(0.1, 3.0)
+        level = int(rng.choice([6, 8, 10]))
+        cover = set(ks2.cover_bbox_lonlat(cx, cy, cx + w, cy + h, level)
+                    .tolist())
+        px = rng.uniform(cx, cx + w, 4000)
+        py = rng.uniform(cy, cy + h, 4000)
+        f, p = ks2.s2_encode_lonlat(px, py)
+        got = set(ks2.cell_key(f, p, level).tolist())
+        assert got <= cover, (cx, cy, w, h, level, len(got - cover))
+
+
+def test_cell_key_prefix_consistency():
+    rng = np.random.RandomState(6)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-85, 85, 200)
+    f, p = ks2.s2_encode_lonlat(lon, lat)
+    k8 = ks2.cell_key(f, p, 8)
+    f8, p8 = ks2.s2_encode_lonlat(lon, lat, level=8)
+    assert (k8 == f8 * (1 << 16) + p8).all()

@@ -187,3 +187,32 @@ def test_edges_table_distributed_100k(spark):
         F.count("*").alias("n"), F.sum(F.size("edges")).alias("ne")).collect()[0]
     assert agg["n"] == n
     assert agg["ne"] == 4 * n  # one closed square ring -> 4 edges
+
+
+def test_s2_join_parity_with_quadtree(spark):
+    """The S2-keyed and quadtree-keyed joins are two candidate
+    generators over the SAME exact phase — outputs must be row-equal."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.kernels.cells import TileGrid
+    from gdal_spark.operators.spatial_join import (spatial_join,
+                                                   spatial_join_s2)
+    from gdal_spark.queries import _derive as dv
+    from gdal_spark.queries.spatial import _scaled_fixture
+
+    pts, polys = _scaled_fixture(spark, "/root/testdata/sf0.001")
+    s2_rows = sorted((r["doc_id"], r["fid"]) for r in
+                     spatial_join_s2(pts, polys, level=8).collect())
+    grid = TileGrid.local(-1.2, -1.0, 1.2, 1.0, tile_size=256)
+    qt_rows = sorted((r["doc_id"], r["fid"]) for r in
+                     spatial_join(pts, polys, grid, zoom=5).collect())
+    assert s2_rows == qt_rows and len(s2_rows) > 0
+
+    # first_match parity too (lowest fid per point)
+    s2_fm = sorted((r["doc_id"], r["fid"]) for r in
+                   spatial_join_s2(pts, polys, level=8,
+                                   first_match=True).collect())
+    qt_fm = sorted((r["doc_id"], r["fid"]) for r in
+                   spatial_join(pts, polys, grid, zoom=5,
+                                first_match=True).collect())
+    assert s2_fm == qt_fm
