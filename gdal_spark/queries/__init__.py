@@ -106,13 +106,33 @@ _DEFERRED = [
     "raster_histogram", "focal_slope", "focal_aspect", "focal_tpi",
     "focal_tri", "focal_roughness", "tps_transform_small",
     "tps_transform_full",
+    # r01/r02 driver-green, implementation UNCHANGED this round (plain
+    # DataFrame ops, no dialect path) — deferred so this session's six
+    # never-checked queries (utm_forward/inverse, raster_compare,
+    # zonal_stats, contour_segments, geojson_seq_scan) enter the
+    # 50-query driver window
+    "count_star", "distinct_order", "topk_per_group", "union_all",
+    "fingerprint", "rasterize_tiles",
+]
+
+
+# Never driver-checked (new this session) — lead the 50-query window.
+_PRIORITY = [
+    "utm_forward", "utm_inverse", "s2_encode", "hexbin_agg",
+    "raster_compare", "bpe_train", "zonal_stats", "contour_segments",
+    "bloom_filter", "geojson_seq_scan", "winnow_fingerprints",
+    "pip_join_s2",
 ]
 
 
 def _reorder():
-    front = {n: q for n, q in QUERIES.items() if n not in _DEFERRED}
-    back = {n: QUERIES[n] for n in _DEFERRED if n in QUERIES}
+    first = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    front = {n: q for n, q in QUERIES.items()
+             if n not in _DEFERRED and n not in first}
+    back = {n: QUERIES[n] for n in _DEFERRED
+            if n in QUERIES and n not in first}
     QUERIES.clear()
+    QUERIES.update(first)
     QUERIES.update(front)
     QUERIES.update(back)
 
