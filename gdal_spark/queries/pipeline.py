@@ -1617,7 +1617,8 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
     extraction by list indexing, count DESC / pair ASC tie-break,
     non-overlapping replace — independent of operators/bpe.py."""
     ctes = ["""w0 AS MATERIALIZED (
-      SELECT array_to_string(string_split(word, ''), chr(31)) AS s, freq
+      SELECT word, array_to_string(string_split(word, ''), chr(31)) AS s,
+             freq
       FROM (
         SELECT word, COUNT(*) AS freq FROM (
           SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
@@ -1641,7 +1642,8 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
           ORDER BY cnt DESC, pair ASC LIMIT 1
         )""")
         ctes.append(f"""w{r + 1} AS MATERIALIZED (
-          SELECT replace(s, (SELECT pair FROM b{r}),
+          SELECT word,
+                 replace(s, (SELECT pair FROM b{r}),
                          replace((SELECT pair FROM b{r}), chr(31), '')) AS s,
                  freq
           FROM w{r}
@@ -1762,3 +1764,38 @@ def winnow_fingerprints_q(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     out = tx.winnow_fingerprints(docs)
     return out.orderBy("doc_id", "pos", "h")
+
+
+def _bpe_encode_oracle(k: int = _BPE_K) -> str:
+    """The SAME unrolled rounds as _bpe_oracle, but the result is the
+    final tokenization of every distinct word (the ENCODE path):
+    w_k's sep-joined strings ARE the greedy BPE tokenizations."""
+    base = _bpe_oracle(k)
+    head = base[:base.rindex(" SELECT * FROM (")]
+    return (head
+            + f" SELECT word, replace(s, chr(31), '|') AS toks,"
+              f" len(string_split(s, chr(31))) AS n_tokens, freq"
+              f" FROM w{k} ORDER BY word")
+
+
+@register(
+    "bpe_encode",
+    sql=_bpe_encode_oracle,
+    desc="BPE encode path: trained merges applied to every distinct "
+         "word as a pure-Column replace chain (greedy left-to-right = "
+         "non-overlapping replace); oracle = the unrolled training SQL's "
+         "final word states, so train AND apply are verified end-to-end",
+)
+def bpe_encode_q(spark, sf_dir):
+    from ..operators import bpe
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    merges = bpe.bpe_train(docs, num_merges=_BPE_K)
+    wf = bpe.word_freqs(docs)
+    toks = bpe.bpe_tokens_col("word", merges)
+    return wf.select(
+        "word",
+        F.array_join(toks, "|").alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.col("freq"),
+    ).orderBy("word")
