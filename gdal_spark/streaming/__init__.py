@@ -11,9 +11,10 @@ twin of ``gdal raster tile --resume``).
 """
 
 from .pipeline import (
-    dedup_stream,
     cell_stream,
+    dedup_stream,
     stream_docs_from_files,
+    stream_spatial_join,
     windowed_cell_counts,
     write_stream_with_lineage,
 )
@@ -21,6 +22,7 @@ from .pipeline import (
 __all__ = [
     "dedup_stream",
     "stream_docs_from_files",
+    "stream_spatial_join",
     "cell_stream",
     "windowed_cell_counts",
     "write_stream_with_lineage",

@@ -131,3 +131,30 @@ def test_stateful_dedup_stream(spark, dirs):
             for r in spark.read.parquet(out_dir).collect()}
     assert {d for _, d in got2} == {1, 2, 11}
     assert os.path.isdir(ckpt)
+
+
+def test_stream_spatial_join_parity(spark, dirs):
+    """Stream-static spatial join over a file stream produces exactly
+    the batch spatial_join rows (stateless micro-batch execution)."""
+    in_dir, out_dir, ckpt = dirs
+    from gdal_spark.operators.spatial_join import spatial_join
+    from gdal_spark.sources import fixtures as fx
+    from gdal_spark.streaming.pipeline import stream_spatial_join
+
+    pts = _batch(spark, n=800)
+    pts.write.mode("overwrite").parquet(in_dir)
+    polys = spark.createDataFrame(fx.polygons_pandas())
+
+    stream = stream_docs_from_files(spark, in_dir, SCHEMA)
+    joined = stream_spatial_join(stream, polys, dv.GRID, zoom=6)
+    q = (joined.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted((r["doc_id"], r["fid"]) for r in
+                 spark.read.parquet(out_dir).collect())
+    want_df = spatial_join(
+        spark.read.parquet(in_dir), polys, dv.GRID, zoom=6)
+    want = sorted((r["doc_id"], r["fid"]) for r in want_df.collect())
+    assert got == want and len(got) > 0
