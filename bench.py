@@ -79,6 +79,9 @@ HEADLINE = [
     "bpe_train",
     "zonal_stats",
     "raster_compare",
+    "pip_join_s2",
+    "winnow_fingerprints",
+    "bpe_encode",
 ]
 
 BIG_JOIN_N = 8_000_000
