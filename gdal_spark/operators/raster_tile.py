@@ -700,3 +700,79 @@ def zonal_stats(value_tiles: DataFrame, zone_tiles: DataFrame,
                  F.max("vmax").alias("vmax"),
                  F.sum("vsum").alias("vsum"))
             .withColumn("vmean", F.col("vsum") / F.col("n_pixels")))
+
+
+def translate_window(tiles: DataFrame, x0: int, y0: int, w: int, h: int,
+                     dtype: str = "uint8", tile_size: int = 256,
+                     out_tile_size: int | None = None,
+                     fill: float = 0.0) -> DataFrame:
+    """gdal_translate -srcwin role: crop a pixel window (possibly
+    tile-UNaligned) and re-origin it at (0,0) as a fresh tile matrix.
+
+    Distributed shape (the fragment-rollup used by mosaic/cumulative
+    viewshed): each input tile slices the part of itself inside the
+    window and emits fragments keyed by OUTPUT tile; one groupBy
+    assembles each output tile from its <=4 fragments.  Input tiles
+    wholly outside the window are pruned by a Column predicate BEFORE
+    any Python runs, so the crop reads only the covering tiles.
+    """
+    npdt = np.dtype(dtype)
+    ts = tile_size
+    ots = out_tile_size or tile_size
+
+    # tile-level pruning: pure Column, pushes to the tiles scan
+    tx0, tx1 = x0 // ts, (x0 + w - 1) // ts
+    ty0, ty1 = y0 // ts, (y0 + h - 1) // ts
+    pruned = tiles.filter(
+        (F.col("tx") >= tx0) & (F.col("tx") <= tx1)
+        & (F.col("ty") >= ty0) & (F.col("ty") <= ty1))
+
+    def _fragments(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                a = np.frombuffer(r["px"], dtype=npdt).reshape(ts, ts)
+                gx0, gy0 = int(r["tx"]) * ts, int(r["ty"]) * ts
+                # overlap of this tile with the window, window coords
+                ox0 = max(gx0, x0) - x0
+                oy0 = max(gy0, y0) - y0
+                ox1 = min(gx0 + ts, x0 + w) - x0
+                oy1 = min(gy0 + ts, y0 + h) - y0
+                if ox0 >= ox1 or oy0 >= oy1:
+                    continue
+                sub = a[oy0 + y0 - gy0:oy1 + y0 - gy0,
+                        ox0 + x0 - gx0:ox1 + x0 - gx0]
+                # split by output tile
+                for oty in range(oy0 // ots, (oy1 - 1) // ots + 1):
+                    for otx in range(ox0 // ots, (ox1 - 1) // ots + 1):
+                        fx0 = max(ox0, otx * ots)
+                        fy0 = max(oy0, oty * ots)
+                        fx1 = min(ox1, (otx + 1) * ots)
+                        fy1 = min(oy1, (oty + 1) * ots)
+                        frag = sub[fy0 - oy0:fy1 - oy0, fx0 - ox0:fx1 - ox0]
+                        rows.append({
+                            "otx": otx, "oty": oty,
+                            "px0": fx0 - otx * ots, "py0": fy0 - oty * ots,
+                            "fw": fx1 - fx0, "fh": fy1 - fy0,
+                            "buf": np.ascontiguousarray(frag).tobytes()})
+            yield pd.DataFrame(
+                rows, columns=["otx", "oty", "px0", "py0", "fw", "fh",
+                               "buf"])
+
+    frags = pruned.select("tx", "ty", "px").mapInPandas(
+        _fragments, "otx long, oty long, px0 int, py0 int, fw int, "
+                    "fh int, buf binary")
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        otx, oty = int(key[0]), int(key[1])
+        canvas = np.full((ots, ots), fill, dtype=npdt)
+        for _, r in pdf.iterrows():
+            f = np.frombuffer(r["buf"], dtype=npdt).reshape(
+                int(r["fh"]), int(r["fw"]))
+            canvas[int(r["py0"]):int(r["py0"]) + int(r["fh"]),
+                   int(r["px0"]):int(r["px0"]) + int(r["fw"])] = f
+        return pd.DataFrame([{"tx": otx, "ty": oty,
+                              "px": canvas.tobytes()}])
+
+    return frags.groupBy("otx", "oty").applyInPandas(
+        _assemble, "tx long, ty long, px binary")

@@ -2468,3 +2468,50 @@ def contour_segments_q(spark, sf_dir):
         F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"),
         F.round("x2", 6).alias("x2"), F.round("y2", 6).alias("y2"),
     ).orderBy("x1", "y1", "x2", "y2")
+
+
+# ----------------------------------------------------------- srcwin crop
+_SW = dict(x0=5, y0=9, w=40, h=30)
+
+
+@register(
+    "translate_srcwin",
+    sql=f"""
+    WITH gpx AS (
+      SELECT r.i AS r, c.i AS c,
+             CAST(((r.i * {GW} + c.i) * 7) % 256 AS BIGINT) AS v
+      FROM generate_series(0, {GW - 1}) r(i),
+           generate_series(0, {GW - 1}) c(i)
+    )
+    SELECT r - {_SW['y0']} AS r, c - {_SW['x0']} AS c, v
+    FROM gpx
+    WHERE r >= {_SW['y0']} AND r < {_SW['y0'] + _SW['h']}
+      AND c >= {_SW['x0']} AND c < {_SW['x0'] + _SW['w']}
+    ORDER BY r, c
+    """,
+    desc="gdal_translate -srcwin role: tile-UNaligned window crop + "
+         "re-origin via fragment rollup (Column tile pruning before any "
+         "Python); oracle = SQL window arithmetic over the derived grid",
+)
+def translate_srcwin_q(spark, sf_dir):
+    from typing import Iterator as _It
+
+    from ..operators.raster_tile import translate_window
+
+    ts = GW // 2
+    a, _b = _two_band_tiles(spark)
+    out = translate_window(a, tile_size=ts, out_tile_size=ts, **_SW)
+
+    def _rows(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.uint8).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                gr = rr["ty"] * ts + ys
+                gc = rr["tx"] * ts + xs
+                m = (gr < _SW["h"]) & (gc < _SW["w"])
+                yield pd.DataFrame({
+                    "r": gr[m].ravel(), "c": gc[m].ravel(),
+                    "v": t[m].ravel().astype(np.int64)})
+
+    return out.mapInPandas(_rows, "r long, c long, v long").orderBy("r", "c")

@@ -329,3 +329,38 @@ def test_raster_histogram_semantics(spark):
                                      include_out_of_range=True,
                                      nodata=7.0, dtype="uint8").collect()}
     assert sum(nod.values()) == a.size - 2
+
+
+def test_translate_window_matches_slice(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.raster_tile import translate_window
+
+    n, ts = 256, 64
+    idx = np.arange(n * n).reshape(n, n)
+    full = ((idx * 11 + 3) % 256).astype(np.uint8)
+
+    def _mk(key, pdf):
+        rows = []
+        for ty in range(n // ts):
+            for tx in range(n // ts):
+                rows.append({"tx": tx, "ty": ty,
+                             "px": full[ty*ts:(ty+1)*ts,
+                                        tx*ts:(tx+1)*ts].tobytes()})
+        return pd.DataFrame(rows)
+
+    tiles = (spark.range(1).withColumn("_g", F.lit(1)).groupBy("_g")
+             .applyInPandas(_mk, "tx long, ty long, px binary"))
+    for (x0, y0, w, h, ots) in [(0, 0, 256, 256, 64), (13, 37, 100, 90, 32),
+                                (63, 1, 65, 130, 64), (200, 200, 56, 56, 16)]:
+        out = translate_window(tiles, x0, y0, w, h, tile_size=ts,
+                               out_tile_size=ots).collect()
+        canvas = np.zeros(((h + ots - 1)//ots*ots,
+                           (w + ots - 1)//ots*ots), dtype=np.uint8)
+        for r in out:
+            t = np.frombuffer(r["px"], dtype=np.uint8).reshape(ots, ots)
+            canvas[r["ty"]*ots:(r["ty"]+1)*ots,
+                   r["tx"]*ots:(r["tx"]+1)*ots] = t
+        assert (canvas[:h, :w] == full[y0:y0+h, x0:x0+w]).all(), (x0, y0)
