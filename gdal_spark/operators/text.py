@@ -739,3 +739,63 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         .alias("pos"),
         F.expr(f"_mk div {_WN_POSB}").alias("h"))
         .distinct())
+
+
+# ------------------------------------------- n-gram language ID (C&T 1994)
+CT_K = 40       # profile length
+CT_N = 3        # char n-gram width
+
+
+def char_ngram_rows(df: DataFrame, text_col: str, id_cols: list[str],
+                    n: int = CT_N) -> DataFrame:
+    """(id_cols..., g) rows of lowercased char n-grams — JVM explode."""
+    return df.select(
+        *id_cols,
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {n - 1},"
+            f" 0)), i -> substring(lower({text_col}), i, {n}))")).alias("g"))
+
+
+def ngram_lang_profiles(df: DataFrame, text_col: str = "text",
+                        lang_col: str = "lang", k: int = CT_K) -> DataFrame:
+    """Cavnar-Trenkle training: per-language top-k char n-grams ranked
+    by (count desc, gram asc).  One groupBy + one window over a
+    langs x grams table — the profile output is tiny (langs * k rows),
+    broadcastable to any corpus size."""
+    cnt = (char_ngram_rows(df, text_col, [lang_col])
+           .groupBy(lang_col, "g").agg(F.count("*").alias("c")))
+    w = Window.partitionBy(lang_col).orderBy(F.desc("c"), F.asc("g"))
+    return (cnt.withColumn("pr", F.row_number().over(w))
+            .filter(F.col("pr") <= k).select(lang_col, "g", "pr"))
+
+
+def ngram_lang_id(df: DataFrame, profiles: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang", k: int = CT_K) -> DataFrame:
+    """Cavnar-Trenkle classification (the published rank-order
+    distance): build each document's own top-k n-gram ranks, compare
+    against every language profile — |doc_rank - profile_rank| per
+    gram, out-of-profile grams cost k — and keep the argmin language
+    (ties -> lang asc).
+
+    Scale shape: doc ranks are one groupBy + per-doc window; the
+    profile is broadcast; the distance is one map-side-combinable
+    aggregate per (doc, lang).  Returns (id, lang_pred, dist).
+    """
+    dcnt = (char_ngram_rows(df, text_col, [id_col])
+            .groupBy(id_col, "g").agg(F.count("*").alias("c")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("g"))
+    dr = (dcnt.withColumn("dr", F.row_number().over(w))
+          .filter(F.col("dr") <= k).select(id_col, "g", "dr"))
+    langs = profiles.select(lang_col).distinct()
+    cand = dr.crossJoin(F.broadcast(langs))
+    scored = cand.join(F.broadcast(profiles), [lang_col, "g"], "left")
+    dist = (scored.groupBy(id_col, lang_col)
+            .agg(F.sum(F.coalesce(F.abs(F.col("dr") - F.col("pr")),
+                                  F.lit(k))).alias("dist")))
+    w2 = Window.partitionBy(id_col).orderBy(F.asc("dist"),
+                                            F.asc(lang_col))
+    return (dist.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(id_col), F.col(lang_col).alias("lang_pred"),
+                    "dist"))

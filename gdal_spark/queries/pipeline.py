@@ -1799,3 +1799,59 @@ def bpe_encode_q(spark, sf_dir):
         F.size(toks).cast("long").alias("n_tokens"),
         F.col("freq"),
     ).orderBy("word")
+
+
+# ------------------------------------------ Cavnar-Trenkle language ID
+@register(
+    "ngram_lang_id",
+    sql=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, substr(lower(text), i.p, {tx.CT_N}) AS g
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1,
+               GREATEST(length(text) - {tx.CT_N - 1}, 0))) AS p) i
+    ),
+    pcnt AS (
+      SELECT lang, g, COUNT(*) AS c FROM grams GROUP BY lang, g
+    ),
+    prof AS (
+      SELECT lang, g, pr FROM (
+        SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY c DESC, g ASC) AS pr
+        FROM pcnt) WHERE pr <= {tx.CT_K}
+    ),
+    dcnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    ),
+    dr AS (
+      SELECT doc_id, g, dr FROM (
+        SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, g ASC) AS dr
+        FROM dcnt) WHERE dr <= {tx.CT_K}
+    ),
+    dist AS (
+      SELECT d.doc_id, l.lang,
+             CAST(SUM(COALESCE(ABS(d.dr - p.pr), {tx.CT_K})) AS BIGINT)
+               AS dist
+      FROM dr d
+      CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+      LEFT JOIN prof p ON p.lang = l.lang AND p.g = d.g
+      GROUP BY d.doc_id, l.lang
+    )
+    SELECT doc_id, lang AS lang_pred, dist FROM (
+      SELECT doc_id, lang, dist,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY dist ASC, lang ASC) AS rn
+      FROM dist) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    desc="Cavnar-Trenkle 1994 n-gram language ID: per-lang top-40 "
+         "char-3gram rank profiles (broadcastable), rank-order distance "
+         "with out-of-profile penalty, argmin language; oracle restates "
+         "training AND classification in SQL windows",
+)
+def ngram_lang_id_q(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    prof = tx.ngram_lang_profiles(docs)
+    out = tx.ngram_lang_id(docs, prof)
+    return out.orderBy("doc_id")

