@@ -204,3 +204,42 @@ def tmerc_forward(lon_deg, lat_deg, lon0_deg, a=6378137.0,
                    + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc
                       - 330.0 * ep2) * aa ** 6.0 / 720.0))
     return x, y
+
+
+def tmerc_inverse(x, y, lon0_deg, a=6378137.0, f=1.0 / 298.257223563,
+                  k0=0.9996, fe=500000.0, fn=0.0):
+    """Snyder series inverse (eqs. 7-19, 3-24, 8-17..8-25), same
+    formula order as operators/tmerc.py::tmerc_inverse_steps."""
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    se = (1.0 - e2) ** 0.5
+    e1 = (1.0 - se) / (1.0 + se)
+    j2 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+    j4 = 21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0
+    j6 = 151.0 * e1 ** 3 / 96.0
+    j8 = 1097.0 * e1 ** 4 / 512.0
+    lam0 = float(np.radians(lon0_deg))
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    mu = (y - fn) / (k0 * a * c0)
+    phi1 = (mu + j2 * np.sin(2.0 * mu) + j4 * np.sin(4.0 * mu)
+            + j6 * np.sin(6.0 * mu) + j8 * np.sin(8.0 * mu))
+    sphi1, cphi1, tphi1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    cc1 = ep2 * cphi1 * cphi1
+    tt1 = tphi1 * tphi1
+    n1 = a / np.sqrt(1.0 - e2 * sphi1 * sphi1)
+    r1 = (a * (1.0 - e2)) * (1.0 - e2 * sphi1 * sphi1) ** -1.5
+    dd = (x - fe) / (n1 * k0)
+    lat = np.degrees(phi1 - (n1 * tphi1 / r1) * (
+        dd * dd / 2.0
+        - (5.0 + 3.0 * tt1 + 10.0 * cc1 - 4.0 * cc1 * cc1
+           - 9.0 * ep2) * dd ** 4.0 / 24.0
+        + (61.0 + 90.0 * tt1 + 298.0 * cc1 + 45.0 * tt1 * tt1
+           - 252.0 * ep2 - 3.0 * cc1 * cc1) * dd ** 6.0 / 720.0))
+    lon = np.degrees(lam0 + (
+        dd - (1.0 + 2.0 * tt1 + cc1) * dd ** 3.0 / 6.0
+        + (5.0 - 2.0 * cc1 + 28.0 * tt1 - 3.0 * cc1 * cc1
+           + 8.0 * ep2 + 24.0 * tt1 * tt1) * dd ** 5.0 / 120.0) / cphi1)
+    return lon, lat

@@ -20,6 +20,7 @@ EPSG:4326 <-> 3857 pair (SURVEY non-goals bound the SRS catalog):
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 import pandas as pd
@@ -194,6 +195,14 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
             aa_init = ((filt + 1) % 2) - aa_radius
             pad = aa_radius
 
+    # 'dst_utm{zone}_src_ll': dst is WGS84/UTM zone N (gdalwarp
+    # -t_srs EPSG:326NN role), src is lon/lat — back-projection via
+    # the Snyder tmerc inverse (kernels/geom.py).
+    _m = re.match(r"dst_utm(\d+)_src_ll$", direction)
+    is_utm = _m is not None
+    utm_lon0 = (-183.0 + 6.0 * int(_m.group(1))) if _m else None
+    del _m   # re.Match objects cannot pickle into task closures
+
     def to_src(xs, ys):
         if direction == "identity":
             return xs, ys
@@ -201,6 +210,8 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
             return kgeom.mercator_to_lonlat(xs, ys)
         if direction == "dst_ll_src_merc":
             return kgeom.lonlat_to_mercator(xs, ys)
+        if is_utm:
+            return kgeom.tmerc_inverse(xs, ys, utm_lon0)
         raise ValueError(direction)
 
     # enumerate destination tiles covering the source extent: project
@@ -226,11 +237,23 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
                         np.array([minx, maxx]), np.array([miny, maxy]))
                     dminx, dmaxx = float(xs[0]), float(xs[1])
                     dminy, dmaxy = float(ys[0]), float(ys[1])
-                else:
+                elif direction == "dst_ll_src_merc":
                     lon, lat = kgeom.mercator_to_lonlat(
                         np.array([minx, maxx]), np.array([miny, maxy]))
                     dminx, dmaxx = float(lon[0]), float(lon[1])
                     dminy, dmaxy = float(lat[0]), float(lat[1])
+                else:
+                    # UTM dst: forward-project the src bbox corners +
+                    # edge midpoints (tmerc bends meridians slightly)
+                    bx = np.array([minx, maxx, minx, maxx,
+                                   (minx + maxx) / 2.0,
+                                   (minx + maxx) / 2.0, minx, maxx])
+                    by = np.array([miny, miny, maxy, maxy, miny, maxy,
+                                   (miny + maxy) / 2.0,
+                                   (miny + maxy) / 2.0])
+                    ex, ny_ = kgeom.tmerc_forward(bx, by, utm_lon0)
+                    dminx, dmaxx = float(ex.min()), float(ex.max())
+                    dminy, dmaxy = float(ny_.min()), float(ny_.max())
                 tx0, ty0, tx1, ty1 = dst_grid.tile_range_for_bbox(
                     dst_zoom, dminx, dminy, dmaxx, dmaxy)
                 for dty in range(ty0, ty1 + 1):

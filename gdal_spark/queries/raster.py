@@ -2515,3 +2515,94 @@ def translate_srcwin_q(spark, sf_dir):
                     "v": t[m].ravel().astype(np.int64)})
 
     return out.mapInPandas(_rows, "r long, c long, v long").orderBy("r", "c")
+
+
+# ------------------------------------------------------------ UTM warp
+# gdalwarp -t_srs EPSG:32618 role over tiles: src is a 64x64 lon/lat
+# grid in zone 18, dst is the UTM meters grid.  The oracle re-derives
+# EVERYTHING in SQL: dst pixel centers, the Snyder tmerc INVERSE
+# (the same shared step text as operators/tmerc.py), and the
+# nearest-neighbor source lookup with nodata outside the source.
+def _utm_warp_setup():
+    from ..kernels import geom as _kg
+
+    lon0, lat0, lon1, lat1 = -77.0, 39.0, -76.0, 40.0
+    span = (lon1 - lon0) * (1.0 + 1e-9)
+    bx = np.array([lon0, lon1, lon0, lon1,
+                   (lon0 + lon1) / 2.0, (lon0 + lon1) / 2.0, lon0, lon1])
+    by = np.array([lat0, lat0, lat1, lat1, lat0, lat1,
+                   (lat0 + lat1) / 2.0, (lat0 + lat1) / 2.0])
+    ex, ny_ = _kg.tmerc_forward(bx, by, -75.0)
+    e0, e1 = float(ex.min()), float(ex.max())
+    n0, n1 = float(ny_.min()), float(ny_.max())
+    dspan = max(e1 - e0, n1 - n0) * (1.0 + 1e-9)
+    return dict(lon0=lon0, lat0=lat0, lon1=lon1, lat1=lat1,
+                span=span, stlx=lon0, stly=lat0 + span,
+                sres=span / 64.0, e0=e0, n0=n0,
+                dtlx=e0, dtly=n0 + dspan, dres=dspan / 64.0)
+
+
+_UW = _utm_warp_setup()
+
+
+def _utm_warp_oracle():
+    from ..operators import tmerc as _tm
+
+    base = (f"SELECT r.i AS r, c.i AS c,"
+            f" {_UW['dtlx']!r} + (CAST(c.i AS DOUBLE) + 0.5)"
+            f" * {_UW['dres']!r} AS e,"
+            f" {_UW['dtly']!r} - (CAST(r.i AS DOUBLE) + 0.5)"
+            f" * {_UW['dres']!r} AS n"
+            f" FROM generate_series(0, 63) r(i),"
+            f" generate_series(0, 63) c(i)")
+    final = (
+        "SELECT r, c, CASE WHEN spx >= 0 AND spx < 64"
+        " AND spy >= 0 AND spy < 64"
+        " THEN CAST(((spy * 64 + spx) * 7) % 256 AS BIGINT)"
+        " ELSE 0 END AS v FROM ("
+        f"SELECT r, c,"
+        f" CAST(floor((tmlon - {_UW['stlx']!r}) / {_UW['sres']!r})"
+        f" AS BIGINT) AS spx,"
+        f" CAST(floor(({_UW['stly']!r} - tmlat) / {_UW['sres']!r})"
+        f" AS BIGINT) AS spy"
+        " FROM {last}) ORDER BY r, c")
+    return _tm.steps_to_cte(
+        base, _tm.tmerc_inverse_steps("e", "n", -75.0), final)
+
+
+@register(
+    "warp_utm_near",
+    sql=_utm_warp_oracle,
+    desc="raster reprojection to UTM (gdalwarp -t_srs EPSG:32618, "
+         "nearest): per-dst-tile back-projection through the Snyder "
+         "tmerc inverse; oracle re-derives dst centers + the full "
+         "inverse series (same shared step text) + the nearest lookup "
+         "in SQL",
+)
+def warp_utm_near_q(spark, sf_dir):
+    from typing import Iterator as _It
+
+    from ..operators.warp import warp_tiles
+
+    ts = 32
+    src_grid = TileGrid.local(_UW["lon0"], _UW["lat0"],
+                              _UW["lon1"], _UW["lat1"], tile_size=ts)
+    dst_grid = TileGrid(_UW["dtlx"], _UW["dtly"],
+                        (_UW["dtly"] - _UW["n0"]), tile_size=ts)
+    a, _b = _two_band_tiles(spark)
+    out = warp_tiles(a, src_grid, 1, dst_grid, 1,
+                     direction="dst_utm18_src_ll", dtype="uint8",
+                     src_tile_size=ts, dst_tile_size=ts,
+                     nodata=0.0, method="near")
+
+    def _rows(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.uint8).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                yield pd.DataFrame({
+                    "r": (rr["ty"] * ts + ys).ravel(),
+                    "c": (rr["tx"] * ts + xs).ravel(),
+                    "v": t.ravel().astype(np.int64)})
+
+    return out.mapInPandas(_rows, "r long, c long, v long").orderBy("r", "c")

@@ -456,3 +456,67 @@ def test_warp_cutline_masks_outside(spark):
     # world y axis points up: row 0 is the TOP (y near 32)
     assert (full[:8, :] == 0).all() and (full[:, :8] == 0).all()
     assert (full[10:22, 10:22] == 77).all()
+
+
+def test_warp_utm_direction_matches_serial(spark):
+    """dst_utm18_src_ll nearest warp == a serial numpy back-projection
+    of the assembled raster (tile-split invariance for the new
+    direction)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.kernels import geom as kg
+    from gdal_spark.kernels.cells import TileGrid
+    from gdal_spark.operators.warp import warp_tiles
+
+    ts, n = 32, 64
+    lon0, lat0, lon1, lat1 = -76.5, 38.5, -75.5, 39.5
+    span = (lon1 - lon0) * (1.0 + 1e-9)
+    src_grid = TileGrid.local(lon0, lat0, lon1, lat1, tile_size=ts)
+    idx = np.arange(n * n).reshape(n, n)
+    full = ((idx * 29 + 5) % 256).astype(np.uint8)
+
+    def _mk(key, pdf):
+        rows = []
+        for ty in range(2):
+            for tx in range(2):
+                rows.append({"tx": tx, "ty": ty,
+                             "px": full[ty*ts:(ty+1)*ts,
+                                        tx*ts:(tx+1)*ts].tobytes()})
+        return pd.DataFrame(rows)
+
+    tiles = (spark.range(1).withColumn("_g", F.lit(1)).groupBy("_g")
+             .applyInPandas(_mk, "tx long, ty long, px binary"))
+
+    bx = np.array([lon0, lon1, lon0, lon1])
+    by = np.array([lat0, lat0, lat1, lat1])
+    ex, ny_ = kg.tmerc_forward(bx, by, -75.0)
+    e0, n0 = float(ex.min()), float(ny_.min())
+    dspan = max(float(ex.max()) - e0, float(ny_.max()) - n0) * (1 + 1e-9)
+    dst_grid = TileGrid(e0, n0 + dspan, dspan, tile_size=ts)
+
+    out = warp_tiles(tiles, src_grid, 1, dst_grid, 1,
+                     direction="dst_utm18_src_ll", dtype="uint8",
+                     src_tile_size=ts, dst_tile_size=ts, method="near")
+    got = {}
+    for r in out.collect():
+        t = np.frombuffer(r["px"], dtype=np.uint8).reshape(ts, ts)
+        got[(r["tx"], r["ty"])] = t
+
+    # serial reference
+    dres = dspan / n
+    sres = span / n
+    cx = e0 + (np.arange(n) + 0.5) * dres
+    cy = (n0 + dspan) - (np.arange(n) + 0.5) * dres
+    gx, gy = np.meshgrid(cx, cy)
+    lon, lat = kg.tmerc_inverse(gx.ravel(), gy.ravel(), -75.0)
+    spx = np.floor((lon - lon0) / sres).astype(np.int64)
+    spy = np.floor(((lat0 + span) - lat) / sres).astype(np.int64)
+    ok = (spx >= 0) & (spx < n) & (spy >= 0) & (spy < n)
+    want = np.zeros(n * n, dtype=np.uint8)
+    want[ok] = full[spy[ok], spx[ok]]
+    want = want.reshape(n, n)
+    for (tx, ty), t in got.items():
+        assert (t == want[ty*ts:(ty+1)*ts, tx*ts:(tx+1)*ts]).all(), (tx, ty)
+    assert (want > 0).sum() > n * n // 2   # most of the image mapped
