@@ -238,10 +238,21 @@ def charlm_train(df: DataFrame, text_col: str = "text") -> tuple:
     """
     grams = df.select(F.explode(
         char_bigrams_col(F.col(text_col))).alias("gram"))
-    c2 = grams.groupBy("gram").agg(F.count("*").alias("n2"))
-    c1 = (grams.select(F.substring("gram", 1, 1).alias("ctx"))
-          .groupBy("ctx").agg(F.count("*").alias("n1")))
-    vocab = c1.agg(F.count("*").alias("v"))
+    # ONE corpus scan: the aggregates are charset^2-bounded, so
+    # collect them and rebuild local DFs — the broadcasts at score
+    # time then never re-trigger the gram stream (the lazy form
+    # re-scanned the training corpus three times per score action).
+    spark = df.sparkSession
+    rows2 = grams.groupBy("gram").agg(F.count("*").alias("n2")).collect()
+    c2 = spark.createDataFrame(
+        [(r["gram"], int(r["n2"])) for r in rows2] or [("", 0)],
+        "gram string, n2 long")
+    ctx: dict[str, int] = {}
+    for r in rows2:
+        ctx[r["gram"][:1]] = ctx.get(r["gram"][:1], 0) + int(r["n2"])
+    c1 = spark.createDataFrame(
+        list(ctx.items()) or [("", 0)], "ctx string, n1 long")
+    vocab = spark.createDataFrame([(len(ctx),)], "v long")
     return c2, c1, vocab
 
 
