@@ -201,7 +201,11 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
     _m = re.match(r"dst_utm(\d+)_src_ll$", direction)
     is_utm = _m is not None
     utm_lon0 = (-183.0 + 6.0 * int(_m.group(1))) if _m else None
-    del _m   # re.Match objects cannot pickle into task closures
+    _m2 = re.match(r"dst_ll_src_utm(\d+)$", direction)
+    is_utm_src = _m2 is not None
+    if _m2:
+        utm_lon0 = -183.0 + 6.0 * int(_m2.group(1))
+    del _m, _m2   # re.Match objects cannot pickle into task closures
 
     def to_src(xs, ys):
         if direction == "identity":
@@ -212,6 +216,9 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
             return kgeom.lonlat_to_mercator(xs, ys)
         if is_utm:
             return kgeom.tmerc_inverse(xs, ys, utm_lon0)
+        if is_utm_src:
+            # dst lon/lat -> src UTM meters (gdalwarp -s_srs role)
+            return kgeom.tmerc_forward(xs, ys, utm_lon0)
         raise ValueError(direction)
 
     # enumerate destination tiles covering the source extent: project
@@ -242,6 +249,18 @@ def warp_tiles(src_tiles: DataFrame, src_grid: TileGrid, src_zoom: int,
                         np.array([minx, maxx]), np.array([miny, maxy]))
                     dminx, dmaxx = float(lon[0]), float(lon[1])
                     dminy, dmaxy = float(lat[0]), float(lat[1])
+                elif is_utm_src:
+                    # UTM src -> lon/lat dst: inverse-project corners
+                    # + edge midpoints
+                    bx = np.array([minx, maxx, minx, maxx,
+                                   (minx + maxx) / 2.0,
+                                   (minx + maxx) / 2.0, minx, maxx])
+                    by = np.array([miny, miny, maxy, maxy, miny, maxy,
+                                   (miny + maxy) / 2.0,
+                                   (miny + maxy) / 2.0])
+                    lon, lat = kgeom.tmerc_inverse(bx, by, utm_lon0)
+                    dminx, dmaxx = float(lon.min()), float(lon.max())
+                    dminy, dmaxy = float(lat.min()), float(lat.max())
                 else:
                     # UTM dst: forward-project the src bbox corners +
                     # edge midpoints (tmerc bends meridians slightly)

@@ -2606,3 +2606,67 @@ def warp_utm_near_q(spark, sf_dir):
                     "v": t.ravel().astype(np.int64)})
 
     return out.mapInPandas(_rows, "r long, c long, v long").orderBy("r", "c")
+
+
+def _utm_inv_warp_oracle():
+    """Inverse-direction warp oracle: dst lon/lat centers -> FORWARD
+    tmerc (the same shared step text) -> nearest UTM source pixel."""
+    from ..operators import tmerc as _tm
+
+    base = (f"SELECT r.i AS r, c.i AS c,"
+            f" {_UW['lon0']!r} + (CAST(c.i AS DOUBLE) + 0.5)"
+            f" * {_UW['sres']!r} AS lon,"
+            f" {_UW['stly']!r} - (CAST(r.i AS DOUBLE) + 0.5)"
+            f" * {_UW['sres']!r} AS lat"
+            f" FROM generate_series(0, 63) r(i),"
+            f" generate_series(0, 63) c(i)")
+    final = (
+        "SELECT r, c, CASE WHEN spx >= 0 AND spx < 64"
+        " AND spy >= 0 AND spy < 64"
+        " THEN CAST(((spy * 64 + spx) * 7) % 256 AS BIGINT)"
+        " ELSE 0 END AS v FROM ("
+        f"SELECT r, c,"
+        f" CAST(floor((tmx - {_UW['dtlx']!r}) / {_UW['dres']!r})"
+        f" AS BIGINT) AS spx,"
+        f" CAST(floor(({_UW['dtly']!r} - tmy) / {_UW['dres']!r})"
+        f" AS BIGINT) AS spy"
+        " FROM {last}) ORDER BY r, c")
+    return _tm.steps_to_cte(
+        base, _tm.tmerc_forward_steps("lon", "lat", -75.0), final)
+
+
+@register(
+    "warp_utm_inverse",
+    sql=_utm_inv_warp_oracle,
+    desc="raster warp FROM UTM back to lon/lat (gdalwarp -s_srs "
+         "EPSG:32618, nearest): dst centers forward-projected through "
+         "the shared tmerc step text; oracle fully SQL",
+)
+def warp_utm_inverse_q(spark, sf_dir):
+    from typing import Iterator as _It
+
+    from ..operators.warp import warp_tiles
+
+    ts = 32
+    # src raster lives on the UTM meters grid, dst on the lon/lat grid
+    src_grid = TileGrid(_UW["dtlx"], _UW["dtly"],
+                        (_UW["dtly"] - _UW["n0"]), tile_size=ts)
+    dst_grid = TileGrid.local(_UW["lon0"], _UW["lat0"],
+                              _UW["lon1"], _UW["lat1"], tile_size=ts)
+    a, _b = _two_band_tiles(spark)
+    out = warp_tiles(a, src_grid, 1, dst_grid, 1,
+                     direction="dst_ll_src_utm18", dtype="uint8",
+                     src_tile_size=ts, dst_tile_size=ts,
+                     nodata=0.0, method="near")
+
+    def _rows(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=np.uint8).reshape(ts, ts)
+                ys, xs = np.mgrid[0:ts, 0:ts]
+                yield pd.DataFrame({
+                    "r": (rr["ty"] * ts + ys).ravel(),
+                    "c": (rr["tx"] * ts + xs).ravel(),
+                    "v": t.ravel().astype(np.int64)})
+
+    return out.mapInPandas(_rows, "r long, c long, v long").orderBy("r", "c")

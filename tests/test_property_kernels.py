@@ -177,3 +177,53 @@ def _serial_edge_viewshed(dem, ox, oy, oz):
     for y in range(oy + 1, h_rows):
         last = line(y, last)
     return out.astype(np.uint8)
+
+
+# ---- round-3 continuation kernels ----------------------------------------
+from gdal_spark.kernels import geom as kgeom
+from gdal_spark.kernels import s2 as ks2
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(-179.9, 179.9), st.floats(-84.9, 84.9),
+       st.integers(1, 30))
+def test_s2_prefix_is_parent(lon, lat, level):
+    # parent-cell relation: level-k encoding == 2k-bit prefix of
+    # level-30 — for EVERY point and level
+    f30, p30 = ks2.s2_encode_lonlat(np.array([lon]), np.array([lat]))
+    fk, pk = ks2.s2_encode_lonlat(np.array([lon]), np.array([lat]),
+                                  level=level)
+    assert fk[0] == f30[0]
+    assert pk[0] == p30[0] >> (2 * (30 - level))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 5), st.integers(0, 2**30 - 1),
+       st.integers(0, 2**30 - 1))
+def test_s2_hilbert_bijection(face, i, j):
+    pos = ks2.hilbert_pos(np.array([face]), np.array([i]), np.array([j]))
+    i2, j2 = ks2.ij_from_pos(np.array([face]), pos)
+    assert i2[0] == i and j2[0] == j
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 60), st.floats(-79.5, 79.5),
+       st.floats(-2.9, 2.9))
+def test_tmerc_roundtrip_any_zone(zone, lat, dlon):
+    lon0 = -183.0 + 6.0 * zone
+    lon = lon0 + dlon
+    x, y = kgeom.tmerc_forward(np.array([lon]), np.array([lat]), lon0)
+    lon2, lat2 = kgeom.tmerc_inverse(x, y, lon0)
+    assert abs(lon2[0] - lon) < 1e-7 and abs(lat2[0] - lat) < 1e-7
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(-170, 166), st.floats(-75, 70),
+       st.floats(0.05, 3.5), st.floats(0.05, 3.5),
+       st.integers(5, 11))
+def test_s2_cover_contains_center(cx, cy, w, h, level):
+    cover = set(ks2.cover_bbox_lonlat(cx, cy, cx + w, cy + h, level)
+                .tolist())
+    f, p = ks2.s2_encode_lonlat(np.array([cx + w / 2.0]),
+                                np.array([cy + h / 2.0]))
+    assert int(ks2.cell_key(f, p, level)[0]) in cover
