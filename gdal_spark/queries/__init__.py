@@ -121,7 +121,8 @@ _PRIORITY = [
     "utm_forward", "utm_inverse", "s2_encode", "hexbin_agg",
     "raster_compare", "bpe_train", "zonal_stats", "contour_segments",
     "bloom_filter", "geojson_seq_scan", "winnow_fingerprints",
-    "pip_join_s2", "bpe_encode", "translate_srcwin", "ngram_lang_id", "warp_utm_near", "warp_utm_inverse",
+    "pip_join_s2", "bpe_encode", "translate_srcwin", "ngram_lang_id",
+    "warp_utm_near", "warp_utm_inverse", "media_decode",
 ]
 
 

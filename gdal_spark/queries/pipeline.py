@@ -535,6 +535,66 @@ def media_features(spark, sf_dir):
 
 
 @register(
+    "media_decode",
+    sql="""
+    WITH wav AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 2 = 0
+    ),
+    wavs AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM wav
+    ),
+    wavf AS (
+      SELECT doc_id, 'wav' AS kind,
+             CAST(8000 AS INT) AS rate,
+             CAST(MAX(n) AS INT) AS n_samples,
+             CAST(MAX(n) * 1000 // 8000 AS INT) AS duration_ms,
+             SQRT(SUM(CAST(s * s AS DOUBLE)) / MAX(n)) AS rms,
+             CAST(MAX(ABS(s)) AS INT) AS peak,
+             CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+             0.0 AS mean_r, 0.0 AS mean_g, 0.0 AS mean_b
+      FROM (SELECT doc_id, n, (doc_id * 31 + i * 17) % 2048 - 1024 AS s
+            FROM wavs)
+      GROUP BY doc_id
+    ),
+    bmp AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    brow AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS r FROM bmp
+    ),
+    cells AS (
+      SELECT doc_id, w, h, r, unnest(generate_series(0, w - 1)) AS c FROM brow
+    ),
+    bmpf AS (
+      SELECT doc_id, 'bmp' AS kind,
+             CAST(0 AS INT) AS rate, CAST(0 AS INT) AS n_samples,
+             CAST(0 AS INT) AS duration_ms, 0.0 AS rms, CAST(0 AS INT) AS peak,
+             CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+             SUM(CAST((doc_id * 7 + r * 13 + c * 3) % 256 AS DOUBLE))
+               / (MAX(w) * MAX(h)) AS mean_r,
+             SUM(CAST((doc_id * 7 + r * 13 + c * 3 + 11) % 256 AS DOUBLE))
+               / (MAX(w) * MAX(h)) AS mean_g,
+             SUM(CAST((doc_id * 7 + r * 13 + c * 3 + 22) % 256 AS DOUBLE))
+               / (MAX(w) * MAX(h)) AS mean_b
+      FROM cells GROUP BY doc_id
+    )
+    SELECT * FROM wavf UNION ALL SELECT * FROM bmpf ORDER BY doc_id
+    """,
+    desc="REAL media decode (no stub): deterministic canonical-PCM WAV / "
+         "24-bit BMP blobs are encoded from doc_id formulas, decoded by the "
+         "stdlib struct+numpy codecs (kernels/media.py), features extracted "
+         "in one Arrow pass; the oracle re-derives every feature from the "
+         "generating formula — any mangled byte in encode or decode breaks "
+         "the hash",
+)
+def media_decode(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_media_col_rows(docs)
+    return mm.decode_media_real(media).orderBy("doc_id")
+
+
+@register(
     "frame_sample",
     sql="""
     WITH d AS (SELECT doc_id, 1 + (doc_id % 120) AS nf FROM documents)
