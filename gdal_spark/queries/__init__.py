@@ -71,6 +71,7 @@ from . import formats  # noqa: E402,F401
 from . import gcp  # noqa: E402,F401
 from . import tps  # noqa: E402,F401
 from . import rpc  # noqa: E402,F401
+from . import mdim  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 registered
 # queries (observed cap).  Round-robin the window across rounds so
