@@ -123,7 +123,7 @@ _PRIORITY = [
     "raster_compare", "bpe_train", "zonal_stats", "contour_segments",
     "bloom_filter", "geojson_seq_scan", "winnow_fingerprints",
     "pip_join_s2", "bpe_encode", "translate_srcwin", "ngram_lang_id",
-    "warp_utm_near", "warp_utm_inverse", "media_decode",
+    "warp_utm_near", "warp_utm_inverse", "media_decode", "curve_to_line",
 ]
 
 

@@ -692,3 +692,79 @@ def pip_join_s2_q(spark, sf_dir):
 
 from . import QUERIES as _Q  # noqa: E402
 _Q["pip_join_s2"].sql = _Q["pip_join"].sql
+
+
+# --------------------------------------------------- arc linearization
+from ..operators import curve as _cv  # noqa: E402
+from ..operators.tmerc import steps_to_cte as _steps_to_cte  # noqa: E402
+
+_ARC_PTS = [
+    ("x0", "CAST((doc_id * 2654435761) % 1000 AS DOUBLE) / 10.0"),
+    ("y0", "CAST((doc_id * 40503 + 7) % 1000 AS DOUBLE) / 10.0"),
+    ("x1", "CAST((doc_id * 69069 + 13) % 1000 AS DOUBLE) / 10.0"),
+    ("y1", "CAST((doc_id * 48271 + 29) % 1000 AS DOUBLE) / 10.0"),
+    ("x2", "CAST((doc_id * 16807 + 31) % 1000 AS DOUBLE) / 10.0"),
+    ("y2", "CAST((doc_id * 22695477 + 3) % 1000 AS DOUBLE) / 10.0"),
+]
+
+_ARC_STEP_RAD = 4.0 / 180.0 * 3.141592653589793
+
+_ARC_FINAL = f"""
+    SELECT arc_id,
+           CAST(CASE WHEN swap THEN cnt - 1 - fwd ELSE fwd END AS INT) AS vi,
+           ROUND(x, 4) AS x, ROUND(y, 4) AS y
+    FROM (
+      SELECT arc_id, swap, x, y,
+             ROW_NUMBER() OVER (PARTITION BY arc_id ORDER BY ord, k) - 1
+               AS fwd,
+             COUNT(*) OVER (PARTITION BY arc_id) AS cnt
+      FROM (
+        SELECT arc_id, swap, 0 AS ord, 0 AS k, ax AS x, ay AS y FROM {{last}}
+        UNION ALL
+        SELECT arc_id, swap, 1 AS ord, kk.k AS k,
+               {_cv.STROKE_X.format(a='al0', s='stepa')} AS x,
+               {_cv.STROKE_Y.format(a='al0', s='stepa')} AS y
+        FROM {{last}} p,
+             LATERAL (SELECT unnest(generate_series(1, p.nsa - 1)) AS k) kk
+        WHERE {_cv.STROKE_KEEP.format(a='al0', b='al1', s='stepa')}
+        UNION ALL
+        SELECT arc_id, swap, 2 AS ord, 0 AS k, x1 AS x, y1 AS y FROM {{last}}
+        UNION ALL
+        SELECT arc_id, swap, 3 AS ord, kk.k AS k,
+               {_cv.STROKE_X.format(a='al1', s='stepb')} AS x,
+               {_cv.STROKE_Y.format(a='al1', s='stepb')} AS y
+        FROM {{last}} p,
+             LATERAL (SELECT unnest(generate_series(1, p.nsb - 1)) AS k) kk
+        WHERE {_cv.STROKE_KEEP.format(a='al1', b='al2', s='stepb')}
+        UNION ALL
+        SELECT arc_id, swap, 4 AS ord, 0 AS k, ex AS x, ey AS y FROM {{last}}
+      ) v
+    ) i
+    ORDER BY arc_id, vi
+"""
+
+
+@register(
+    "curve_to_line",
+    sql=_steps_to_cte(
+        "SELECT doc_id AS arc_id, "
+        + ", ".join(f"{e} AS {n}" for n, e in _ARC_PTS)
+        + " FROM documents",
+        _cv.arc_param_steps(_ARC_STEP_RAD),
+        _ARC_FINAL),
+    desc="CircularString -> LineString linearization "
+         "(ogrgeometryfactory.cpp:5440 curveToLineString, "
+         "ADD_INTERMEDIATE_POINT mode; GetCurveParameters :5176, "
+         "StrokeArc :5275, arc-order symmetry :5381): per-arc params in "
+         "one Arrow numpy pass, vertices from JVM sequence-explodes; "
+         "oracle restates the whole kernel as a DuckDB CTE chain "
+         "(two independent implementations of the same C recurrences)",
+)
+def curve_to_line_q(spark, sf_dir):
+    base = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("arc_id"),
+        *[F.expr(e).alias(n) for n, e in _ARC_PTS])
+    out = _cv.curve_to_line(base)
+    return out.select(
+        "arc_id", "vi", F.round("x", 4).alias("x"),
+        F.round("y", 4).alias("y")).orderBy("arc_id", "vi")
