@@ -768,3 +768,52 @@ def curve_to_line_q(spark, sf_dir):
     return out.select(
         "arc_id", "vi", F.round("x", 4).alias("x"),
         F.round("y", 4).alias("y")).orderBy("arc_id", "vi")
+
+
+# ------------------------------------------------- explodecollections
+@register(
+    "explode_collections",
+    sql="""
+    WITH mp AS (
+      SELECT doc_id, j.p AS part, 1 AS gtype, 1 AS npts,
+             CAST(doc_id % 100 + j.p AS DOUBLE) AS x0,
+             CAST((doc_id * 3) % 100 - j.p AS DOUBLE) AS y0
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, doc_id % 4)) AS p) j
+      WHERE doc_id % 3 = 0
+    ),
+    ml AS (
+      SELECT doc_id, j.p AS part, 2 AS gtype, 3 AS npts,
+             CAST(j.p * 10 + doc_id % 50 AS DOUBLE) AS x0,
+             CAST(doc_id % 20 AS DOUBLE) AS y0
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, 1)) AS p) j
+      WHERE doc_id % 3 = 1
+    ),
+    mpoly AS (
+      SELECT doc_id, j.p AS part, 3 AS gtype, 4 AS npts,
+             CAST(doc_id % 50 + 5 * j.p AS DOUBLE) AS x0,
+             CAST(doc_id % 30 + 3 * j.p AS DOUBLE) AS y0
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, doc_id % 2)) AS p) j
+      WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, CAST(part AS INT) AS part, CAST(gtype AS INT) AS gtype,
+           CAST(npts AS INT) AS npts, x0, y0
+    FROM (SELECT * FROM mp UNION ALL SELECT * FROM ml
+          UNION ALL SELECT * FROM mpoly)
+    ORDER BY doc_id, part
+    """,
+    desc="ogr2ogr -explodecollections (ogr2ogr_lib.cpp:6569-6610): one "
+         "feature per Multi* part, attributes duplicated — single Arrow "
+         "map stage, partitioning preserved; fixture Multi* WKB built "
+         "from doc_id formulas, oracle re-derives parts relationally",
+)
+def explode_collections_q(spark, sf_dir):
+    from ..operators import geometry as ge
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    multi = ge.synth_multi_col_rows(docs)
+    out = ge.explode_collections(multi)
+    return out.select("doc_id", "part", "gtype", "npts", "x0", "y0") \
+        .orderBy("doc_id", "part")
