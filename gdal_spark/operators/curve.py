@@ -244,3 +244,46 @@ def curve_to_line(df: DataFrame, id_col: str = "arc_id",
         F.when(F.col("swap"), F.col("cnt") - 1 - F.col("fwd"))
          .otherwise(F.col("fwd")).cast("int").alias("vi"),
         "x", "y")
+
+
+MAX_SEGS = 16  # composite-key packing bound for compound curves
+
+
+def compound_curve_to_line(df: DataFrame, id_col: str = "curve_id",
+                           seg_col: str = "seg",
+                           max_step_deg: float = DEFAULT_ARC_STEP_DEG
+                           ) -> DataFrame:
+    """CompoundCurve -> LineString (OGRCompoundCurve::CurveToLineInternal,
+    /root/reference/ogr/ogrcompoundcurve.cpp:309-325): each segment is
+    linearized independently, then concatenated skipping every
+    segment's first vertex except the first segment's
+    (addSubLineString(poSubLS, iGeom == 0 ? 0 : 1)).
+
+    Input rows: (id_col, seg_col, kind in {'arc','line'}, x0..y2) —
+    'arc' segments are CircularString triples, 'line' segments carry
+    their 3 vertices verbatim (CurveToLine on a LineString is the
+    identity).  At most MAX_SEGS segments per curve (composite-key
+    packing for the per-arc stroke).  Output: (id_col, vi, x, y).
+    """
+    arcs = df.filter(F.col("kind") == "arc").select(
+        (F.col(id_col) * MAX_SEGS + F.col(seg_col)).alias("cid"),
+        "x0", "y0", "x1", "y1", "x2", "y2")
+    arc_v = curve_to_line(arcs, id_col="cid",
+                          max_step_deg=max_step_deg).select(
+        F.floor(F.col("cid") / MAX_SEGS).cast("long").alias(id_col),
+        (F.col("cid") % MAX_SEGS).alias(seg_col), "vi", "x", "y")
+    line_v = df.filter(F.col("kind") == "line").select(
+        id_col, seg_col,
+        F.posexplode(F.array(
+            F.struct(F.col("x0").alias("x"), F.col("y0").alias("y")),
+            F.struct(F.col("x1").alias("x"), F.col("y1").alias("y")),
+            F.struct(F.col("x2").alias("x"), F.col("y2").alias("y")),
+        )).alias("vi", "pt")).select(
+        id_col, seg_col, "vi", F.col("pt.x").alias("x"),
+        F.col("pt.y").alias("y"))
+    allv = arc_v.unionByName(line_v).filter(
+        (F.col(seg_col) == 0) | (F.col("vi") > 0))
+    w = Window.partitionBy(id_col).orderBy(seg_col, "vi")
+    return allv.select(
+        id_col, (F.row_number().over(w) - 1).cast("int").alias("vi"),
+        "x", "y")

@@ -817,3 +817,117 @@ def explode_collections_q(spark, sf_dir):
     out = ge.explode_collections(multi)
     return out.select("doc_id", "part", "gtype", "npts", "x0", "y0") \
         .orderBy("doc_id", "part")
+
+
+# ---------------------------------------------- compound-curve stroke
+_CC_AX0 = "CAST(doc_id % 90 AS DOUBLE)"
+_CC_AY0 = "CAST((3 * doc_id) % 80 AS DOUBLE)"
+
+# per segment: (kind, [x0,y0,x1,y1,x2,y2] in terms of ax0/ay0/doc_id)
+_CC_SEGS = [
+    ("line", ["ax0", "ay0", "ax0 + 2 + doc_id % 3", "ay0 + 1 + doc_id % 4",
+              "ax0 + 5", "ay0 + 3"]),
+    ("arc",  ["ax0 + 5", "ay0 + 3", "ax0 + 8 + doc_id % 5",
+              "ay0 + 7 + doc_id % 3", "ax0 + 11", "ay0 + 2"]),
+    ("line", ["ax0 + 11", "ay0 + 2", "ax0 + 13", "ay0 + 2 - doc_id % 3",
+              "ax0 + 15 + doc_id % 4", "ay0 - 1"]),
+]
+
+
+def _cc_expr(s: str) -> str:
+    return s.replace("ax0", f"({_CC_AX0})").replace("ay0", f"({_CC_AY0})")
+
+
+def _cc_oracle_sql() -> str:
+    arc = [_cc_expr(s) for s in _CC_SEGS[1][1]]
+    base = ("SELECT doc_id AS curve_id, "
+            + ", ".join(f"{e} AS {n}" for n, e in
+                        zip(["x0", "y0", "x1", "y1", "x2", "y2"], arc))
+            + " FROM documents")
+    line_parts = []
+    for si in (0, 2):
+        ex = [_cc_expr(s) for s in _CC_SEGS[si][1]]
+        for vi in range(3):
+            line_parts.append(
+                f"SELECT doc_id AS curve_id, {si} AS seg, {vi} AS vi, "
+                f"{ex[2 * vi]} AS x, {ex[2 * vi + 1]} AS y FROM documents")
+    lines = " UNION ALL ".join(line_parts)
+    final = f"""
+    SELECT curve_id, CAST(gvi AS INT) AS vi,
+           ROUND(x, 4) AS x, ROUND(y, 4) AS y
+    FROM (
+      SELECT curve_id, x, y,
+             ROW_NUMBER() OVER (PARTITION BY curve_id ORDER BY seg, vi) - 1
+               AS gvi
+      FROM (
+        SELECT * FROM (
+          SELECT curve_id, 1 AS seg,
+                 CASE WHEN swap THEN cnt - 1 - fwd ELSE fwd END AS vi, x, y
+          FROM (
+            SELECT curve_id, swap, x, y,
+                   ROW_NUMBER() OVER (PARTITION BY curve_id
+                                      ORDER BY ord, k) - 1 AS fwd,
+                   COUNT(*) OVER (PARTITION BY curve_id) AS cnt
+            FROM (
+              SELECT curve_id, swap, 0 AS ord, 0 AS k, ax AS x, ay AS y
+              FROM {{last}}
+              UNION ALL
+              SELECT curve_id, swap, 1 AS ord, kk.k AS k,
+                     {_cv.STROKE_X.format(a='al0', s='stepa')} AS x,
+                     {_cv.STROKE_Y.format(a='al0', s='stepa')} AS y
+              FROM {{last}} p,
+                   LATERAL (SELECT unnest(generate_series(1, p.nsa - 1))
+                            AS k) kk
+              WHERE {_cv.STROKE_KEEP.format(a='al0', b='al1', s='stepa')}
+              UNION ALL
+              SELECT curve_id, swap, 2 AS ord, 0 AS k, x1 AS x, y1 AS y
+              FROM {{last}}
+              UNION ALL
+              SELECT curve_id, swap, 3 AS ord, kk.k AS k,
+                     {_cv.STROKE_X.format(a='al1', s='stepb')} AS x,
+                     {_cv.STROKE_Y.format(a='al1', s='stepb')} AS y
+              FROM {{last}} p,
+                   LATERAL (SELECT unnest(generate_series(1, p.nsb - 1))
+                            AS k) kk
+              WHERE {_cv.STROKE_KEEP.format(a='al1', b='al2', s='stepb')}
+              UNION ALL
+              SELECT curve_id, swap, 4 AS ord, 0 AS k, ex AS x, ey AS y
+              FROM {{last}}
+            ) v
+          ) i
+        )
+        UNION ALL ({lines})
+      ) allv
+      WHERE seg = 0 OR vi > 0
+    ) g
+    ORDER BY curve_id, vi
+    """
+    return _steps_to_cte(base, _cv.arc_param_steps(_ARC_STEP_RAD), final)
+
+
+@register(
+    "compound_curve",
+    sql=_cc_oracle_sql(),
+    desc="CompoundCurve -> LineString (ogrcompoundcurve.cpp:309-325 "
+         "CurveToLineInternal): line + arc + line segments linearized "
+         "independently, concatenated skipping each non-first segment's "
+         "start vertex (addSubLineString joint rule); arc stroke shares "
+         "the curve_to_line kernel, oracle restates everything in SQL",
+)
+def compound_curve_q(spark, sf_dir):
+    from ..operators import curve as cvo
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    segs = None
+    for i, (kind, ex) in enumerate(_CC_SEGS):
+        e = [_cc_expr(s) for s in ex]
+        part = docs.select(
+            F.col("doc_id").alias("curve_id"), F.lit(i).alias("seg"),
+            F.lit(kind).alias("kind"),
+            *[F.expr(txt).cast("double").alias(c)
+              for c, txt in zip(["x0", "y0", "x1", "y1", "x2", "y2"], e)])
+        segs = part if segs is None else segs.unionByName(part)
+    out = cvo.compound_curve_to_line(segs)
+    return out.select(
+        "curve_id", "vi", F.round("x", 4).alias("x"),
+        F.round("y", 4).alias("y")).orderBy("curve_id", "vi")

@@ -157,3 +157,33 @@ def test_plan_shape(spark):
     plan = cv.curve_to_line(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("Generate") == 2  # the two sequence-explode strokes
+
+
+def test_compound_curve_joint_rule(spark):
+    # line + arc + line; joints must appear exactly once
+    # (ogrcompoundcurve.cpp:309-325)
+    segs = [
+        (5, 0, "line", 0.0, 0.0, 1.0, 0.5, 2.0, 1.0),
+        (5, 1, "arc", 2.0, 1.0, 3.0, 2.0, 4.0, 1.0),
+        (5, 2, "line", 4.0, 1.0, 5.0, 0.5, 6.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        segs, "curve_id long, seg int, kind string, x0 double, y0 double, "
+        "x1 double, y1 double, x2 double, y2 double")
+    got = sorted(cv.compound_curve_to_line(df).collect(),
+                 key=lambda r: r["vi"])
+    ref = []
+    for _, si, kind, *pts in segs:
+        if kind == "arc":
+            sub = serial_curve_to_line(*pts)
+        else:
+            sub = [(pts[0], pts[1]), (pts[2], pts[3]), (pts[4], pts[5])]
+        ref.extend(sub if si == 0 else sub[1:])
+    assert len(got) == len(ref)
+    assert [r["vi"] for r in got] == list(range(len(ref)))
+    for r, (x, y) in zip(got, ref):
+        assert r["x"] == pytest.approx(x, abs=1e-9)
+        assert r["y"] == pytest.approx(y, abs=1e-9)
+    # joints (2,1) and (4,1) each appear exactly once
+    coords = [(round(r["x"], 6), round(r["y"], 6)) for r in got]
+    assert coords.count((2.0, 1.0)) == 1 and coords.count((4.0, 1.0)) == 1
