@@ -1,0 +1,100 @@
+"""Declarative vector pipeline runner (jobs/vector_pipeline.py) vs
+direct operator composition."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+from vector_pipeline import run_vector_pipeline  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def test_read_filter_select_matches_direct(spark):
+    steps = [
+        {"step": "read", "format": "parquet",
+         "path": f"{SF}/documents.parquet"},
+        {"step": "filter", "where": "doc_id % 2 = 0"},
+        {"step": "select", "fields": ["doc_id"]},
+    ]
+    got = run_vector_pipeline(spark, steps)
+    ref = (spark.read.parquet(f"{SF}/documents.parquet")
+           .filter("doc_id % 2 = 0").select("doc_id"))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_reproject_and_swap(spark):
+    steps = [
+        {"step": "read", "format": "parquet",
+         "path": f"{SF}/documents.parquet"},
+        {"step": "select", "fields": ["doc_id"]},
+        {"step": "filter", "where": "doc_id < 100"},
+    ]
+    df = run_vector_pipeline(spark, steps).withColumn(
+        "lon", (F.col("doc_id") % 60).cast("double")).withColumn(
+        "lat", (F.col("doc_id") % 40).cast("double"))
+    df.createOrReplaceTempView("pts")
+    out = run_vector_pipeline(spark, [
+        {"step": "read", "format": "parquet",
+         "path": f"{SF}/documents.parquet"},
+        {"step": "filter", "where": "doc_id < 0"},  # placeholder read
+    ])
+    # reproject + swap on an existing frame via the step fns directly
+    from vector_pipeline import _reproject, _swap_xy
+    m = _reproject(spark, df, {"dst": "EPSG:3857"})
+    assert {"x", "y"} <= set(m.columns)
+    row = m.filter("doc_id = 30").select("x", "y").first()
+    assert row["x"] == pytest.approx(30 * 20037508.342789244 / 180, rel=1e-9)
+    s = _swap_xy(spark, m, {"x": "x", "y": "y"})
+    r2 = s.filter("doc_id = 30").select("x", "y").first()
+    assert (r2["x"], r2["y"]) == (row["y"], row["x"])
+    assert out.count() == 0
+
+
+def test_unknown_step_fails_fast(spark):
+    with pytest.raises(ValueError, match="unknown step"):
+        run_vector_pipeline(spark, [
+            {"step": "read", "format": "parquet",
+             "path": f"{SF}/documents.parquet"},
+            {"step": "frobnicate"},
+        ])
+    with pytest.raises(ValueError, match="must start with"):
+        run_vector_pipeline(spark, [{"step": "filter", "where": "1=1"}])
+
+
+def test_lineage_write_resumes(spark, tmp_path):
+    out_dir = str(tmp_path / "vp_out")
+    steps = [
+        {"step": "read", "format": "parquet",
+         "path": f"{SF}/documents.parquet"},
+        {"step": "select", "fields": ["doc_id"]},
+        {"step": "write", "path": out_dir, "units": 4,
+         "run_id": "r1", "stage": "write"},
+    ]
+    run_vector_pipeline(spark, steps)
+    from gdal_spark.operators import lineage as ln
+    done = ln.committed_units(spark, out_dir, "write").count()
+    assert done == 4
+    # second run: nothing pending, lineage unchanged
+    steps[-1]["run_id"] = "r2"
+    run_vector_pipeline(spark, steps)
+    assert ln.committed_units(spark, out_dir, "write").count() == 4
+    back = spark.read.parquet(os.path.join(out_dir, "data"))
+    ref = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    assert back.count() == ref.count()
+
+
+def test_sql_step_ogr_dialect(spark):
+    steps = [
+        {"step": "read", "format": "parquet",
+         "path": f"{SF}/documents.parquet"},
+        {"step": "sql", "layer": "input",
+         "statement": "SELECT doc_id FROM input WHERE doc_id < 10"},
+    ]
+    got = run_vector_pipeline(spark, steps)
+    assert got.count() == 10
