@@ -776,3 +776,39 @@ def translate_window(tiles: DataFrame, x0: int, y0: int, w: int, h: int,
 
     return frags.groupBy("otx", "oty").applyInPandas(
         _assemble, "tx long, ty long, px binary")
+
+
+def tile_index(tiles: DataFrame, grid: "TileGrid", zoom: int,
+               tx_col: str = "tx", ty_col: str = "ty") -> DataFrame:
+    """gdaltindex role (/root/reference/apps/gdaltindex_lib.cpp:1060-
+    1072 corner walk, :1240 ring write): one index feature per
+    distinct tile with a location key, the tile envelope, and its
+    extent polygon as WKT — corners in the reference's north-up order
+    top-left, top-right, bottom-right, bottom-left, closed.
+
+    Pure Column plan: groupBy(tile) count (partial+final), then
+    arithmetic on the tile key — the manifest of a 10^12-cell tile
+    set is one aggregate over the tile table, no Python.
+    """
+    ts = grid.tile_span(zoom)
+    xmin = F.lit(grid.top_left_x) + F.col(tx_col) * F.lit(ts)
+    ymax = F.lit(grid.top_left_y) - F.col(ty_col) * F.lit(ts)
+    xmax = xmin + F.lit(ts)
+    ymin = ymax - F.lit(ts)
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        xmin.cast("string"), F.lit(" "), ymax.cast("string"), F.lit(","),
+        xmax.cast("string"), F.lit(" "), ymax.cast("string"), F.lit(","),
+        xmax.cast("string"), F.lit(" "), ymin.cast("string"), F.lit(","),
+        xmin.cast("string"), F.lit(" "), ymin.cast("string"), F.lit(","),
+        xmin.cast("string"), F.lit(" "), ymax.cast("string"), F.lit("))"))
+    return (tiles.groupBy(tx_col, ty_col)
+            .agg(F.count("*").alias("n_rows"))
+            .select(
+                F.concat(F.lit(f"{zoom}/"), F.col(tx_col).cast("string"),
+                         F.lit("/"), F.col(ty_col).cast("string"))
+                 .alias("location"),
+                F.col(tx_col), F.col(ty_col), F.col("n_rows"),
+                xmin.alias("xmin"), ymin.alias("ymin"),
+                xmax.alias("xmax"), ymax.alias("ymax"),
+                wkt.alias("wkt")))

@@ -2670,3 +2670,49 @@ def warp_utm_inverse_q(spark, sf_dir):
                     "v": t.ravel().astype(np.int64)})
 
     return out.mapInPandas(_rows, "r long, c long, v long").orderBy("r", "c")
+
+
+# ------------------------------------------------------------ gdaltindex
+@register(
+    "tile_index",
+    sql="""
+    WITH tiles AS (
+      SELECT doc_id % 8 AS tx, (doc_id // 8) % 8 AS ty FROM documents
+    ),
+    agg AS (
+      SELECT tx, ty, COUNT(*) AS n_rows FROM tiles GROUP BY tx, ty
+    ),
+    b AS (
+      SELECT tx, ty, n_rows,
+             0.0 + CAST(tx AS DOUBLE) * 32.0 AS xmin,
+             256.0 - CAST(ty AS DOUBLE) * 32.0 - 32.0 AS ymin,
+             0.0 + CAST(tx AS DOUBLE) * 32.0 + 32.0 AS xmax,
+             256.0 - CAST(ty AS DOUBLE) * 32.0 AS ymax
+      FROM agg
+    )
+    SELECT '3/' || CAST(tx AS VARCHAR) || '/' || CAST(ty AS VARCHAR)
+             AS location,
+           tx, ty, n_rows, xmin, ymin, xmax, ymax,
+           'POLYGON((' || CAST(xmin AS VARCHAR) || ' '
+             || CAST(ymax AS VARCHAR) || ','
+             || CAST(xmax AS VARCHAR) || ' ' || CAST(ymax AS VARCHAR) || ','
+             || CAST(xmax AS VARCHAR) || ' ' || CAST(ymin AS VARCHAR) || ','
+             || CAST(xmin AS VARCHAR) || ' ' || CAST(ymin AS VARCHAR) || ','
+             || CAST(xmin AS VARCHAR) || ' ' || CAST(ymax AS VARCHAR) || '))'
+             AS wkt
+    FROM b ORDER BY tx, ty
+    """,
+    desc="gdaltindex role (gdaltindex_lib.cpp:1060-1072,1240): one index "
+         "feature per tile — location key, envelope, extent polygon WKT in "
+         "the reference's corner order; partial+final count aggregate, "
+         "pure Column, no Python",
+)
+def tile_index_q(spark, sf_dir):
+    from . import t as _t
+    from ..operators.raster_tile import tile_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("tx"),
+        (F.floor(F.col("doc_id") / 8) % 8).cast("long").alias("ty"))
+    grid = TileGrid(0.0, 256.0, 256.0)
+    return tile_index(docs, grid, 3).orderBy("tx", "ty")

@@ -364,3 +364,23 @@ def test_translate_window_matches_slice(spark):
             canvas[r["ty"]*ots:(r["ty"]+1)*ots,
                    r["tx"]*ots:(r["tx"]+1)*ots] = t
         assert (canvas[:h, :w] == full[y0:y0+h, x0:x0+w]).all(), (x0, y0)
+
+
+def test_tile_index_manifest(spark):
+    # gdaltindex role: envelope + ring order top-left -> top-right ->
+    # bottom-right -> bottom-left -> close (gdaltindex_lib.cpp:1060-1072)
+    from gdal_spark.kernels.cells import TileGrid
+    from gdal_spark.operators.raster_tile import tile_index
+
+    tiles = spark.createDataFrame(
+        [(0, 0), (0, 0), (1, 2)], "tx long, ty long")
+    grid = TileGrid(0.0, 256.0, 256.0)
+    rows = {(r["tx"], r["ty"]): r
+            for r in tile_index(tiles, grid, 3).collect()}
+    assert rows[(0, 0)]["n_rows"] == 2 and rows[(1, 2)]["n_rows"] == 1
+    r = rows[(1, 2)]
+    assert (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) == \
+        (32.0, 160.0, 64.0, 192.0)
+    assert r["location"] == "3/1/2"
+    assert r["wkt"] == ("POLYGON((32.0 192.0,64.0 192.0,64.0 160.0,"
+                        "32.0 160.0,32.0 192.0))")
