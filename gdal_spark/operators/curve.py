@@ -287,3 +287,33 @@ def compound_curve_to_line(df: DataFrame, id_col: str = "curve_id",
     return allv.select(
         id_col, (F.row_number().over(w) - 1).cast("int").alias("vi"),
         "x", "y")
+
+
+MAX_RINGS = 64  # composite-key packing bound for curve polygons
+
+
+def curve_polygon_to_polygon(df: DataFrame, id_col: str = "poly_id",
+                             ring_col: str = "ring", seg_col: str = "seg",
+                             max_step_deg: float = DEFAULT_ARC_STEP_DEG
+                             ) -> DataFrame:
+    """CurvePolygon -> Polygon (OGRCurvePolygon::CurvePolyToPoly,
+    /root/reference/ogr/ogrcurvepolygon.cpp:578-596): every ring is
+    CurveToLine'd independently (compound rings supported — each ring
+    is a compound-curve segment list) and re-attached to its polygon.
+    Closure is a data property: a valid input ring's last segment ends
+    where the first begins, so the stroked ring closes exactly (the
+    endpoint vertices are emitted verbatim, never recomputed).
+
+    Input rows: (id_col, ring_col, seg_col, kind, x0..y2); output
+    (id_col, ring_col, vi, x, y) with vi the per-ring vertex index.
+    """
+    packed = df.select(
+        (F.col(id_col) * MAX_RINGS + F.col(ring_col)).alias("rkey"),
+        F.col(seg_col).alias("seg"), "kind",
+        "x0", "y0", "x1", "y1", "x2", "y2")
+    v = compound_curve_to_line(packed, id_col="rkey", seg_col="seg",
+                               max_step_deg=max_step_deg)
+    return v.select(
+        F.floor(F.col("rkey") / MAX_RINGS).cast("long").alias(id_col),
+        (F.col("rkey") % MAX_RINGS).cast("int").alias(ring_col),
+        "vi", "x", "y")

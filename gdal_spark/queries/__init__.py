@@ -125,6 +125,7 @@ _PRIORITY = [
     "pip_join_s2", "bpe_encode", "translate_srcwin", "ngram_lang_id",
     "warp_utm_near", "warp_utm_inverse", "media_decode", "curve_to_line",
     "explode_collections", "mdim_view", "compound_curve", "tile_index",
+    "curve_polygon",
 ]
 
 

@@ -931,3 +931,109 @@ def compound_curve_q(spark, sf_dir):
     return out.select(
         "curve_id", "vi", F.round("x", 4).alias("x"),
         F.round("y", 4).alias("y")).orderBy("curve_id", "vi")
+
+
+# ------------------------------------------------ curve polygon stroke
+# Closed ring: seg2 ends exactly where seg0 begins.
+_CP_SEGS = [
+    ("line", ["ax0", "ay0", "ax0 + 2 + doc_id % 3", "ay0 + 1 + doc_id % 4",
+              "ax0 + 5", "ay0 + 3"]),
+    ("arc",  ["ax0 + 5", "ay0 + 3", "ax0 + 8 + doc_id % 5",
+              "ay0 + 7 + doc_id % 3", "ax0 + 11", "ay0 + 2"]),
+    ("line", ["ax0 + 11", "ay0 + 2", "ax0 + 5", "ay0 + 1", "ax0", "ay0"]),
+]
+
+
+def _cp_oracle_sql() -> str:
+    arc = [_cc_expr(s) for s in _CP_SEGS[1][1]]
+    base = ("SELECT doc_id AS curve_id, "
+            + ", ".join(f"{e} AS {n}" for n, e in
+                        zip(["x0", "y0", "x1", "y1", "x2", "y2"], arc))
+            + " FROM documents")
+    line_parts = []
+    for si in (0, 2):
+        ex = [_cc_expr(s) for s in _CP_SEGS[si][1]]
+        for vi in range(3):
+            line_parts.append(
+                f"SELECT doc_id AS curve_id, {si} AS seg, {vi} AS vi, "
+                f"{ex[2 * vi]} AS x, {ex[2 * vi + 1]} AS y FROM documents")
+    lines = " UNION ALL ".join(line_parts)
+    final = f"""
+    SELECT curve_id AS poly_id, CAST(0 AS INT) AS ring, CAST(gvi AS INT)
+             AS vi, ROUND(x, 4) AS x, ROUND(y, 4) AS y
+    FROM (
+      SELECT curve_id, x, y,
+             ROW_NUMBER() OVER (PARTITION BY curve_id ORDER BY seg, vi) - 1
+               AS gvi
+      FROM (
+        SELECT * FROM (
+          SELECT curve_id, 1 AS seg,
+                 CASE WHEN swap THEN cnt - 1 - fwd ELSE fwd END AS vi, x, y
+          FROM (
+            SELECT curve_id, swap, x, y,
+                   ROW_NUMBER() OVER (PARTITION BY curve_id
+                                      ORDER BY ord, k) - 1 AS fwd,
+                   COUNT(*) OVER (PARTITION BY curve_id) AS cnt
+            FROM (
+              SELECT curve_id, swap, 0 AS ord, 0 AS k, ax AS x, ay AS y
+              FROM {{last}}
+              UNION ALL
+              SELECT curve_id, swap, 1 AS ord, kk.k AS k,
+                     {_cv.STROKE_X.format(a='al0', s='stepa')} AS x,
+                     {_cv.STROKE_Y.format(a='al0', s='stepa')} AS y
+              FROM {{last}} p,
+                   LATERAL (SELECT unnest(generate_series(1, p.nsa - 1))
+                            AS k) kk
+              WHERE {_cv.STROKE_KEEP.format(a='al0', b='al1', s='stepa')}
+              UNION ALL
+              SELECT curve_id, swap, 2 AS ord, 0 AS k, x1 AS x, y1 AS y
+              FROM {{last}}
+              UNION ALL
+              SELECT curve_id, swap, 3 AS ord, kk.k AS k,
+                     {_cv.STROKE_X.format(a='al1', s='stepb')} AS x,
+                     {_cv.STROKE_Y.format(a='al1', s='stepb')} AS y
+              FROM {{last}} p,
+                   LATERAL (SELECT unnest(generate_series(1, p.nsb - 1))
+                            AS k) kk
+              WHERE {_cv.STROKE_KEEP.format(a='al1', b='al2', s='stepb')}
+              UNION ALL
+              SELECT curve_id, swap, 4 AS ord, 0 AS k, ex AS x, ey AS y
+              FROM {{last}}
+            ) v
+          ) i
+        )
+        UNION ALL ({lines})
+      ) allv
+      WHERE seg = 0 OR vi > 0
+    ) g
+    ORDER BY poly_id, vi
+    """
+    return _steps_to_cte(base, _cv.arc_param_steps(_ARC_STEP_RAD), final)
+
+
+@register(
+    "curve_polygon",
+    sql=_cp_oracle_sql(),
+    desc="CurvePolygon -> Polygon (ogrcurvepolygon.cpp:578-596 "
+         "CurvePolyToPoly): each ring CurveToLine'd and re-attached; "
+         "fixture ring is line+arc+line CLOSED (last segment ends at the "
+         "first's start), closure verified by the stroked ring's first == "
+         "last vertex; oracle restates the whole kernel in SQL",
+)
+def curve_polygon_q(spark, sf_dir):
+    from ..operators import curve as cvo
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    segs = None
+    for i, (kind, ex) in enumerate(_CP_SEGS):
+        e = [_cc_expr(s) for s in ex]
+        part = docs.select(
+            F.col("doc_id").alias("poly_id"), F.lit(0).alias("ring"),
+            F.lit(i).alias("seg"), F.lit(kind).alias("kind"),
+            *[F.expr(txt).cast("double").alias(c)
+              for c, txt in zip(["x0", "y0", "x1", "y1", "x2", "y2"], e)])
+        segs = part if segs is None else segs.unionByName(part)
+    out = cvo.curve_polygon_to_polygon(segs)
+    return out.select(
+        "poly_id", "ring", "vi", F.round("x", 4).alias("x"),
+        F.round("y", 4).alias("y")).orderBy("poly_id", "vi")

@@ -15,6 +15,7 @@ operator — all over the engine's tile table convention
   scale          gdal_translate -scale    (gdalalg_raster_scale)
   hillshade / slope / aspect / tpi / tri / roughness
                  focal DEM derivatives    (gdalalg_raster_hillshade...)
+  clip           srcwin pixel-window crop (gdalalg_raster_clip)
   sieve          small-blob removal       (gdalalg_raster_sieve)
   fill-nodata    IDW ring fill            (gdalalg_raster_fill_nodata)
   proximity      distance transform       (gdalalg_raster_proximity)
@@ -103,6 +104,14 @@ def _proximity(spark, df, spec):
                            tile_size=spec.get("tile_size", 256))
 
 
+def _clip(spark, df, spec):
+    from gdal_spark.operators.raster_tile import translate_window
+    return translate_window(df, int(spec["x0"]), int(spec["y0"]),
+                            int(spec["w"]), int(spec["h"]),
+                            dtype=spec.get("dtype", "uint8"),
+                            tile_size=spec.get("tile_size", 256))
+
+
 def _overview(spark, df, spec):
     from gdal_spark.operators.raster_tile import pyramid_reduce
     return pyramid_reduce(df, int(spec["zoom"]),
@@ -146,6 +155,7 @@ STEPS = {
     "tpi": _focal("tpi"),
     "tri": _focal("tri"),
     "roughness": _focal("roughness"),
+    "clip": _clip,
     "sieve": _sieve,
     "fill-nodata": _fill_nodata,
     "proximity": _proximity,

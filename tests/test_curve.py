@@ -187,3 +187,31 @@ def test_compound_curve_joint_rule(spark):
     # joints (2,1) and (4,1) each appear exactly once
     coords = [(round(r["x"], 6), round(r["y"], 6)) for r in got]
     assert coords.count((2.0, 1.0)) == 1 and coords.count((4.0, 1.0)) == 1
+
+
+def test_curve_polygon_rings(spark):
+    # one CurvePolygon: exterior = line+arc closing back, hole = 3 lines
+    segs = [
+        # exterior ring 0: line (0,0)->(4,0), arc (4,0)->(2,3)->(0,0)
+        (9, 0, 0, "line", 0.0, 0.0, 2.0, 0.0, 4.0, 0.0),
+        (9, 0, 1, "arc", 4.0, 0.0, 2.0, 3.0, 0.0, 0.0),
+        # hole ring 1: triangle of 3 line segments (closed)
+        (9, 1, 0, "line", 1.0, 0.5, 1.5, 0.5, 2.0, 0.5),
+        (9, 1, 1, "line", 2.0, 0.5, 1.75, 1.0, 1.5, 1.5),
+        (9, 1, 2, "line", 1.5, 1.5, 1.25, 1.0, 1.0, 0.5),
+    ]
+    df = spark.createDataFrame(
+        segs, "poly_id long, ring int, seg int, kind string, x0 double, "
+        "y0 double, x1 double, y1 double, x2 double, y2 double")
+    rows = cv.curve_polygon_to_polygon(df).collect()
+    rings = {}
+    for r in rows:
+        rings.setdefault(r["ring"], {})[r["vi"]] = (r["x"], r["y"])
+    # both rings closed: first vertex == last vertex
+    for rid, pts in rings.items():
+        seq = [pts[i] for i in range(len(pts))]
+        assert seq[0] == seq[-1], rid
+    # exterior has stroked arc vertices, hole has exactly 7 (3 segs * 3
+    # pts, two joints deduped... 9 - 2 = 7)
+    assert len(rings[1]) == 7
+    assert len(rings[0]) > 10

@@ -72,3 +72,17 @@ def test_unknown_step(spark, tile_parquet):
             {"step": "read", "path": tile_parquet},
             {"step": "warp-to-mars"},
         ])
+
+
+def test_clip_step(spark, tile_parquet):
+    out = run_raster_pipeline(spark, [
+        {"step": "read", "path": tile_parquet},
+        {"step": "clip", "x0": 4, "y0": 4, "w": 8, "h": 8,
+         "tile_size": TS},
+    ])
+    from gdal_spark.operators.raster_tile import translate_window
+    ref = translate_window(spark.read.parquet(tile_parquet), 4, 4, 8, 8,
+                           tile_size=TS)
+    got = {(r["tx"], r["ty"]): bytes(r["px"]) for r in out.collect()}
+    want = {(r["tx"], r["ty"]): bytes(r["px"]) for r in ref.collect()}
+    assert got == want and got
