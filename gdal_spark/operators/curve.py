@@ -246,7 +246,7 @@ def curve_to_line(df: DataFrame, id_col: str = "arc_id",
         "x", "y")
 
 
-MAX_SEGS = 16  # composite-key packing bound for compound curves
+MAX_SEGS = 1024  # composite-key packing bound for compound curves
 
 
 def compound_curve_to_line(df: DataFrame, id_col: str = "curve_id",
@@ -317,3 +317,38 @@ def curve_polygon_to_polygon(df: DataFrame, id_col: str = "poly_id",
         F.floor(F.col("rkey") / MAX_RINGS).cast("long").alias(id_col),
         (F.col("rkey") % MAX_RINGS).cast("int").alias(ring_col),
         "vi", "x", "y")
+
+
+def circularstring_to_line(df: DataFrame, id_col: str = "cs_id",
+                           vi_col: str = "vi", x_col: str = "x",
+                           y_col: str = "y",
+                           max_step_deg: float = DEFAULT_ARC_STEP_DEG
+                           ) -> DataFrame:
+    """Multi-arc CircularString -> LineString
+    (OGRCircularString::CurveToLine,
+    /root/reference/ogr/ogrcircularstring.cpp:646-664): vertices
+    2j, 2j+1, 2j+2 form arc j (i += 2 walk), each stroked by
+    curveToLineString and concatenated skipping every non-first arc's
+    start vertex — i.e. exactly a compound curve whose segments are
+    all arcs.  Input: a vertex table (id, vi, x, y) with odd point
+    count per string; output (id, vi, x, y) re-indexed.
+
+    The triple reshape is two window leads (one shuffle by string id,
+    shared with the final re-index); the stroke reuses the
+    compound-curve kernel.  Up to MAX_SEGS arcs per string.
+    """
+    w = Window.partitionBy(id_col).orderBy(vi_col)
+    segs = (df.select(
+                F.col(id_col), F.col(vi_col).alias("vi"),
+                F.col(x_col).alias("x0"), F.col(y_col).alias("y0"),
+                F.lead(x_col, 1).over(w).alias("x1"),
+                F.lead(y_col, 1).over(w).alias("y1"),
+                F.lead(x_col, 2).over(w).alias("x2"),
+                F.lead(y_col, 2).over(w).alias("y2"))
+            .filter((F.col("vi") % 2 == 0) & F.col("x2").isNotNull())
+            .select(F.col(id_col),
+                    (F.col("vi") / 2).cast("int").alias("seg"),
+                    F.lit("arc").alias("kind"),
+                    "x0", "y0", "x1", "y1", "x2", "y2"))
+    return compound_curve_to_line(segs, id_col=id_col, seg_col="seg",
+                                  max_step_deg=max_step_deg)

@@ -215,3 +215,21 @@ def test_curve_polygon_rings(spark):
     # pts, two joints deduped... 9 - 2 = 7)
     assert len(rings[1]) == 7
     assert len(rings[0]) > 10
+
+
+def test_circularstring_multi_arc(spark):
+    # 5 points = 2 arcs (ogrcircularstring.cpp:646-664 i += 2 walk)
+    pts = [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0), (3.0, -1.0), (4.0, 0.0)]
+    df = spark.createDataFrame(
+        [(1, i, x, y) for i, (x, y) in enumerate(pts)],
+        "cs_id long, vi int, x double, y double")
+    got = sorted(cv.circularstring_to_line(df).collect(),
+                 key=lambda r: r["vi"])
+    ref = []
+    for j in (0, 2):
+        sub = serial_curve_to_line(*pts[j], *pts[j + 1], *pts[j + 2])
+        ref.extend(sub if j == 0 else sub[1:])
+    assert len(got) == len(ref)
+    for r, (x, y) in zip(got, ref):
+        assert r["x"] == pytest.approx(x, abs=1e-9)
+        assert r["y"] == pytest.approx(y, abs=1e-9)
