@@ -728,6 +728,26 @@ def _st_length_spheroid(bs: pd.Series) -> pd.Series:
     return bs.map(one)
 
 
+def _st_curvetoline(bs: pd.Series) -> pd.Series:
+    """CircularString WKB -> linearized LineString WKB
+    (OGR_G_CurveToLine / OGRCircularString::CurveToLine,
+    ogrcircularstring.cpp:646-664 via the serial stroke kernel
+    kernels/arc.py); already-linear geometries pass through unchanged
+    (GetLinearGeometry clone semantics).  Bulk path: the distributed
+    operators/curve.py."""
+    from ..kernels import arc as karc
+
+    def one(b):
+        if b is None:
+            return None
+        t, p = _parse(b)
+        if t == kwkb.CIRCULARSTRING:
+            pts = karc.circularstring_to_line(p)
+            return kwkb.wkb_linestring(np.asarray(pts, dtype=np.float64))
+        return bytes(b)
+    return bs.map(one)
+
+
 _REGISTRY = [
     ("st_makepoint", _st_makepoint, BinaryType()),
     ("st_astext", _st_astext, StringType()),
@@ -761,6 +781,7 @@ _REGISTRY = [
     ("st_simplify", _st_simplify, BinaryType()),
     ("st_makevalid", _st_makevalid, BinaryType()),
     ("st_buffer", _st_buffer, BinaryType()),
+    ("st_curvetoline", _st_curvetoline, BinaryType()),
     ("st_area_spheroid", _st_area_spheroid, DoubleType()),
     ("st_length_spheroid", _st_length_spheroid, DoubleType()),
 ]

@@ -18,6 +18,7 @@ import numpy as np
 
 POINT, LINESTRING, POLYGON = 1, 2, 3
 MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 4, 5, 6
+CIRCULARSTRING = 8  # curved subset: same payload layout as LineString
 
 _LE = 1  # little-endian byte-order marker; we always emit LE
 
@@ -33,6 +34,12 @@ def _pack_ring(ring) -> bytes:
 
 def wkb_linestring(coords) -> bytes:
     return struct.pack("<BI", _LE, LINESTRING) + _pack_ring(coords)
+
+
+def wkb_circularstring(coords) -> bytes:
+    """CircularString WKB (type 8, ogr_core.h:422): arc triples, same
+    body layout as LineString."""
+    return struct.pack("<BI", _LE, CIRCULARSTRING) + _pack_ring(coords)
 
 
 def wkb_polygon(rings) -> bytes:
@@ -89,10 +96,10 @@ def _parse_at(buf: memoryview, off: int):
     if gtype == POINT:
         x, y = struct.unpack_from(bo + "dd", buf, off)
         return (POINT, (x, y)), off + 16
-    if gtype == LINESTRING:
+    if gtype in (LINESTRING, CIRCULARSTRING):
         (n,) = struct.unpack_from(bo + "I", buf, off)
         a = np.frombuffer(buf, dtype=bo + "f8", count=2 * n, offset=off + 4)
-        return (LINESTRING, a.reshape(n, 2).astype(np.float64)), off + 4 + 16 * n
+        return (gtype, a.reshape(n, 2).astype(np.float64)), off + 4 + 16 * n
     if gtype == POLYGON:
         (nr,) = struct.unpack_from(bo + "I", buf, off)
         off += 4

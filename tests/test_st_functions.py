@@ -295,3 +295,34 @@ def test_vectorized_contains_matches_scalar_10k(st):
                       for a, b in zip(pa[:500], pb[:500])])
     assert list(fast[:500]) == list(slow)
     assert dt_fast < 2.0, f"vectorized contains took {dt_fast:.2f}s for 10k"
+
+
+def test_st_curvetoline(spark):
+    import numpy as np
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.kernels import wkb as kw
+    from gdal_spark.operators import curve as cv
+
+    register_st_functions(spark)
+    pts = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0],
+                    [3.0, -1.0], [4.0, 0.0]])
+    cs = kw.wkb_circularstring(pts)
+    ls = kw.wkb_linestring(pts[:3])
+    df = spark.createDataFrame(
+        [(1, bytearray(cs)), (2, bytearray(ls))], "i long, g binary")
+    df.createOrReplaceTempView("curves")
+    rows = {r["i"]: bytes(r["o"]) for r in spark.sql(
+        "SELECT i, ST_CurveToLine(g) AS o FROM curves").collect()}
+    # linear geometry passes through byte-identical
+    assert rows[2] == ls
+    t, out = kw.parse_wkb(rows[1])
+    assert t == kw.LINESTRING
+    # parity with the distributed stroke
+    vdf = spark.createDataFrame(
+        [(1, i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "cs_id long, vi int, x double, y double")
+    ref = sorted(cv.circularstring_to_line(vdf).collect(),
+                 key=lambda r: r["vi"])
+    assert len(out) == len(ref)
+    for (x, y), r in zip(out, ref):
+        assert abs(x - r["x"]) < 1e-9 and abs(y - r["y"]) < 1e-9
