@@ -158,3 +158,61 @@ def test_stream_spatial_join_parity(spark, dirs):
         spark.read.parquet(in_dir), polys, dv.GRID, zoom=6)
     want = sorted((r["doc_id"], r["fid"]) for r in want_df.collect())
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_events(spark, dirs):
+    """Late-data semantics: an event older than (max event time -
+    watermark) arriving in a later micro-batch is DROPPED by the
+    watermark (withWatermark + update-mode groupBy), while an event
+    inside the watermark is accepted — the engine's rendering of the
+    reference pipeline's bounded-lateness contract."""
+    in_dir, out_dir, ckpt = dirs
+    base = 1700000000
+
+    def _pts(ids_ts):
+        return spark.createDataFrame(
+            [(i, 5.0, 5.0) for i, _ in ids_ts],
+            "doc_id long, x double, y double").join(
+            spark.createDataFrame(ids_ts, "doc_id long, sec long"),
+            "doc_id").select(
+            "doc_id", "x", "y",
+            F.timestamp_seconds(F.col("sec")).alias("ts"))
+
+    # batch 1: events spread over ~3.3 h -> watermark = max - 2 h
+    b1 = [(i, base + i * 120) for i in range(100)]
+    _pts(b1).write.mode("overwrite").parquet(in_dir)
+    stream = stream_docs_from_files(spark, in_dir, SCHEMA)
+    agg = windowed_cell_counts(stream, dv.GRID, zoom=4,
+                               window="1 hour", watermark="2 hours")
+    write_stream_with_lineage(agg, out_dir, "r1", "w", ckpt) \
+        .awaitTermination(120)
+
+    # batch 2: one event far BEFORE the watermark (dropped) and one
+    # inside it (kept)
+    b2 = [(1000, base), (1001, base + 11000)]
+    _pts(b2).write.mode("append").parquet(in_dir)
+    stream2 = stream_docs_from_files(spark, in_dir, SCHEMA)
+    agg2 = windowed_cell_counts(stream2, dv.GRID, zoom=4,
+                                window="1 hour", watermark="2 hours")
+    write_stream_with_lineage(agg2, out_dir, "r2", "w", ckpt) \
+        .awaitTermination(120)
+
+    rows = ln.read_stage(spark, out_dir).collect()
+    latest = {}
+    for r in rows:
+        key = r["wstart"]
+        latest[key] = max(latest.get(key, 0), r["n_docs"])
+    import datetime as dt
+
+    def wstart(sec):
+        return dt.datetime.fromtimestamp(sec - sec % 3600)
+
+    # first window keeps its batch-1 count: the late doc_id=1000 did
+    # NOT bump it (epoch-hour-aligned window containing `base`)
+    w0_end = base - base % 3600 + 3600
+    want0 = sum(1 for _, sec in b1 if sec < w0_end)
+    first_w = [v for k, v in latest.items() if k == wstart(base)]
+    assert first_w and first_w[0] == want0
+    # the in-watermark event landed in its window (base+11000 ~ 4th h)
+    kept_w = [v for k, v in latest.items() if k == wstart(base + 11000)]
+    assert kept_w and kept_w[0] >= 1
