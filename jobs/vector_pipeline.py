@@ -19,6 +19,9 @@ mirror the reference's registry where this engine has the operator:
                        tables                (gdalalg_vector_segmentize)
   explode-collections  Multi* WKB -> parts   (gdalalg_vector_explode_
                        collections)
+  buffer / simplify / make-valid / curve-to-line
+                       ST-registry-backed wkb transforms
+                       (gdalalg_vector_buffer/_simplify/_make_valid)
   write                parquet, plain or lineage-committed units
                        (resumable, operators/lineage.py)
 
@@ -119,6 +122,21 @@ def _explode_collections(spark, df, spec):
                                wkb_col=spec.get("wkb", "wkb"))
 
 
+def _st_expr(fn_name):
+    """Steps backed by the registered ST_* surface
+    (gdalalg_vector_buffer / _simplify / _make_valid / the curve
+    linearization): apply one ST function to the wkb column."""
+    def step(spark, df, spec):
+        from gdal_spark.functions.st import register_st_functions
+        register_st_functions(spark)
+        wkb = spec.get("wkb", "wkb")
+        args = [str(float(spec["arg"]))] if "arg" in spec else []
+        call = ", ".join([wkb] + args)
+        return df.withColumn(spec.get("out", wkb),
+                             F.expr(f"{fn_name}({call})"))
+    return step
+
+
 def _write(spark, df, spec):
     path = spec["path"]
     units = spec.get("units")
@@ -144,6 +162,10 @@ STEPS = {
     "reproject": _reproject,
     "segmentize": _segmentize,
     "explode-collections": _explode_collections,
+    "buffer": _st_expr("ST_Buffer"),
+    "simplify": _st_expr("ST_Simplify"),
+    "make-valid": _st_expr("ST_MakeValid"),
+    "curve-to-line": _st_expr("ST_CurveToLine"),
     "write": _write,
 }
 

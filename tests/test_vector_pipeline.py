@@ -98,3 +98,19 @@ def test_sql_step_ogr_dialect(spark):
     ]
     got = run_vector_pipeline(spark, steps)
     assert got.count() == 10
+
+
+def test_st_backed_steps(spark):
+    import numpy as np
+    from gdal_spark.kernels import wkb as kw
+
+    cs = kw.wkb_circularstring(
+        np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]]))
+    df = spark.createDataFrame([(1, bytearray(cs))], "doc_id long, wkb binary")
+    df.write.mode("overwrite").parquet("/tmp/vp_curves")
+    out = run_vector_pipeline(spark, [
+        {"step": "read", "format": "parquet", "path": "/tmp/vp_curves"},
+        {"step": "curve-to-line"},
+    ])
+    t, pts = kw.parse_wkb(bytes(out.first()["wkb"]))
+    assert t == kw.LINESTRING and len(pts) > 10
