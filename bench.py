@@ -82,6 +82,13 @@ HEADLINE = [
     "pip_join_s2",
     "winnow_fingerprints",
     "bpe_encode",
+    # round-3 fourth batch (final session)
+    "media_decode",
+    "curve_to_line",
+    "compound_curve",
+    "tile_index",
+    "mdim_view",
+    "explode_collections",
 ]
 
 BIG_JOIN_N = 8_000_000
