@@ -13,6 +13,7 @@ mirror the reference's registry where this engine has the operator:
   sql                  OGR SQL statement     (gdalalg_vector_sql,
                        dialect shim sql/ogr_dialect.py)
   swap-xy              swap coordinate cols  (gdalalg_vector_swap_xy)
+  concat               union further sources (gdalalg_vector_concat)
   reproject            EPSG:3857 / EPSG:326xx-327xx over lon/lat cols
                        (gdalalg_vector_reproject)
   segmentize           max_length over (line_id, vi, x, y) vertex
@@ -122,6 +123,17 @@ def _explode_collections(spark, df, spec):
                                wkb_col=spec.get("wkb", "wkb"))
 
 
+def _concat(spark, df, spec):
+    """gdalalg_vector_concat role: union further sources (same
+    schema by name) onto the current frame."""
+    out = df
+    for src in spec["sources"]:
+        other = _read(spark, None, src)
+        out = other if out is None else out.unionByName(
+            other, allowMissingColumns=bool(spec.get("allow_missing")))
+    return out
+
+
 def _st_expr(fn_name):
     """Steps backed by the registered ST_* surface
     (gdalalg_vector_buffer / _simplify / _make_valid / the curve
@@ -162,6 +174,7 @@ STEPS = {
     "reproject": _reproject,
     "segmentize": _segmentize,
     "explode-collections": _explode_collections,
+    "concat": _concat,
     "buffer": _st_expr("ST_Buffer"),
     "simplify": _st_expr("ST_Simplify"),
     "make-valid": _st_expr("ST_MakeValid"),

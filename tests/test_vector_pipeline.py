@@ -114,3 +114,15 @@ def test_st_backed_steps(spark):
     ])
     t, pts = kw.parse_wkb(bytes(out.first()["wkb"]))
     assert t == kw.LINESTRING and len(pts) > 10
+
+
+def test_concat_step(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(5).selectExpr("id AS doc_id").write.parquet(a)
+    spark.range(5, 12).selectExpr("id AS doc_id").write.parquet(b)
+    out = run_vector_pipeline(spark, [
+        {"step": "read", "format": "parquet", "path": a},
+        {"step": "concat", "sources": [{"format": "parquet", "path": b}]},
+    ])
+    assert out.count() == 12
+    assert out.agg({"doc_id": "max"}).first()[0] == 11
