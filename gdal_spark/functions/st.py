@@ -744,6 +744,19 @@ def _st_curvetoline(bs: pd.Series) -> pd.Series:
         if t == kwkb.CIRCULARSTRING:
             pts = karc.circularstring_to_line(p)
             return kwkb.wkb_linestring(np.asarray(pts, dtype=np.float64))
+        if t == kwkb.MULTICURVE:
+            # MultiCurve -> MultiLineString, each part linearized
+            # (OGRGeometryCollection::getLinearGeometry,
+            # ogrgeometrycollection.cpp:1534-1548)
+            lines = []
+            for ptype, coords in p:
+                if ptype == kwkb.CIRCULARSTRING:
+                    lines.append(np.asarray(
+                        karc.circularstring_to_line(coords),
+                        dtype=np.float64))
+                else:
+                    lines.append(np.asarray(coords, dtype=np.float64))
+            return kwkb.wkb_multilinestring(lines)
         return bytes(b)
     return bs.map(one)
 

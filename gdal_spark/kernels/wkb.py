@@ -19,6 +19,7 @@ import numpy as np
 POINT, LINESTRING, POLYGON = 1, 2, 3
 MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 4, 5, 6
 CIRCULARSTRING = 8  # curved subset: same payload layout as LineString
+MULTICURVE = 11     # GeometryCollection of curves (ogr_core.h:429)
 
 _LE = 1  # little-endian byte-order marker; we always emit LE
 
@@ -66,6 +67,20 @@ def wkb_geom_type(data: bytes) -> int:
     (cheap dispatch; no payload parse)."""
     order = data[0]
     return struct.unpack_from("<I" if order == 1 else ">I", data, 1)[0]
+
+
+def wkb_multicurve(parts) -> bytes:
+    """MultiCurve WKB (type 11): parts are (gtype, coords) pairs with
+    gtype in {LINESTRING, CIRCULARSTRING}."""
+    body = struct.pack("<I", len(parts))
+    for gtype, coords in parts:
+        if gtype == LINESTRING:
+            body += wkb_linestring(coords)
+        elif gtype == CIRCULARSTRING:
+            body += wkb_circularstring(coords)
+        else:
+            raise ValueError(f"unsupported MultiCurve part {gtype}")
+    return struct.pack("<BI", _LE, MULTICURVE) + body
 
 
 def wkb_multipolygon(polys) -> bytes:
@@ -117,6 +132,15 @@ def _parse_at(buf: memoryview, off: int):
         for _ in range(np_):
             part, off = _parse_at(buf, off)
             parts.append(part[1])
+        return (gtype, parts), off
+    if gtype == MULTICURVE:
+        # parts keep their own type tag (LineString vs CircularString)
+        (np_,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(np_):
+            part, off = _parse_at(buf, off)
+            parts.append(part)
         return (gtype, parts), off
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 

@@ -326,3 +326,25 @@ def test_st_curvetoline(spark):
     assert len(out) == len(ref)
     for (x, y), r in zip(out, ref):
         assert abs(x - r["x"]) < 1e-9 and abs(y - r["y"]) < 1e-9
+
+
+def test_st_curvetoline_multicurve(spark):
+    import numpy as np
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.kernels import arc as karc
+    from gdal_spark.kernels import wkb as kw
+
+    register_st_functions(spark)
+    line = np.array([[0.0, 0.0], [1.0, 0.0]])
+    arc = np.array([[2.0, 0.0], [3.0, 1.0], [4.0, 0.0]])
+    mc = kw.wkb_multicurve([(kw.LINESTRING, line), (kw.CIRCULARSTRING, arc)])
+    df = spark.createDataFrame([(1, bytearray(mc))], "i long, g binary")
+    df.createOrReplaceTempView("mc")
+    out = bytes(spark.sql(
+        "SELECT ST_CurveToLine(g) AS o FROM mc").first()["o"])
+    t, parts = kw.parse_wkb(out)
+    assert t == kw.MULTILINESTRING and len(parts) == 2
+    np.testing.assert_array_equal(parts[0], line)
+    ref = karc.circularstring_to_line(arc)
+    assert len(parts[1]) == len(ref)
+    np.testing.assert_allclose(parts[1], ref, atol=1e-12)
