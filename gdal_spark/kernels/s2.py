@@ -142,6 +142,34 @@ def cell_key(face, pos, level):
     return face * (1 << (2 * level)) + (pos >> (2 * (MAX_LEVEL - level)))
 
 
+def uv_from_st(s):
+    """Inverse of st_from_uv: [0,1] -> [-1,1] (S2: STtoUV)."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(s >= 0.5,
+                    (4.0 * s * s - 1.0) / 3.0,
+                    (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
+
+
+def _face_uv_to_xyz(face, u, v):
+    """Direction vector of (face, u, v) — the per-face frame inverse
+    of face_uv_from_xyz's ratios.  |u| or |v| beyond 1 is allowed and
+    yields a direction on a NEIGHBORING face."""
+    one = np.ones_like(np.asarray(u, dtype=np.float64))
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    if face == 0:
+        return one, u, v
+    if face == 1:
+        return -u, one, v
+    if face == 2:
+        return -u, -v, one
+    if face == 3:
+        return -one, -v, -u
+    if face == 4:
+        return v, -one, -u
+    return v, u, -one
+
+
 def cover_bbox_lonlat(xmin, ymin, xmax, ymax, level, samples=17,
                       max_cells=16384):
     """Level-``level`` S2 cells covering a lon/lat box — the candidate
@@ -155,20 +183,78 @@ def cover_bbox_lonlat(xmin, ymin, xmax, ymax, level, samples=17,
     one sample step — for boxes up to a few degrees that is far under
     one level<=12 cell, which the dilation absorbs (brute-force
     asserted in tests/test_s2.py).
+
+    Face straddles (ADVICE r3): a box sliver crossing onto a
+    neighboring cube face by less than one sample step gets no grid
+    samples there.  Whenever a face hull's dilation reaches the face
+    edge, probe points are placed just ACROSS that edge (|uv| = 1 +
+    half a neighbor cell) along the hull's span — plus the diagonal
+    corner when two edges are touched — and fed through the same
+    encode + hull + dilate path, so the neighbor face's edge band is
+    enumerated.  Under the same one-sample-step deviation bound the
+    sliver is under one cell deep, which probe + dilation covers.
     """
     ss = np.linspace(0.0, 1.0, samples)
     gx, gy = np.meshgrid(xmin + ss * (xmax - xmin),
                          ymin + ss * (ymax - ymin))
     face, pos = s2_encode_lonlat(gx.ravel(), gy.ravel(), MAX_LEVEL)
-    keys = []
     n = 1 << level
-    for f in np.unique(face):
-        m = face == f
-        i, j = ij_from_pos(np.full(m.sum(), f), pos[m], MAX_LEVEL)
-        il = np.clip(i >> (MAX_LEVEL - level), 0, n - 1)
-        jl = np.clip(j >> (MAX_LEVEL - level), 0, n - 1)
-        i0, i1 = max(int(il.min()) - 1, 0), min(int(il.max()) + 1, n - 1)
-        j0, j1 = max(int(jl.min()) - 1, 0), min(int(jl.max()) + 1, n - 1)
+    shift = MAX_LEVEL - level
+
+    def _hulls(face_arr, pos_arr):
+        out = {}
+        for f in np.unique(face_arr):
+            m = face_arr == f
+            i, j = ij_from_pos(np.full(m.sum(), f), pos_arr[m], MAX_LEVEL)
+            il = np.clip(i >> shift, 0, n - 1)
+            jl = np.clip(j >> shift, 0, n - 1)
+            out[int(f)] = (int(il.min()), int(il.max()),
+                           int(jl.min()), int(jl.max()))
+        return out
+
+    hulls = _hulls(face, pos)
+
+    # Cross-edge probes for face-straddling boxes.
+    probes = []
+    outset = 1.0 + 4.0 / (3.0 * n)   # middle of the neighbor edge cell
+    for f, (ilo, ihi, jlo, jhi) in hulls.items():
+        lo_i, hi_i = ilo <= 1, ihi >= n - 2
+        lo_j, hi_j = jlo <= 1, jhi >= n - 2
+        # half-cell-spaced ST samples along the touched span (+1 cell
+        # margin each way, clipped to the face)
+        si = np.arange(max(ilo - 1, 0) * 2,
+                       (min(ihi + 1, n - 1) + 1) * 2 + 1) / (2.0 * n)
+        sj = np.arange(max(jlo - 1, 0) * 2,
+                       (min(jhi + 1, n - 1) + 1) * 2 + 1) / (2.0 * n)
+        ui, vj = uv_from_st(si), uv_from_st(sj)
+        if lo_i:
+            probes.append(_face_uv_to_xyz(f, np.full_like(vj, -outset), vj))
+        if hi_i:
+            probes.append(_face_uv_to_xyz(f, np.full_like(vj, outset), vj))
+        if lo_j:
+            probes.append(_face_uv_to_xyz(f, ui, np.full_like(ui, -outset)))
+        if hi_j:
+            probes.append(_face_uv_to_xyz(f, ui, np.full_like(ui, outset)))
+        for touched, cu, cv in ((lo_i and lo_j, -outset, -outset),
+                                (lo_i and hi_j, -outset, outset),
+                                (hi_i and lo_j, outset, -outset),
+                                (hi_i and hi_j, outset, outset)):
+            if touched:
+                probes.append(_face_uv_to_xyz(f, np.array([cu]),
+                                              np.array([cv])))
+    if probes:
+        px = np.concatenate([p[0] for p in probes])
+        py = np.concatenate([p[1] for p in probes])
+        pz = np.concatenate([p[2] for p in probes])
+        pf, pp = s2_encode_xyz(px, py, pz, MAX_LEVEL)
+        face = np.concatenate([face, pf])
+        pos = np.concatenate([pos, pp])
+        hulls = _hulls(face, pos)
+
+    keys = []
+    for f, (ilo, ihi, jlo, jhi) in hulls.items():
+        i0, i1 = max(ilo - 1, 0), min(ihi + 1, n - 1)
+        j0, j1 = max(jlo - 1, 0), min(jhi + 1, n - 1)
         if (i1 - i0 + 1) * (j1 - j0 + 1) > max_cells:
             raise ValueError(
                 f"covering too fine: {(i1-i0+1)*(j1-j0+1)} cells at "

@@ -11,17 +11,28 @@ Scale shape (the reason this works at 100 TB):
   adjacent token pairs, sum freq) plus a top-1 collect — the driver
   holds only the argmax pair per round, exactly the bounded-driver
   pattern of operators/similarity.py::kmeans_centroids;
-* applying a merge is a JVM string ``replace`` over the sep-joined
-  token string: replace() is non-overlapping left-to-right, which IS
-  BPE's greedy within-word merge order, so no Python token loop;
+* applying a merge is a token-boundary-anchored greedy fold: one JVM
+  ``aggregate`` over the split token list, appending each token and
+  fusing it with the accumulator tail iff the LAST TOKEN equals
+  ``left`` and the incoming token equals ``right`` — exactly
+  Sennrich's within-word greedy left-to-right merge.  A plain
+  substring ``replace(s, left||US||right, ...)`` is WRONG here: the
+  pattern also matches where ``left`` is merely a suffix of the
+  preceding token (after (t,h)->'th', a later (h,e) merge would fuse
+  'th'|'e' into 'the'), which real BPE never does — see
+  tests/test_bpe_boundaries.py;
+* the fold references the token-string column exactly ONCE per round
+  (the accumulator is a lambda variable), so the 12-round expression
+  chain stays linear in Catalyst — no multi-reference inlining blowup;
 * lineage is re-materialized every few rounds so the plan stays flat.
 
 Token strings join tokens with chr(31) (unit separator); tokens never
-contain it, so pair patterns ``a<US>b`` match exactly token-adjacent
-occurrences.  The catalog oracle (queries/pipeline.py) re-derives the
-whole procedure as K unrolled SQL rounds in DuckDB — pair extraction
-by list indexing, same tie-break (count DESC, pair ASC), same
-replace semantics — fully independent of this code.
+contain it, so "last token == left" is exactly "acc == left OR acc
+ends with US||left".  The catalog oracle (queries/pipeline.py)
+re-derives the whole procedure as K unrolled SQL rounds in DuckDB —
+pair extraction by list indexing, same tie-break (count DESC, pair
+ASC), the same boundary-anchored greedy fold via ``list_reduce`` —
+fully independent of this code.
 """
 
 from __future__ import annotations
@@ -75,9 +86,7 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
         pair, cnt = top[0]["pair"], int(top[0]["cnt"])
         left, right = pair.split(SEP)
         merges.append((left, right, cnt))
-        cur = cur.withColumn(
-            "s", F.expr("replace(s, concat('%s', chr(31), '%s'), '%s')"
-                        % (_q(left), _q(right), _q(left + right))))
+        cur = cur.withColumn("s", F.expr(_merge_expr("s", left, right)))
         if (r + 1) % _REMAT_EVERY == 0:
             nxt = cur.persist()
             nxt.count()
@@ -90,13 +99,27 @@ def _q(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
+def _merge_expr(s_expr: str, left: str, right: str) -> str:
+    """SQL expr applying one merge round to a sep-joined token string:
+    greedy left-to-right fold that fuses (left, right) only at token
+    boundaries.  ``s_expr`` is referenced exactly once (linear plan)."""
+    lq, rq = _q(left), _q(right)
+    return (
+        "aggregate(split(%s, chr(31)), cast(null as string),"
+        " (acc, x) -> CASE"
+        " WHEN acc IS NULL THEN x"
+        " WHEN (acc = '%s' OR endswith(acc, concat(chr(31), '%s')))"
+        " AND x = '%s' THEN concat(acc, x)"
+        " ELSE concat(acc, chr(31), x) END)"
+        % (s_expr, lq, lq, rq))
+
+
 def bpe_tokens_col(word_col: str,
                    merges: list[tuple[str, str, int]]) -> Column:
     """Tokenize a word column with trained merges: char split + the
-    replace chain in rank order — pure Column math, returns
-    array<string> of BPE tokens."""
+    boundary-anchored greedy fold per merge in rank order — pure
+    Column math, returns array<string> of BPE tokens."""
     s = f"array_join(split({word_col}, ''), chr(31))"
     for left, right, _ in merges:
-        s = ("replace(%s, concat('%s', chr(31), '%s'), '%s')"
-             % (s, _q(left), _q(right), _q(left + right)))
+        s = _merge_expr(s, left, right)
     return F.expr(f"split({s}, chr(31))")

@@ -248,6 +248,29 @@ def curve_to_line(df: DataFrame, id_col: str = "arc_id",
 
 MAX_SEGS = 1024  # composite-key packing bound for compound curves
 
+_LONG_MAX = (1 << 63) - 1
+
+
+def _checked_pack(id_col: str, sub_col: str, bound: int, what: str):
+    """id*bound + sub with executor-side validation: a sub index >=
+    bound, a negative index, or an id large enough to overflow int64
+    would silently collide keys across curves and interleave their
+    vertices (ADVICE r3).  assert_true returns NULL when the predicate
+    holds; coalescing it into the arithmetic forces evaluation without
+    an extra pass or a driver collect."""
+    ok = ((F.col(sub_col) >= 0) & (F.col(sub_col) < bound)
+          & (F.col(id_col) >= 0)
+          & (F.col(id_col) <= _LONG_MAX // bound - 1))
+    guard = F.assert_true(
+        ok, F.concat(
+            F.lit(f"{what}: composite-key packing requires "
+                  f"0 <= {sub_col} < {bound} and "
+                  f"0 <= {id_col} <= {_LONG_MAX // bound - 1}; got "),
+            F.col(id_col).cast("string"), F.lit("/"),
+            F.col(sub_col).cast("string")))
+    return (F.col(id_col) * bound + F.col(sub_col)
+            + F.coalesce(guard.cast("long"), F.lit(0)))
+
 
 def compound_curve_to_line(df: DataFrame, id_col: str = "curve_id",
                            seg_col: str = "seg",
@@ -266,7 +289,8 @@ def compound_curve_to_line(df: DataFrame, id_col: str = "curve_id",
     packing for the per-arc stroke).  Output: (id_col, vi, x, y).
     """
     arcs = df.filter(F.col("kind") == "arc").select(
-        (F.col(id_col) * MAX_SEGS + F.col(seg_col)).alias("cid"),
+        _checked_pack(id_col, seg_col, MAX_SEGS,
+                      "compound_curve_to_line").alias("cid"),
         "x0", "y0", "x1", "y1", "x2", "y2")
     arc_v = curve_to_line(arcs, id_col="cid",
                           max_step_deg=max_step_deg).select(
@@ -308,7 +332,8 @@ def curve_polygon_to_polygon(df: DataFrame, id_col: str = "poly_id",
     (id_col, ring_col, vi, x, y) with vi the per-ring vertex index.
     """
     packed = df.select(
-        (F.col(id_col) * MAX_RINGS + F.col(ring_col)).alias("rkey"),
+        _checked_pack(id_col, ring_col, MAX_RINGS,
+                      "curve_polygon_to_polygon").alias("rkey"),
         F.col(seg_col).alias("seg"), "kind",
         "x0", "y0", "x1", "y1", "x2", "y2")
     v = compound_curve_to_line(packed, id_col="rkey", seg_col="seg",

@@ -161,9 +161,13 @@ def bloom_contains(queries: DataFrame, bits: DataFrame, value_col: str,
            for i in range(k)]
     probes = queries.select(
         F.col(value_col), F.explode(F.array(*pos)).alias("bit"))
+    # bool_and over per-probe-row hits, NOT sum == k: duplicate query
+    # rows of the same value pool 2k probe rows under the group, and a
+    # count equality would report a false negative — violating Bloom's
+    # zero-false-negative guarantee (ADVICE r3).
     hit = (probes.join(F.broadcast(bits.withColumn("_set", F.lit(1))),
                        "bit", "left")
            .groupBy(value_col)
-           .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k)
+           .agg(F.bool_and(F.col("_set").isNotNull())
                 .alias("maybe_present")))
     return hit

@@ -157,16 +157,25 @@ def steps_to_cte(base_sql: str, steps: list[tuple[str, str]],
 
 
 def utm_forward(df: DataFrame, lon_col: str, lat_col: str, zone: int,
-                ellps: tuple[float, float] = WGS84) -> DataFrame:
+                ellps: tuple[float, float] = WGS84,
+                south: bool = False) -> DataFrame:
     """Project lon/lat degree columns to UTM zone easting/northing
-    (appends ``tmx``/``tmy``) — pure Column math, zero UDFs."""
-    steps = tmerc_forward_steps(lon_col, lat_col, utm_lon0(zone), ellps)
+    (appends ``tmx``/``tmy``) — pure Column math, zero UDFs.
+
+    ``south=True`` applies the southern-hemisphere 10,000,000 m false
+    northing (EPSG:327xx), matching ST_Transform's handling."""
+    fn = 10_000_000.0 if south else 0.0
+    steps = tmerc_forward_steps(lon_col, lat_col, utm_lon0(zone), ellps,
+                                fn=fn)
     return apply_steps(df, steps, keep=[*df.columns, "tmx", "tmy"])
 
 
 def utm_inverse(df: DataFrame, x_col: str, y_col: str, zone: int,
-                ellps: tuple[float, float] = WGS84) -> DataFrame:
+                ellps: tuple[float, float] = WGS84,
+                south: bool = False) -> DataFrame:
     """Inverse-project UTM easting/northing columns back to degrees
     (appends ``tmlon``/``tmlat``)."""
-    steps = tmerc_inverse_steps(x_col, y_col, utm_lon0(zone), ellps)
+    fn = 10_000_000.0 if south else 0.0
+    steps = tmerc_inverse_steps(x_col, y_col, utm_lon0(zone), ellps,
+                                fn=fn)
     return apply_steps(df, steps, keep=[*df.columns, "tmlon", "tmlat"])

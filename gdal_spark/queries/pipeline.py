@@ -1675,7 +1675,8 @@ _BPE_K = 12
 def _bpe_oracle(k: int = _BPE_K) -> str:
     """Unrolled K-round SQL re-derivation of BPE training: pair
     extraction by list indexing, count DESC / pair ASC tie-break,
-    non-overlapping replace — independent of operators/bpe.py."""
+    boundary-anchored greedy list_reduce fold — independent of
+    operators/bpe.py."""
     ctes = ["""w0 AS MATERIALIZED (
       SELECT word, array_to_string(string_split(word, ''), chr(31)) AS s,
              freq
@@ -1701,12 +1702,23 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
           FROM p{r} GROUP BY pair
           ORDER BY cnt DESC, pair ASC LIMIT 1
         )""")
+        # Boundary-anchored greedy merge (Sennrich BPE): fuse only
+        # where the accumulator's LAST TOKEN equals lhs — a substring
+        # replace would also match lhs as a token suffix (th|e -> the).
+        # DuckDB lambdas cannot contain subqueries; cross-join the
+        # single-row b{r} so lhs/rhs are captured as plain columns.
         ctes.append(f"""w{r + 1} AS MATERIALIZED (
           SELECT word,
-                 replace(s, (SELECT pair FROM b{r}),
-                         replace((SELECT pair FROM b{r}), chr(31), '')) AS s,
+                 list_reduce(string_split(s, chr(31)), (acc, x) -> CASE
+                   WHEN (acc = m.lhs
+                         OR ends_with(acc, chr(31) || m.lhs))
+                        AND x = m.rhs
+                   THEN acc || x
+                   ELSE acc || chr(31) || x END) AS s,
                  freq
-          FROM w{r}
+          FROM w{r}, (SELECT string_split(pair, chr(31))[1] AS lhs,
+                             string_split(pair, chr(31))[2] AS rhs
+                      FROM b{r}) m
         )""")
     rounds = " UNION ALL ".join(
         f"SELECT {r} AS rank, string_split(pair, chr(31))[1] AS lhs,"
@@ -1723,7 +1735,8 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
          "collapsed once to a distinct-word freq table, each merge round "
          "= one map-side-combinable pair aggregation + top-1 collect "
          "(bounded driver, kmeans pattern); merges applied as JVM "
-         "left-to-right replace (= greedy BPE). Oracle re-derives all 12 "
+         "boundary-anchored greedy fold (Sennrich BPE). Oracle re-derives "
+         "all 12 "
          "rounds as unrolled SQL",
 )
 def bpe_train_q(spark, sf_dir):
@@ -1759,8 +1772,7 @@ def _bf_pos_sql(expr: str) -> list[str]:
       FROM documents
     )
     SELECT p.v AS value,
-           (SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4)
-             AS maybe_present
+           bool_and(b.bit IS NOT NULL) AS maybe_present
     FROM probes p LEFT JOIN bits b USING (bit)
     GROUP BY p.v ORDER BY p.v
     """,
@@ -1842,8 +1854,8 @@ def _bpe_encode_oracle(k: int = _BPE_K) -> str:
     "bpe_encode",
     sql=_bpe_encode_oracle,
     desc="BPE encode path: trained merges applied to every distinct "
-         "word as a pure-Column replace chain (greedy left-to-right = "
-         "non-overlapping replace); oracle = the unrolled training SQL's "
+         "word as a pure-Column boundary-anchored greedy fold chain; "
+         "oracle = the unrolled training SQL's "
          "final word states, so train AND apply are verified end-to-end",
 )
 def bpe_encode_q(spark, sf_dir):

@@ -108,7 +108,10 @@ def _reproject(spark, df, spec):
     if dst.startswith("EPSG:326") or dst.startswith("EPSG:327"):
         from gdal_spark.operators.tmerc import utm_forward
         zone = int(dst[8:])
-        return utm_forward(df, lon, lat, zone)
+        # EPSG:327xx = UTM south: 10,000,000 m false northing, same
+        # as ST_Transform (functions/st.py) — the two paths must agree.
+        return utm_forward(df, lon, lat, zone,
+                           south=dst.startswith("EPSG:327"))
     raise ValueError(f"reproject: unsupported dst {dst!r}")
 
 

@@ -233,3 +233,23 @@ def test_circularstring_multi_arc(spark):
     for r, (x, y) in zip(got, ref):
         assert r["x"] == pytest.approx(x, abs=1e-9)
         assert r["y"] == pytest.approx(y, abs=1e-9)
+
+
+def test_packing_bounds_fail_fast(spark):
+    """Composite-key packing validates indices (ADVICE r3): a seg
+    index >= MAX_SEGS must raise, not silently collide keys."""
+    import pytest
+    from gdal_spark.operators.curve import MAX_SEGS, compound_curve_to_line
+
+    bad = spark.createDataFrame(
+        [(1, MAX_SEGS, "arc", 0.0, 0.0, 1.0, 1.0, 2.0, 0.0)],
+        "curve_id long, seg int, kind string, x0 double, y0 double,"
+        " x1 double, y1 double, x2 double, y2 double")
+    with pytest.raises(Exception, match="composite-key packing"):
+        compound_curve_to_line(bad).collect()
+
+    ok = spark.createDataFrame(
+        [(1, 0, "arc", 0.0, 0.0, 1.0, 1.0, 2.0, 0.0)],
+        "curve_id long, seg int, kind string, x0 double, y0 double,"
+        " x1 double, y1 double, x2 double, y2 double")
+    assert compound_curve_to_line(ok).count() > 2

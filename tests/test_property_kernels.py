@@ -227,3 +227,26 @@ def test_s2_cover_contains_center(cx, cy, w, h, level):
     f, p = ks2.s2_encode_lonlat(np.array([cx + w / 2.0]),
                                 np.array([cy + h / 2.0]))
     assert int(ks2.cell_key(f, p, level)[0]) in cover
+
+
+def test_s2_cover_face_straddle_sliver():
+    """ADVICE r3: a box whose sliver crosses onto a neighboring cube
+    face by less than one sample step must still be covered there —
+    brute-force every cell of a dense in-box grid against the cover."""
+    cases = [
+        (44.90, 0.0, 45.001, 1.0, 8),    # equatorial face 0 -> 1 edge
+        (-1.0, 44.90, 1.0, 45.0008, 8),  # face 0 -> polar face 2 edge
+        (134.95, -0.5, 135.0009, 0.5, 9),  # face 1 -> 3 edge
+        # cube corner (faces 0/1/2 meet at lon 45, lat atan(1/sqrt 2))
+        (44.95, 35.20, 45.002, 35.2660, 7),
+    ]
+    for xmin, ymin, xmax, ymax, level in cases:
+        cover = set(ks2.cover_bbox_lonlat(xmin, ymin, xmax, ymax, level)
+                    .tolist())
+        gx, gy = np.meshgrid(np.linspace(xmin, xmax, 160),
+                             np.linspace(ymin, ymax, 160))
+        f, p = ks2.s2_encode_lonlat(gx.ravel(), gy.ravel())
+        keys = set(ks2.cell_key(f, p, level).tolist())
+        missing = keys - cover
+        assert not missing, (xmin, ymin, xmax, ymax, level, missing)
+        assert len({k >> (2 * level) for k in keys}) >= 2  # straddles

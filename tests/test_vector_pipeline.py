@@ -126,3 +126,28 @@ def test_concat_step(spark, tmp_path):
     ])
     assert out.count() == 12
     assert out.agg({"doc_id": "max"}).first()[0] == 11
+
+
+def test_reproject_utm_south_false_northing(spark):
+    """EPSG:327xx (UTM south) must apply the 10,000,000 m false
+    northing so the pipeline path agrees with ST_Transform
+    (functions/st.py handles 32701-32760 with fn=1e7)."""
+    from vector_pipeline import _reproject
+    from gdal_spark.kernels import geom as kgeom
+
+    df = spark.createDataFrame(
+        [(1, 172.0, -43.5), (2, 171.3, -44.1)],
+        "doc_id long, lon double, lat double")
+    south = _reproject(spark, df, {"dst": "EPSG:32759"})
+    rows = {r["doc_id"]: r for r in south.collect()}
+    for did, lon, lat in [(1, 172.0, -43.5), (2, 171.3, -44.1)]:
+        ex, ey = kgeom.tmerc_forward(lon, lat, -183.0 + 6.0 * 59,
+                                     fn=10_000_000.0)
+        assert rows[did]["tmx"] == pytest.approx(ex, abs=1e-6)
+        assert rows[did]["tmy"] == pytest.approx(ey, abs=1e-6)
+        assert rows[did]["tmy"] > 0  # southern rows are positive northings
+    # north zone of the same longitudes stays fn=0
+    north = _reproject(spark, df.withColumn("lat", -F.col("lat")),
+                       {"dst": "EPSG:32659"})
+    for r in north.collect():
+        assert 0 < r["tmy"] < 10_000_000.0
