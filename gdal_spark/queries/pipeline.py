@@ -331,11 +331,11 @@ _PLANE_DOT = (
 )
 
 # banded OR-of-ANDs bucket table: plane j -> band j//ppb, bit j%ppb
-def _buck_sql(ppb: int) -> str:
+def _buck_sql(ppb: int, src: str = "sv") -> str:
     return f"""
     dots AS (
       SELECT s.vec_id, u.j, {_PLANE_DOT}
-      FROM sv s, generate_series(1, {DIM}) t(i),
+      FROM {src} s, generate_series(1, {DIM}) t(i),
            generate_series(0, {sim.N_PLANES - 1}) u(j)
       GROUP BY s.vec_id, u.j
     ),
@@ -1629,11 +1629,17 @@ _KM_ASSIGN_FINAL = """
       SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS n2
       FROM pos GROUP BY vec_id
     ),
-    cand AS (
-      SELECT a.vec_id AS ia, b.vec_id AS ib
-      FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    {_buck_sql(sim.SEMDEDUP_PLANES_PER_BAND, src="svp")},
+    bc AS (
+      SELECT b.vec_id, a.cid, b.bk, b.bv
+      FROM buck b JOIN a3 a USING (vec_id)
     ),
-    dots AS (
+    cand AS (
+      SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+      FROM bc x JOIN bc y ON x.cid = y.cid AND x.bk = y.bk
+                          AND x.bv = y.bv AND x.vec_id < y.vec_id
+    ),
+    pdots AS (
       SELECT c.ia, c.ib, CAST(SUM(pa.val * pb.val) AS BIGINT) AS dot
       FROM cand c
       JOIN pos pa ON pa.vec_id = c.ia
@@ -1642,7 +1648,7 @@ _KM_ASSIGN_FINAL = """
     ),
     dup AS (
       SELECT DISTINCT d.ib AS vec_id
-      FROM dots d
+      FROM pdots d
       JOIN n2 na ON na.vec_id = d.ia
       JOIN n2 nb ON nb.vec_id = d.ib
       WHERE d.dot > 0
@@ -1654,10 +1660,13 @@ _KM_ASSIGN_FINAL = """
     FROM a3 a LEFT JOIN dup ON dup.vec_id = a.vec_id
     ORDER BY a.vec_id
     """,
-    desc="SemDeDup (Abbas et al. 2023): k-means clusters bound the "
-         "pair space to sum(cluster^2) — one cluster equi-join, never "
-         "n^2; exact integer Lloyd's centroids, argmin assignment, "
-         "drop iff a lower-id cluster-mate has cos >= 0.96 via the "
+    desc="SemDeDup (Abbas et al. 2023): k-means clusters + banded "
+         "sign-LSH WITHIN cluster bound the pair space — candidates "
+         "share (cid, band, bucket), salted, never sum(cluster^2); "
+         "exact integer Lloyd's centroids, zero-shuffle argmin "
+         "assignment, "
+         "drop iff a lower-id band-colliding cluster-mate has "
+         "cos >= 0.96 via the "
          "sqrt-free dot^2*TD >= TN*na*nb integer-derived comparison",
 )
 def semdedup_q(spark, sf_dir):
