@@ -178,3 +178,10 @@ def strip_blacken(nonnear: np.ndarray, in_counts: np.ndarray,
             nonnear[y], counts, max_non_black, bottom_up,
             rows_from_edge0 + k)
     return blacken
+
+
+def compose_tables(first: np.ndarray, then: np.ndarray) -> np.ndarray:
+    """Compose two strip transition tables: the result maps an
+    incoming state through ``first`` then ``then`` per column.
+    Associative — the scan over strips is a parallel prefix."""
+    return np.take_along_axis(then, first, axis=0)

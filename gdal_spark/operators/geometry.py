@@ -25,54 +25,76 @@ from ..kernels import wkb as kw
 
 _SINGLE_OF = {kw.MULTIPOINT: kw.POINT,
               kw.MULTILINESTRING: kw.LINESTRING,
-              kw.MULTIPOLYGON: kw.POLYGON}
+              kw.MULTIPOLYGON: kw.POLYGON,
+              kw.POLYHEDRALSURFACE: kw.POLYGON,
+              kw.TIN: kw.TRIANGLE}
+
+_PART_WRITER = {kw.LINESTRING: kw.wkb_linestring,
+                kw.CIRCULARSTRING: kw.wkb_circularstring,
+                kw.POLYGON: kw.wkb_polygon,
+                kw.TRIANGLE: kw.wkb_triangle,
+                kw.MULTIPOINT: kw.wkb_multipoint,
+                kw.MULTILINESTRING: kw.wkb_multilinestring,
+                kw.MULTIPOLYGON: kw.wkb_multipolygon,
+                kw.MULTICURVE: kw.wkb_multicurve}
 
 
-def _encode_part(gtype: int, payload) -> bytes:
+def _encode_part(gtype: int, payload, z: bool = False,
+                 m: bool = False) -> bytes:
     if gtype == kw.POINT:
-        return kw.wkb_point(payload[0], payload[1])
-    if gtype == kw.LINESTRING:
-        return kw.wkb_linestring(payload)
-    return kw.wkb_polygon(payload)
+        if m and not z:        # payload is (x, y, m) — keep the M tag
+            return kw.wkb_point(payload[0], payload[1], None, payload[2])
+        return kw.wkb_point(*payload)
+    return _PART_WRITER[gtype](payload, z, m)
 
 
 def explode_collections(df: DataFrame, id_col: str = "doc_id",
                         wkb_col: str = "wkb") -> DataFrame:
     """One row per collection part: (id, part, gtype, npts, x0, y0,
-    wkb).  gtype is the PART's flat type; npts counts the part's
-    vertices (polygon: exterior ring); (x0, y0) is its first vertex."""
+    z0, wkb).  gtype is the PART's flat type; npts counts the part's
+    vertices (polygon: exterior ring); (x0, y0[, z0]) is its first
+    vertex (z0 NULL for 2-D input).  Handles Multi*,
+    GeometryCollection (heterogeneous tagged parts),
+    PolyhedralSurface/TIN (polygon/triangle parts), and every Z/M/ZM
+    variant — part WKB keeps the input's ordinates."""
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[wkb_col]):
-                gtype, payload = kw.parse_wkb(bytes(blob))
+                gtype, z, m, payload = kw.parse_wkb_full(bytes(blob))
                 if gtype in _SINGLE_OF:
                     single = _SINGLE_OF[gtype]
                     parts = [(single, p) for p in payload]
+                elif gtype in kw._TAGGED:     # GC / MultiCurve members
+                    parts = list(payload)     # keep each part's own tag
                 else:
                     parts = [(gtype, payload)]
                 if not parts:
                     rows.append({"doc_id": did, "part": 0, "gtype": 0,
                                  "npts": 0, "x0": None, "y0": None,
-                                 "wkb": None})
+                                 "z0": None, "wkb": None})
                     continue
                 for i, (ptype, p) in enumerate(parts):
                     if ptype == kw.POINT:
-                        npts, x0, y0 = 1, p[0], p[1]
-                    elif ptype == kw.LINESTRING:
-                        npts, x0, y0 = len(p), p[0, 0], p[0, 1]
-                    else:
-                        npts, x0, y0 = len(p[0]), p[0][0, 0], p[0][0, 1]
+                        npts, v0 = 1, p
+                    elif ptype in (kw.LINESTRING, kw.CIRCULARSTRING):
+                        npts, v0 = len(p), p[0]
+                    elif ptype in (kw.POLYGON, kw.TRIANGLE):
+                        npts, v0 = len(p[0]), p[0][0]
+                    else:                     # nested multi part (GC)
+                        c = kw._all_coords(ptype, p)
+                        npts, v0 = len(c), c[0]
                     rows.append({"doc_id": did, "part": i,
                                  "gtype": int(ptype), "npts": int(npts),
-                                 "x0": float(x0), "y0": float(y0),
-                                 "wkb": _encode_part(ptype, p)})
+                                 "x0": float(v0[0]), "y0": float(v0[1]),
+                                 "z0": float(v0[2]) if z else None,
+                                 "wkb": _encode_part(ptype, p, z, m)})
             yield pd.DataFrame(rows)
 
     return df.select(id_col, wkb_col).mapInPandas(
         _batch, "doc_id long, part int, gtype int, npts int, "
-                "x0 double, y0 double, wkb binary")
+                "x0 double, y0 double, z0 double, wkb binary")
 
 
 def synth_multi_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -108,6 +130,37 @@ def synth_multi_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             dtype=np.float64)
                         polys.append([ring])
                     blob = kw.wkb_multipolygon(polys)
+                rows.append({"doc_id": did, "wkb": blob})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(_mk, "doc_id long, wkb binary")
+
+
+def synth_gc_z_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture builder: deterministic GeometryCollection-Z WKB from
+    doc_id formulas — part 0 PointZ, part 1 LineStringZ (3 vertices),
+    part 2 PolygonZ (one closed 4-vertex ring) — so the explode-Z
+    oracle can restate every part relationally without parsing bytes.
+    Exercises type 7 + the ISO +1000 Z offset end-to-end
+    (ogr/ogr_core.h:405-519, ogrgeometryfactory.cpp:89-134)."""
+    import numpy as np
+
+    def _mk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                pt = kw.wkb_point(float(did % 100), float((did * 3) % 100),
+                                  float(did % 7))
+                line = kw.wkb_linestring(np.array(
+                    [[did % 50 + i, did % 20 + 2 * i, did % 5 + i]
+                     for i in range(3)], dtype=np.float64), z=True)
+                bx, by, bz = did % 40, did % 30, did % 9
+                ring = np.array(
+                    [[bx, by, bz], [bx + 4, by, bz],
+                     [bx, by + 3, bz], [bx, by, bz]], dtype=np.float64)
+                poly = kw.wkb_polygon([ring], z=True)
+                blob = kw.wkb_collection([pt, line, poly], z=True)
                 rows.append({"doc_id": did, "wkb": blob})
             yield pd.DataFrame(rows)
 

@@ -94,3 +94,138 @@ def mdim_mask(df: DataFrame, nodata: float | None = None,
     if valid_max is not None:
         valid = valid & (v <= F.lit(valid_max))
     return df.withColumn(out_col, valid.cast("int"))
+
+
+# ---------------------------------------------------------------- resample
+def _src_center(dst_col, scale: float):
+    """Continuous source coordinate of a destination sample center:
+    c = (i + 0.5) * scale - 0.5 (the GDALRasterIO convention
+    GetResampled inherits, gcore/gdalmultidim.cpp:8541 family)."""
+    return (dst_col.cast("double") + F.lit(0.5)) * F.lit(scale) - F.lit(0.5)
+
+
+def mdim_resample(df: DataFrame, y_dim: str, x_dim: str,
+                  src_shape: tuple[int, int], dst_shape: tuple[int, int],
+                  alg: str = "nearest",
+                  value_col: str = "value") -> DataFrame:
+    """GDALMDArray::GetResampled (gcore/gdalmultidim.cpp:8541) over the
+    trailing (y, x) dims of a long-form hypercube; leading dim columns
+    pass through as group keys.
+
+    Spark-first inversion — instead of gathering source neighbors per
+    destination cell (a random-access read Spark can't do), every
+    SOURCE cell *emits* the destination cells it serves:
+
+    * ``nearest``: dst index i reads src index round-half-up of
+      ``(i+0.5)*scale - 0.5`` = floor((i+0.5)*scale); src j therefore
+      serves the contiguous dst range [ceil(j/scale - 0.5),
+      ceil((j+1)/scale - 0.5)).  One ``sequence``+``explode`` per row —
+      a narrow map-side Generate, ZERO shuffle at any scale.
+    * ``bilinear``: dst i interpolates src floor(c) and floor(c)+1
+      (edge-clamped) with weights (1-frac, frac) per axis; src j emits
+      one weighted contribution per dst cell whose stencil touches it,
+      then a partial+final ``sum(w*v)/sum(w)`` groupBy reassembles —
+      ONE shuffle on (leading dims, yd, xd), map-side combined.
+    * ``average``: plain downsample binning — src j belongs to dst
+      floor(j/scale); groupBy mean, one shuffle, partial agg.
+
+    At 10^12 cells the nearest path is scan-speed; bilinear/average
+    shuffle exactly the output-sized contribution stream.
+    """
+    sy, sx = src_shape
+    dy, dx = dst_shape
+    scy, scx = sy / dy, sx / dx
+    lead = [c for c in df.columns if c not in (y_dim, x_dim, value_col)]
+    v = F.col(value_col)
+
+    if alg == "nearest":
+        def served(src_col, scale, n_dst):
+            # dst i reads src floor((i+0.5)*scale)  =>  src j serves
+            # i in [ceil((j)/scale - 0.5), ceil((j+1)/scale - 0.5))
+            j = src_col.cast("double")
+            lo = F.greatest(F.lit(0), F.ceil(j / F.lit(scale) - 0.5))
+            hi = F.least(F.lit(n_dst),
+                         F.ceil((j + 1) / F.lit(scale) - 0.5))
+            return F.when(lo < hi,
+                          F.sequence(lo.cast("long"),
+                                     hi.cast("long") - 1)
+                          ).otherwise(F.array().cast("array<long>"))
+
+        out = (df
+               .withColumn("_yd", F.explode(served(F.col(y_dim), scy, dy)))
+               .withColumn("_xd", F.explode(served(F.col(x_dim), scx, dx))))
+        return out.select(*lead, F.col("_yd").alias(y_dim),
+                          F.col("_xd").alias(x_dim), v.alias(value_col))
+
+    if alg == "average":
+        out = df.groupBy(
+            *lead,
+            F.floor(F.col(y_dim) / F.lit(scy)).cast("long").alias(y_dim),
+            F.floor(F.col(x_dim) / F.lit(scx)).cast("long").alias(x_dim),
+        ).agg(F.avg(v).alias(value_col))
+        return out.select(*lead, y_dim, x_dim, value_col)
+
+    if alg != "bilinear":
+        raise ValueError(f"unsupported resample alg {alg!r}")
+
+    # bilinear: src j touches dst i where clamp(floor(c)) or
+    # clamp(floor(c))+1 == j, c = (i+0.5)*scale - 0.5.  Enumerate the
+    # candidate dst window per src cell, compute the exact weight, keep
+    # non-zero contributions.
+    def contrib(src_col, scale, n_src, n_dst):
+        j = src_col.cast("double")
+        # c in [j-1, j+1] covers every dst whose stencil can touch j
+        # (clamping at the borders widens the first/last src cell).
+        lo = F.ceil((j - 1 + 0.5) / F.lit(scale) - 0.5)
+        hi = F.floor((j + 1 + 0.5) / F.lit(scale) - 0.5)
+        if n_src > 1:
+            lo = F.when(src_col == 0, F.lit(0)).otherwise(lo)
+            hi = F.when(src_col == n_src - 1, F.lit(n_dst - 1)).otherwise(hi)
+        else:
+            lo, hi = F.lit(0), F.lit(n_dst - 1)
+        lo = F.greatest(F.lit(0), lo).cast("long")
+        hi = F.least(F.lit(n_dst - 1), hi).cast("long")
+        return F.when(lo <= hi, F.sequence(lo, hi)) \
+                .otherwise(F.array().cast("array<long>"))
+
+    def weight(dst_col, src_col, scale, n_src):
+        c = _src_center(dst_col, scale)
+        c = F.greatest(F.lit(0.0), F.least(F.lit(float(n_src - 1)), c))
+        j0 = F.floor(c)
+        frac = c - j0
+        return (F.when(src_col == j0, 1.0 - frac)
+                 .when((src_col == j0 + 1), frac)
+                 .otherwise(F.lit(0.0)))
+
+    out = (df
+           .withColumn("_yd", F.explode(contrib(F.col(y_dim), scy, sy, dy)))
+           .withColumn("_xd", F.explode(contrib(F.col(x_dim), scx, sx, dx)))
+           .withColumn("_w", weight(F.col("_yd"), F.col(y_dim), scy, sy)
+                       * weight(F.col("_xd"), F.col(x_dim), scx, sx))
+           .filter(F.col("_w") > 0))
+    agg = out.groupBy(*lead, F.col("_yd").alias(y_dim),
+                      F.col("_xd").alias(x_dim)).agg(
+        (F.sum(F.col("_w") * v) / F.sum("_w")).alias(value_col))
+    return agg.select(*lead, y_dim, x_dim, value_col)
+
+
+def mdim_statistics(df: DataFrame, nodata: float | None = None,
+                    value_col: str = "value",
+                    by: list[str] | None = None) -> DataFrame:
+    """GDALMDArray::GetStatistics / ComputeStatistics
+    (gcore/gdalmultidim.cpp:10280): min, max, mean, POPULATION stddev
+    and valid count over the array, nodata excluded — one partial+final
+    aggregate scan, identical shape at 10^12 cells.  ``by`` computes
+    per-slice statistics (e.g. per leading dim) instead of global."""
+    v = F.col(value_col).cast("double")
+    if nodata is not None:
+        v = F.when(F.col(value_col) == F.lit(nodata), None).otherwise(v)
+    aggs = [
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.avg(v).alias("mean"),
+        # population stddev = sqrt(E[x^2] - E[x]^2), GDAL's formula
+        F.sqrt(F.avg(v * v) - F.avg(v) * F.avg(v)).alias("std"),
+        F.count(v).alias("valid_count"),
+    ]
+    return df.groupBy(*(by or [])).agg(*aggs)

@@ -117,15 +117,36 @@ _DEFERRED = [
 ]
 
 
-# Never driver-checked (new this session) — lead the 50-query window.
+# Round-4 window (judge r3 item #1): 50 of the 65 catalog queries with
+# no driver-green row in CORRECTNESS_r01-r03 (all 65 are judge-verified
+# value-exact in r3; this buys them the stronger driver signal).  The
+# remaining 15 (grid_* x4, viewshed_curved/cumulative, gpkg_scan,
+# rpc_*, rasterize_points/lines, gcp_order*, raster_histogram — listed
+# at the top of _DEFERRED) lead the round-5 window together with any
+# queries added this round.
 _PRIORITY = [
-    "utm_forward", "utm_inverse", "s2_encode", "hexbin_agg",
-    "raster_compare", "bpe_train", "zonal_stats", "contour_segments",
-    "bloom_filter", "geojson_seq_scan", "winnow_fingerprints",
-    "pip_join_s2", "bpe_encode", "translate_srcwin", "ngram_lang_id",
-    "warp_utm_near", "warp_utm_inverse", "media_decode", "curve_to_line",
-    "explode_collections", "mdim_view", "compound_curve", "tile_index",
-    "curve_polygon",
+    # changed this round (semdedup assignment/pair bound) — front
+    "semdedup",
+    # text/pipeline battery ×11
+    "charlm_perplexity", "pii_scrub", "dsir_select", "url_filter",
+    "substring_dedup", "gopher_rules", "quality_classifier", "vocab_oov",
+    "hll_distinct", "cm_topk", "pack_sequences",
+    # warp kernel family ×13
+    "warp_cubic", "warp_cubicspline", "warp_lanczos", "warp_mode",
+    "warp_med", "warp_q1", "warp_q3", "warp_bilinear_aa", "warp_sum",
+    "warp_min", "warp_max", "warp_rms", "mosaic",
+    # raster/gdaldem battery
+    "color_relief", "nearblack", "focal_slope_zt", "focal_aspect_zt",
+    "focal_hillshade_zt", "focal_hillshade_combined",
+    "focal_hillshade_multidirectional", "focal_hillshade_igor",
+    "equalize", "translate_scale", "translate_exponent",
+    "rasterize_invert", "xyz_export", "raster_histogram",
+    # layer algebra point×polygon + line clip ×6
+    "la_clip", "la_erase", "la_identity", "la_union",
+    "la_symdifference", "la_line_clip",
+    # focal derivatives ×5
+    "focal_slope", "focal_aspect", "focal_tpi", "focal_tri",
+    "focal_roughness",
 ]
 
 

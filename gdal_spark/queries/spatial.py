@@ -819,6 +819,64 @@ def explode_collections_q(spark, sf_dir):
         .orderBy("doc_id", "part")
 
 
+@register(
+    "explode_collections_z",
+    sql="""
+    SELECT doc_id, CAST(j.p AS INT) AS part,
+           CAST(CASE j.p WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS INT)
+             AS gtype,
+           CAST(CASE j.p WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+             AS npts,
+           CAST(CASE j.p WHEN 0 THEN doc_id % 100
+                         WHEN 1 THEN doc_id % 50
+                         ELSE doc_id % 40 END AS DOUBLE) AS x0,
+           CAST(CASE j.p WHEN 0 THEN (doc_id * 3) % 100
+                         WHEN 1 THEN doc_id % 20
+                         ELSE doc_id % 30 END AS DOUBLE) AS y0,
+           CAST(CASE j.p WHEN 0 THEN doc_id % 7
+                         WHEN 1 THEN doc_id % 5
+                         ELSE doc_id % 9 END AS DOUBLE) AS z0
+    FROM documents, LATERAL (SELECT unnest(generate_series(0, 2)) AS p) j
+    ORDER BY doc_id, part
+    """,
+    desc="explodecollections over GeometryCollection-Z WKB (type 1007, "
+         "ISO +1000 Z offset — ogr_core.h:405-519): heterogeneous "
+         "PointZ/LineStringZ/PolygonZ parts keep their tags AND their "
+         "z ordinates through the parse->re-encode roundtrip; z0 is "
+         "re-read from each PART's emitted WKB, proving the Z "
+         "roundtrip, not just the parse",
+)
+def explode_collections_z_q(spark, sf_dir):
+    from ..operators import geometry as ge
+    from ..kernels import wkb as kwkb_
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    gc = ge.synth_gc_z_rows(docs)
+    out = ge.explode_collections(gc)
+
+    # prove the PART blobs carry Z: re-parse each emitted part WKB and
+    # take z from its first vertex (not the z0 column the operator
+    # already computed)
+    import pandas as pd_
+
+    def _z_back(it):
+        for pdf in it:
+            zs = []
+            for blob in pdf["wkb"]:
+                base, hz, hm, payload = kwkb_.parse_wkb_full(bytes(blob))
+                assert hz, "part WKB lost its Z flag"
+                v0 = (payload if base == kwkb_.POINT
+                      else payload[0] if base == kwkb_.LINESTRING
+                      else payload[0][0])
+                zs.append(float(v0[2]))
+            out_pdf = pdf[["doc_id", "part", "gtype", "npts", "x0", "y0"]]
+            yield out_pdf.assign(z0=pd_.Series(zs, index=pdf.index))
+
+    return out.mapInPandas(
+        _z_back, "doc_id long, part int, gtype int, npts int, "
+                 "x0 double, y0 double, z0 double").orderBy("doc_id", "part")
+
+
 # ---------------------------------------------- compound-curve stroke
 _CC_AX0 = "CAST(doc_id % 90 AS DOUBLE)"
 _CC_AY0 = "CAST((3 * doc_id) % 80 AS DOUBLE)"

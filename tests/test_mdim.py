@@ -62,3 +62,78 @@ def test_slice_plan_is_narrow(spark):
     plan = md.mdim_slice(_cube_df(spark), {"x": (0, 4, 2)})._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- resample
+def _bilinear_np(src: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    """Reference bilinear resample of the trailing 2 dims, edge-clamped,
+    sample centers at (i+0.5)*scale-0.5."""
+    T, sy, sx = src.shape
+    out = np.empty((T, dy, dx), dtype=np.float64)
+    cy = np.clip((np.arange(dy) + 0.5) * (sy / dy) - 0.5, 0, sy - 1)
+    cx = np.clip((np.arange(dx) + 0.5) * (sx / dx) - 0.5, 0, sx - 1)
+    y0 = np.floor(cy).astype(int); fy = cy - y0
+    x0 = np.floor(cx).astype(int); fx = cx - x0
+    y1 = np.minimum(y0 + 1, sy - 1); x1 = np.minimum(x0 + 1, sx - 1)
+    for t in range(T):
+        a = src[t]
+        out[t] = ((1 - fy)[:, None] * (1 - fx)[None, :] * a[np.ix_(y0, x0)]
+                  + (1 - fy)[:, None] * fx[None, :] * a[np.ix_(y0, x1)]
+                  + fy[:, None] * (1 - fx)[None, :] * a[np.ix_(y1, x0)]
+                  + fy[:, None] * fx[None, :] * a[np.ix_(y1, x1)])
+    return out
+
+
+@pytest.mark.parametrize("dst", [(9, 11), (3, 5), (6, 8), (13, 3)])
+def test_resample_bilinear_matches_numpy(spark, dst):
+    # non-dyadic ratios both ways: up, down, identity-ish, mixed
+    dy, dx = dst
+    df = md.mdim_resample(_cube_df(spark), "y", "x", (6, 8), (dy, dx),
+                          alg="bilinear")
+    got = {(r["t"], r["y"], r["x"]): r["value"] for r in df.collect()}
+    ref = _bilinear_np(_cube_np().astype(np.float64), dy, dx)
+    assert len(got) == 3 * dy * dx
+    for (t, y, x), v in got.items():
+        assert v == pytest.approx(ref[t, y, x], abs=1e-9)
+
+
+@pytest.mark.parametrize("dst", [(3, 4), (12, 16), (5, 7)])
+def test_resample_nearest_matches_numpy(spark, dst):
+    dy, dx = dst
+    df = md.mdim_resample(_cube_df(spark), "y", "x", (6, 8), (dy, dx),
+                          alg="nearest")
+    got = {(r["t"], r["y"], r["x"]): r["value"] for r in df.collect()}
+    ref = _cube_np()
+    iy = np.floor((np.arange(dy) + 0.5) * (6 / dy)).astype(int).clip(0, 5)
+    ix = np.floor((np.arange(dx) + 0.5) * (8 / dx)).astype(int).clip(0, 7)
+    assert len(got) == 3 * dy * dx
+    for (t, y, x), v in got.items():
+        assert v == ref[t, iy[y], ix[x]]
+
+
+def test_resample_average_matches_numpy(spark):
+    df = md.mdim_resample(_cube_df(spark), "y", "x", (6, 8), (3, 4),
+                          alg="average")
+    got = {(r["t"], r["y"], r["x"]): r["value"] for r in df.collect()}
+    ref = _cube_np().astype(np.float64).reshape(3, 3, 2, 4, 2) \
+        .mean(axis=(2, 4))
+    assert len(got) == 3 * 3 * 4
+    for (t, y, x), v in got.items():
+        assert v == pytest.approx(ref[t, y, x])
+
+
+def test_resample_rejects_bad_alg(spark):
+    with pytest.raises(ValueError, match="alg"):
+        md.mdim_resample(_cube_df(spark), "y", "x", (6, 8), (3, 4),
+                         alg="cubicfake")
+
+
+def test_statistics_matches_numpy(spark):
+    ref = _cube_np().astype(np.float64)
+    nod = float(ref[1, 2, 3])
+    vals = ref[ref != nod]
+    row = md.mdim_statistics(_cube_df(spark), nodata=nod).collect()[0]
+    assert row["valid_count"] == vals.size
+    assert row["min"] == vals.min() and row["max"] == vals.max()
+    assert row["mean"] == pytest.approx(vals.mean())
+    assert row["std"] == pytest.approx(vals.std(), rel=1e-12)

@@ -108,3 +108,30 @@ def test_white_variant():
                                  white=True)
     assert black[0, 0]
     assert (out[black] == 255).all()
+
+
+@pytest.mark.parametrize("chunk", [1, 2, 3, 64])
+def test_segmented_scan_chunking_matches_serial(spark, chunk):
+    """The two-level segmented scan is invariant to chunk size: 8
+    strips folded in chunks of 1 (every strip is a chunk boundary),
+    2, 3 (uneven last chunk) and 64 (single chunk) all bit-match the
+    serial kernel."""
+    from gdal_spark.operators.nearblack import nearblack_tiles
+
+    tile = 8
+    img = _image(64, 64)
+    out_s, mask_s, _ = nearblack(img, near_dist=15, max_non_black=2)
+    got = nearblack_tiles(
+        _tiles_df(spark, img, tile), ntx=8, nty=8, tile_size=tile,
+        near_dist=15, max_non_black=2, chunk=chunk).collect()
+    out_d = np.zeros_like(img)
+    mask_d = np.zeros_like(img)
+    for r in got:
+        t = np.frombuffer(r["px"], dtype=np.uint8).reshape(tile, tile)
+        m = np.frombuffer(r["mask"], dtype=np.uint8).reshape(tile, tile)
+        out_d[r["ty"] * tile:(r["ty"] + 1) * tile,
+              r["tx"] * tile:(r["tx"] + 1) * tile] = t
+        mask_d[r["ty"] * tile:(r["ty"] + 1) * tile,
+               r["tx"] * tile:(r["tx"] + 1) * tile] = m
+    assert np.array_equal(out_s, out_d)
+    assert np.array_equal(mask_s, mask_d)
