@@ -348,3 +348,65 @@ def test_st_curvetoline_multicurve(spark):
     ref = karc.circularstring_to_line(arc)
     assert len(parts[1]) == len(ref)
     np.testing.assert_allclose(parts[1], ref, atol=1e-12)
+
+
+# ---- registry stragglers: boundary / setprecision / delaunay /
+# polygonize (ogrgeometry.cpp:4403,6610,6706,6791 roles) -----------------
+def test_boundary(st):
+    # polygon with hole -> multilinestring of both rings
+    wkt = _one(st, "st_astext(st_boundary(st_geomfromtext("
+                   "'POLYGON((0 0,4 0,4 3,0 3,0 0),(1 1,2 1,1 2,1 1))')))")
+    assert wkt.startswith("MULTILINESTRING")
+    assert "(1 1" in wkt
+    # single-ring polygon -> plain linestring
+    wkt = _one(st, "st_astext(st_boundary(st_geomfromtext("
+                   "'POLYGON((0 0,4 0,0 3,0 0))')))")
+    assert wkt.startswith("LINESTRING")
+    # open linestring -> its endpoints; closed -> empty multipoint
+    wkt = _one(st, "st_astext(st_boundary(st_geomfromtext("
+                   "'LINESTRING(0 0,5 5,9 0)')))")
+    assert wkt == "MULTIPOINT (0 0, 9 0)" or "0 0" in wkt
+    empty = _one(st, "st_boundary(st_geomfromtext("
+                     "'LINESTRING(0 0,5 5,0 0)'))")
+    t, parts = kwkb.parse_wkb(bytes(empty))
+    assert t == kwkb.MULTIPOINT and parts == []
+
+
+def test_setprecision(st):
+    out = _one(st, "st_astext(st_setprecision(st_geomfromtext("
+                   "'POINT(1.26 -3.74)'), 0.5))")
+    assert out == "POINT (1.5 -3.5)"
+    # grid 0 -> unchanged
+    out = _one(st, "st_astext(st_setprecision(st_geomfromtext("
+                   "'POINT(1.26 -3.74)'), 0.0))")
+    assert out == "POINT (1.26 -3.74)"
+    # polygon ring snapped to integer grid
+    out = _one(st, "st_area(st_setprecision(st_geomfromtext("
+                   "'POLYGON((0.1 0.1,3.9 0.2,4.1 2.9,0.2 3.1,0.1 0.1))'),"
+                   " 1.0))")
+    assert out == 12.0
+
+
+def test_delaunay_triangulation(st):
+    # 4 corner points of a unit square -> 2 triangles, total area 1
+    blob = _one(st, "st_delaunaytriangulation(st_geomfromtext("
+                    "'MULTIPOINT(0 0, 1 0, 0 1, 1 1)'))")
+    t, parts = kwkb.parse_wkb(bytes(blob))
+    assert t == kwkb.GEOMETRYCOLLECTION and len(parts) == 2
+    from gdal_spark.kernels.geom import polygon_area
+    total = sum(polygon_area(p) for pt, p in parts)
+    assert total == pytest.approx(1.0)
+    # degenerate: under 3 distinct points -> empty collection
+    blob = _one(st, "st_delaunaytriangulation(st_makepoint(1, 2))")
+    assert kwkb.parse_wkb(bytes(blob))[1] == []
+
+
+def test_polygonize(st):
+    blob = _one(st, "st_polygonize(st_geomfromtext("
+                    "'MULTILINESTRING((0 0,4 0,4 3,0 0),(9 9,9 8))'))")
+    t, parts = kwkb.parse_wkb(bytes(blob))
+    assert t == kwkb.GEOMETRYCOLLECTION and len(parts) == 1
+    pt, rings = parts[0]
+    assert pt == kwkb.POLYGON
+    from gdal_spark.kernels.geom import polygon_area
+    assert polygon_area(rings) == 6.0
