@@ -292,9 +292,26 @@ def _rewrite_quoted_idents(sql: str) -> str:
 
 
 def ogr_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Execute an OGR-SQL-dialect statement against registered layers."""
+    """Execute an OGR-SQL-dialect statement against registered layers.
+
+    Statements go through the recursive-descent grammar
+    (sql/parser.py — the swq_parser.y select_statement, extended with
+    sub-SELECT in FROM) and one tree walk applies every dialect
+    rewrite in correct scope.  Statements the grammar does not cover
+    fall back to the token-stream rewrites (identical behavior on the
+    shared surface, pinned by tests/test_ogr_parser.py)."""
+    from .parser import ParseError, emit, parse
+
+    try:
+        tree = parse(sql)
+    except ParseError:
+        return spark.sql(_legacy_rewrites(spark, sql))
+    return spark.sql(emit(tree, spark))
+
+
+def _legacy_rewrites(spark: SparkSession, sql: str) -> str:
     sql = _rewrite_exclude(sql, spark)
     sql = _rewrite_first_match_join(sql, spark)
     sql = _rewrite_hstore(sql)
     sql = _rewrite_quoted_idents(sql)
-    return spark.sql(sql)
+    return sql
