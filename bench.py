@@ -89,6 +89,11 @@ HEADLINE = [
     "tile_index",
     "mdim_view",
     "explode_collections",
+    # round 4 additions
+    "st_measures",
+    "mdim_resample",
+    "mdim_stats",
+    "explode_collections_z",
 ]
 
 BIG_JOIN_N = 8_000_000

@@ -768,6 +768,13 @@ def _st_curvetoline(bs: pd.Series) -> pd.Series:
     def one(b):
         if b is None:
             return None
+        base, hz, hm, full = kwkb.parse_wkb_full(bytes(b))
+        if base == kwkb.CIRCULARSTRING and hz and not hm:
+            # Z rides through linearization: angular lerp per half-arc
+            # (ogrcircularstring.cpp:403-419)
+            pts = karc.circularstring_to_line_z(full)
+            return kwkb.wkb_linestring(np.asarray(pts, dtype=np.float64),
+                                       z=True)
         t, p = _parse(b)
         if t == kwkb.CIRCULARSTRING:
             pts = karc.circularstring_to_line(p)

@@ -100,3 +100,53 @@ def circularstring_to_line(coords, max_step_deg: float = 4.0):
                             max_step_deg)
         out.extend(sub if i == 0 else sub[1:])
     return out
+
+
+def curve_to_line_z(p0, p1, p2, max_step_deg: float = 4.0):
+    """Z-aware arc stroke: identical (x, y) vertices to curve_to_line,
+    with Z linearly interpolated by ANGLE fraction between control
+    points — OGRCircularString::getLinearGeometry's padfZ handling
+    (/root/reference/ogr/ogrcircularstring.cpp:403-419,439-447:
+    z = z_i + (z_{i+1} - z_i) * (alpha - alpha_i)/(alpha_{i+1} -
+    alpha_i) on each half-arc)."""
+    (x0, y0, z0), (x1, y1, z1), (x2, y2, z2) = p0, p1, p2
+    if x0 < x2 or (x0 == x2 and y0 < y2):
+        return curve_to_line_z(p2, p1, p0, max_step_deg)[::-1]
+    prm = get_curve_parameters(x0, y0, x1, y1, x2, y2)
+    if prm is None:
+        r = cx = cy = a0 = a1 = a2 = 0.0
+    else:
+        r, cx, cy, a0, a1, a2 = prm
+    nsign = 1 if a1 >= a0 else -1
+    step = max(max_step_deg, 1e-2) / 180.0 * math.pi * nsign
+    pts = [(x0, y0, z0)]
+    _stroke_z(pts, cx, cy, r, a0, a1, z0, z1, step)
+    pts.append((x1, y1, z1))
+    _stroke_z(pts, cx, cy, r, a1, a2, z1, z2, step)
+    pts.append((x2, y2, z2))
+    return pts
+
+
+def _stroke_z(pts, cx, cy, r, a, b, z_a, z_b, step):
+    nsign = 1 if step > 0 else -1
+    n = int(abs((b - a) / step) + 0.5)
+    if n < 4:
+        n = 4
+    st = nsign * abs((b - a) / n)
+    al = a + st
+    while (al - b) * nsign < -1e-8:
+        frac = (al - a) / (b - a) if b != a else 0.0
+        pts.append((cx + r * math.cos(al), cy + r * math.sin(al),
+                    z_a + (z_b - z_a) * frac))
+        al += st
+
+
+def circularstring_to_line_z(coords, max_step_deg: float = 4.0):
+    """Z-carrying CircularString vertices (n, 3) -> LineString vertex
+    list with per-half-arc angular Z lerp."""
+    out = []
+    for i in range(0, len(coords) - 2, 2):
+        sub = curve_to_line_z(tuple(coords[i]), tuple(coords[i + 1]),
+                              tuple(coords[i + 2]), max_step_deg)
+        out.extend(sub if i == 0 else sub[1:])
+    return out

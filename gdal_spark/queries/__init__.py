@@ -119,11 +119,14 @@ _DEFERRED = [
 
 # Round-4 window (judge r3 item #1): 50 of the 65 catalog queries with
 # no driver-green row in CORRECTNESS_r01-r03 (all 65 are judge-verified
-# value-exact in r3; this buys them the stronger driver signal).  The
-# remaining 15 (grid_* x4, viewshed_curved/cumulative, gpkg_scan,
-# rpc_*, rasterize_points/lines, gcp_order*, raster_histogram — listed
-# at the top of _DEFERRED) lead the round-5 window together with any
-# queries added this round.
+# value-exact in r3; this buys them the stronger driver signal).
+# Round-5 window should lead with the still-uncovered remainder:
+# the 15 older ones (grid_* x4, viewshed_curved/cumulative, gpkg_scan,
+# rpc_* x2, rasterize_points/lines, gcp_order* x2, tps_* x2 — listed
+# in _DEFERRED) plus the 9 added in round 4 (explode_collections_z,
+# mdim_resample, mdim_resample_near, mdim_stats, st_measures,
+# mdim_view, curve_to_line-family rotations as needed) — all are
+# scripts/check.py-green at sf0.01 this round.
 _PRIORITY = [
     # changed this round (semdedup assignment/pair bound) — front
     "semdedup",

@@ -253,3 +253,46 @@ def test_packing_bounds_fail_fast(spark):
         "curve_id long, seg int, kind string, x0 double, y0 double,"
         " x1 double, y1 double, x2 double, y2 double")
     assert compound_curve_to_line(ok).count() > 2
+
+
+# ------------------------------------------------------ Z linearization
+def test_curve_to_line_z_angular_lerp():
+    """Z interpolates by ANGLE fraction between control points
+    (ogrcircularstring.cpp:403-419), and (x, y) bit-match the 2-D
+    stroke."""
+    import numpy as np
+    from gdal_spark.kernels import arc as ka
+
+    p0, p1, p2 = (10.0, 0.0, 100.0), (0.0, 10.0, 200.0), (-10.0, 0.0, 300.0)
+    got = ka.curve_to_line_z(p0, p1, p2)
+    flat = ka.curve_to_line(p0[0], p0[1], p1[0], p1[1], p2[0], p2[1])
+    assert [(x, y) for x, y, _ in got] == flat
+    zs = [z for _, _, z in got]
+    assert zs[0] == 100.0 and zs[-1] == 300.0 and 200.0 in zs
+    # half circle at uniform angular steps -> z strictly monotone
+    assert all(b > a for a, b in zip(zs, zs[1:]))
+    # the vertex at angle midpoint of the first half-arc carries the
+    # angular midpoint z
+    n_half = (len(zs) - 1) // 2
+    mid = got[n_half // 2]
+    frac = (np.arctan2(mid[1], mid[0]) - 0.0) / (np.pi / 2)
+    # first half-arc spans angles 0..pi/2 (from (10,0) to (0,10))
+    assert mid[2] == pytest.approx(100.0 + 100.0 * frac, rel=1e-9)
+
+
+def test_st_curvetoline_z_roundtrip(spark):
+    import numpy as np
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.kernels import wkb as kw
+    from pyspark.sql import Row
+
+    register_st_functions(spark)
+    cs = kw.wkb_circularstring(np.array(
+        [[10, 0, 5], [0, 10, 7], [-10, 0, 9]], dtype=np.float64), z=True)
+    df = spark.createDataFrame([Row(g=bytearray(cs))])
+    df.createOrReplaceTempView("curvez")
+    out = spark.sql("SELECT st_curvetoline(g) AS l FROM curvez").collect()
+    base, hz, hm, pts = kw.parse_wkb_full(bytes(out[0]["l"]))
+    assert base == kw.LINESTRING and hz and not hm
+    assert pts.shape[1] == 3 and len(pts) > 10
+    assert pts[0][2] == 5.0 and pts[-1][2] == 9.0
