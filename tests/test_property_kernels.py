@@ -250,3 +250,78 @@ def test_s2_cover_face_straddle_sliver():
         missing = keys - cover
         assert not missing, (xmin, ymin, xmax, ymax, level, missing)
         assert len({k >> (2 * level) for k in keys}) >= 2  # straddles
+
+
+# -------------------------------------------------- Z/M WKB roundtrip
+_dims_strat = st.tuples(st.booleans(), st.booleans())
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), _dims_strat, st.integers(1, 4))
+def test_wkb_zm_roundtrip_property(seed, zm, nparts):
+    """encode -> parse_wkb_full is the identity for every geometry
+    family at every Z/M width; parse_wkb projects to the same (x, y);
+    batch_area/batch_length agree with the scalar kernels."""
+    z, m = zm
+    dims = 2 + z + m
+    rng = np.random.RandomState(seed)
+    from gdal_spark.kernels import batch_measures as bm
+
+    # multilinestring
+    parts = [rng.uniform(-100, 100, (rng.randint(2, 6), dims))
+             for _ in range(nparts)]
+    blob = kwkb.wkb_multilinestring(parts, z=z, m=m)
+    base, hz, hm, got = kwkb.parse_wkb_full(blob)
+    assert (base, hz, hm) == (kwkb.MULTILINESTRING, z, m)
+    for a, b in zip(got, parts):
+        np.testing.assert_array_equal(a, b)
+
+    # polygon with hole, closed rings
+    rings = []
+    for _ in range(2):
+        r = rng.uniform(-50, 50, (4, dims))
+        rings.append(np.vstack([r, r[:1]]))
+    pblob = kwkb.wkb_polygon(rings, z=z, m=m)
+    base, hz, hm, got = kwkb.parse_wkb_full(pblob)
+    assert (base, hz, hm) == (kwkb.POLYGON, z, m)
+    np.testing.assert_array_equal(got[1], rings[1])
+
+    # projection consistency: parse_wkb == parse_wkb_full[:, :2]
+    t2, p2 = kwkb.parse_wkb(pblob)
+    np.testing.assert_array_equal(p2[0], got[0][:, :2])
+
+    # batch measures on the projected geometry match scalar kernels
+    from gdal_spark.kernels import geom as kg
+    a_batch = bm.batch_area([pblob])[0]
+    a_scalar = kg.polygon_area([r[:, :2] for r in rings])
+    assert abs(a_batch - a_scalar) < 1e-9 * max(1.0, abs(a_scalar))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 5))
+def test_wkb_collection_roundtrip_property(seed, n):
+    """GeometryCollection nests arbitrary members and re-parses with
+    tags intact; bbox equals the member-wise envelope union."""
+    rng = np.random.RandomState(seed)
+    members, want = [], []
+    for i in range(n):
+        k = rng.randint(3)
+        if k == 0:
+            x, y = rng.uniform(-10, 10, 2)
+            members.append(kwkb.wkb_point(float(x), float(y)))
+            want.append(kwkb.POINT)
+        elif k == 1:
+            members.append(kwkb.wkb_linestring(rng.uniform(-10, 10, (3, 2))))
+            want.append(kwkb.LINESTRING)
+        else:
+            r = rng.uniform(-10, 10, (3, 2))
+            members.append(kwkb.wkb_polygon([np.vstack([r, r[:1]])]))
+            want.append(kwkb.POLYGON)
+    gc = kwkb.wkb_collection(members)
+    base, _, _, parts = kwkb.parse_wkb_full(gc)
+    assert base == kwkb.GEOMETRYCOLLECTION
+    assert [t for t, _ in parts] == want
+    bb = kwkb.wkb_bbox(gc)
+    sub = [kwkb.wkb_bbox(mb) for mb in members]
+    assert bb == (min(s[0] for s in sub), min(s[1] for s in sub),
+                  max(s[2] for s in sub), max(s[3] for s in sub))
