@@ -329,13 +329,20 @@ def _st_disjoint(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _st_isempty(bs: pd.Series) -> pd.Series:
+    """Header-only: emptiness is the element count word right after
+    the 5-byte header (0 for no rings/parts/points); POINT is never
+    empty in WKB.  No payload parse."""
+    import struct as _struct
+
     def one(b):
         if b is None:
             return None
-        t, p = _parse(b)
-        if t == kwkb.POINT:
+        b = bytes(b)
+        base = kwkb.wkb_flat_type(b)
+        if base == kwkb.POINT:
             return False
-        return len(p) == 0
+        bo = "<" if b[0] == 1 else ">"
+        return _struct.unpack_from(bo + "I", b, 5)[0] == 0
     return bs.map(one)
 
 

@@ -73,10 +73,12 @@ def register_layer(spark: SparkSession, name: str, df: DataFrame,
 
         @F.pandas_udf("double")
         def _area(wkbs: pd.Series) -> pd.Series:
-            return wkbs.map(
-                lambda b: kgeom.polygon_area(kwkb.polygon_rings(bytes(b)))
-                if b is not None else 0.0
-            )
+            # batched decode (kernels/batch_measures.py): uniform
+            # layouts take the zero-per-row matrix path — this column
+            # is materialized for EVERY row of every registered layer
+            from ..kernels import batch_measures as kbm
+
+            return pd.Series(kbm.batch_area(wkbs), index=wkbs.index)
 
         @F.pandas_udf("string")
         def _wkt(wkbs: pd.Series) -> pd.Series:
