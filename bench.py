@@ -94,6 +94,7 @@ HEADLINE = [
     "mdim_resample",
     "mdim_stats",
     "explode_collections_z",
+    "geotiff_scan",
 ]
 
 BIG_JOIN_N = 8_000_000

@@ -509,7 +509,37 @@ def _st_srid(bs: pd.Series) -> pd.Series:
 
 
 # ---- CRS (EPSG:4326 <-> 3857 only) --------------------------------------
+def _tx_batch(x, y, srid: int):
+    """Vectorized coordinate transform for one target SRID over
+    numpy arrays (the kernels are array-native)."""
+    if srid == 3857:
+        return kgeom.lonlat_to_mercator(x, y)
+    if srid == 4326:
+        return kgeom.mercator_to_lonlat(x, y)
+    if 32601 <= srid <= 32660:
+        return kgeom.tmerc_forward(x, y, -183.0 + 6.0 * (srid - 32600))
+    if 32701 <= srid <= 32760:
+        return kgeom.tmerc_forward(x, y, -183.0 + 6.0 * (srid - 32700),
+                                   fn=10_000_000.0)
+    raise ValueError(f"unsupported SRID {srid}")
+
+
 def _st_transform(bs: pd.Series, to_srid: pd.Series) -> pd.Series:
+    pts = _decode_points_batch(bs)
+    if pts is not None:
+        # whole-batch numpy path, grouped by distinct target SRID
+        # (usually ONE — F.lit): no per-row Python at all
+        x, y = pts
+        ox = np.empty_like(x)
+        oy = np.empty_like(y)
+        srids = to_srid.to_numpy()
+        for srid in np.unique(srids):
+            sel = srids == srid
+            ox[sel], oy[sel] = _tx_batch(x[sel], y[sel], int(srid))
+        return pd.Series(
+            [kwkb.wkb_point(float(a), float(b)) for a, b in zip(ox, oy)],
+            index=bs.index, dtype=object)
+
     def one(b, srid):
         if b is None:
             return None

@@ -1,0 +1,222 @@
+"""Minimal baseline GeoTIFF codec (stdlib struct + numpy).
+
+Covers the reference GTiff driver's baseline uncompressed subset
+(/root/reference/frmts/gtiff/ — the engine's raster interchange role;
+container has no libtiff/GDAL, so the codec is written from the TIFF
+6.0 + OGC GeoTIFF 1.1 specs):
+
+* classic (non-Big) TIFF, strip-organized, Compression=1 (none),
+  single band (SamplesPerPixel=1), PlanarConfiguration irrelevant;
+* dtypes uint8/uint16/uint32/int16/int32/float32/float64 via
+  BitsPerSample + SampleFormat;
+* georeferencing: ModelPixelScaleTag(33550) + ModelTiepointTag(33922)
+  -> the north-up affine geotransform (x0, dx, 0, y0, 0, -dy), and a
+  GeoKeyDirectoryTag(34735) carrying the EPSG code (GeographicTypeGeoKey
+  2048 for 4326, ProjectedCSTypeGeoKey 3072 otherwise);
+* GDAL's nodata convention: ASCII tag 42113 (GDAL_NODATA).
+
+The writer emits little-endian; the reader accepts both byte orders
+(a byte-swapped file is real-world TIFF).  Tiled-organization TIFFs
+(TileWidth 322) are out of scope — the engine's own tiling happens
+relationally on (tx, ty, px) tables; strips are the interchange form.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# tag ids
+_W, _H, _BPS, _COMP, _PHOT = 256, 257, 258, 259, 262
+_SOFF, _SPP, _RPS, _SCNT, _SFMT = 273, 277, 278, 279, 339
+_PSCALE, _TIEPOINT, _GEOKEYS, _NODATA = 33550, 33922, 34735, 42113
+
+_T_ASCII, _T_SHORT, _T_LONG, _T_DOUBLE = 2, 3, 4, 12
+_TYPE_SIZE = {1: 1, _T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, 11: 4,
+              _T_DOUBLE: 8, 16: 8, 17: 8}
+
+_FMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
+_KIND_OF_FMT = {1: "u", 2: "i", 3: "f"}
+
+
+def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
+                  nodata: float | None = None,
+                  rows_per_strip: int | None = None) -> bytes:
+    """Encode a 2-D array as a single-band baseline GeoTIFF (LE).
+
+    ``geotransform`` is GDAL's 6-tuple (x0, dx, rot, y0, rot, -dy)
+    with zero rotation terms (north-up, the PixelScale+Tiepoint
+    model)."""
+    a = np.ascontiguousarray(arr)
+    if a.ndim != 2:
+        raise ValueError("single-band 2-D array expected")
+    if a.dtype.kind not in _FMT_OF_KIND:
+        raise ValueError(f"unsupported dtype {a.dtype}")
+    h, w = a.shape
+    if rows_per_strip is None:
+        # GDAL default: ~8KB strips
+        rows_per_strip = max(1, 8192 // max(1, w * a.dtype.itemsize))
+    rows_per_strip = min(rows_per_strip, h) if h else 1
+    n_strips = max(1, (h + rows_per_strip - 1) // rows_per_strip)
+
+    le = a.astype(a.dtype.newbyteorder("<"), copy=False)
+    strips = [le[i * rows_per_strip:(i + 1) * rows_per_strip].tobytes()
+              for i in range(n_strips)]
+
+    entries: list[tuple[int, int, int, object]] = [
+        (_W, _T_LONG, 1, w),
+        (_H, _T_LONG, 1, h),
+        (_BPS, _T_SHORT, 1, a.dtype.itemsize * 8),
+        (_COMP, _T_SHORT, 1, 1),
+        (_PHOT, _T_SHORT, 1, 1),
+        (_SOFF, _T_LONG, n_strips, None),      # patched below
+        (_SPP, _T_SHORT, 1, 1),
+        (_RPS, _T_LONG, 1, rows_per_strip),
+        (_SCNT, _T_LONG, n_strips, [len(s) for s in strips]),
+        (_SFMT, _T_SHORT, 1, _FMT_OF_KIND[a.dtype.kind]),
+    ]
+    if geotransform is not None:
+        x0, dx, _r0, y0, _r1, ndy = geotransform
+        entries.append((_PSCALE, _T_DOUBLE, 3, [dx, -ndy, 0.0]))
+        entries.append((_TIEPOINT, _T_DOUBLE, 6,
+                        [0.0, 0.0, 0.0, x0, y0, 0.0]))
+    if epsg is not None:
+        geographic = epsg == 4326
+        keys = [1, 1, 0, 3,
+                1024, 0, 1, 2 if geographic else 1,
+                1025, 0, 1, 1,
+                (2048 if geographic else 3072), 0, 1, int(epsg)]
+        entries.append((_GEOKEYS, _T_SHORT, len(keys), keys))
+    if nodata is not None:
+        txt = (f"{nodata:.18g}").encode() + b"\x00"
+        entries.append((_NODATA, _T_ASCII, len(txt), txt))
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header(8) | IFD | external tag data | strip data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_size
+
+    def _pack_vals(typ, cnt, val) -> bytes:
+        if typ == _T_ASCII:
+            return bytes(val)
+        fmt = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}[typ]
+        vals = val if isinstance(val, (list, tuple)) else [val]
+        return struct.pack(f"<{cnt}{fmt}", *[v for v in vals])
+
+    # first pass: compute external block sizes
+    ext_blobs: dict[int, bytes] = {}
+    cursor = ext_off
+    for tag, typ, cnt, val in entries:
+        if tag == _SOFF:
+            size = 4 * cnt
+        else:
+            size = _TYPE_SIZE[typ] * cnt
+        if size > 4:
+            ext_blobs[tag] = b""       # placeholder, offset = cursor
+            cursor += size + (size & 1)
+    strip0 = cursor
+    offs = []
+    for s in strips:
+        offs.append(cursor)
+        cursor += len(s)
+
+    # second pass: serialize
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    ext = bytearray()
+    ext_cursor = ext_off
+    for tag, typ, cnt, val in entries:
+        if tag == _SOFF:
+            val = offs
+        blob = _pack_vals(typ, cnt, val)
+        if len(blob) > 4:
+            out += struct.pack("<HHII", tag, typ, cnt, ext_cursor)
+            pad = len(blob) & 1
+            ext += blob + b"\x00" * pad
+            ext_cursor += len(blob) + pad
+        else:
+            out += struct.pack("<HHI", tag, typ, cnt) + blob.ljust(4, b"\x00")
+    out += struct.pack("<I", 0)        # no next IFD
+    assert len(out) == ifd_size + 8 - 0
+    out += ext
+    assert len(out) == strip0, (len(out), strip0)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def read_geotiff(data: bytes):
+    """Decode our baseline subset (either byte order) ->
+    (array, geotransform | None, epsg | None, nodata | None)."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("not a classic TIFF")
+    (n_ent,) = struct.unpack_from(bo + "H", data, ifd_off)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for k in range(n_ent):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data,
+                                           ifd_off + 2 + 12 * k)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        voff = ifd_off + 2 + 12 * k + 8
+        if size > 4:
+            (voff,) = struct.unpack_from(bo + "I", data, voff)
+        tags[tag] = (typ, cnt, data[voff:voff + size])
+
+    def vals(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, raw = tags[tag]
+        if typ == _T_ASCII:
+            return raw.split(b"\x00")[0].decode()
+        fmt = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}[typ]
+        return list(struct.unpack(bo + str(cnt) + fmt, raw))
+
+    w = vals(_W)[0]
+    h = vals(_H)[0]
+    bps = vals(_BPS, [8])[0]
+    comp = vals(_COMP, [1])[0]
+    if comp != 1:
+        raise ValueError(f"unsupported compression {comp}")
+    spp = vals(_SPP, [1])[0]
+    if spp != 1:
+        raise ValueError("single-band subset only")
+    sfmt = vals(_SFMT, [1])[0]
+    kind = _KIND_OF_FMT.get(sfmt)
+    if kind is None:
+        raise ValueError(f"unsupported sample format {sfmt}")
+    dtype = np.dtype(f"{bo}{kind}{bps // 8}")
+    rps = vals(_RPS, [h])[0]
+    soff = vals(_SOFF)
+    scnt = vals(_SCNT)
+    buf = b"".join(data[o:o + c] for o, c in zip(soff, scnt))
+    arr = np.frombuffer(buf, dtype=dtype, count=h * w).reshape(h, w)
+    arr = arr.astype(dtype.newbyteorder("="))
+    del rps
+
+    gt = None
+    if _PSCALE in tags and _TIEPOINT in tags:
+        dx, dy, _ = vals(_PSCALE)
+        tp = vals(_TIEPOINT)
+        # tiepoint (i, j, k) -> (x, y, z): x0 = x - i*dx, y0 = y + j*dy
+        i, j, _k, x, y, _z = tp[:6]
+        gt = (x - i * dx, dx, 0.0, y + j * dy, 0.0, -dy)
+
+    epsg = None
+    if _GEOKEYS in tags:
+        keys = vals(_GEOKEYS)
+        for k in range(4, len(keys), 4):
+            kid, loc, cnt, v = keys[k:k + 4]
+            if kid in (2048, 3072) and loc == 0:
+                epsg = int(v)
+    nod = vals(_NODATA)
+    nodata = float(nod) if nod is not None else None
+    return arr, gt, epsg, nodata

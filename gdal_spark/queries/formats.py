@@ -194,3 +194,62 @@ def geojson_seq_scan_q(spark, sf_dir):
         "fid", F.col("xmin").alias("x"), F.col("ymin").alias("y"),
         props["name"].alias("name"), props["val"].alias("val"),
     ).orderBy("fid")
+
+
+@register(
+    "geotiff_scan",
+    sql="""
+    WITH px AS (
+      SELECT r.r, c.c,
+             (3 * r.r + 7 * c.c) % 251 AS v
+      FROM (SELECT unnest(generate_series(0, 39)) AS r) r
+      CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS c) c
+    )
+    SELECT CAST(r // 16 AS INT) AS ty, CAST(c // 16 AS INT) AS tx,
+           CAST(COUNT(*) AS BIGINT) AS npx,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM px GROUP BY ty, tx ORDER BY ty, tx
+    """,
+    desc="GeoTIFF scan (frmts/gtiff baseline role): strip-organized "
+         "single-band file decoded executor-side from binaryFile bytes "
+         "into ragged (tx, ty, px) tiles (kernels/tiff.py codec — "
+         "TIFF 6.0 + GeoTIFF 1.1 tags, PixelScale/Tiepoint "
+         "georeferencing, EPSG geokey, GDAL_NODATA); per-tile "
+         "aggregates of the formula image re-derived relationally by "
+         "the oracle",
+)
+def geotiff_scan_q(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ..kernels.tiff import write_geotiff
+    from ..sources.geotiff import read_geotiff_tiles
+
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    path = os.path.join(_FIX_DIR, "scan.tif")
+    r, c = np.mgrid[0:40, 0:60]
+    img = ((3 * r + 7 * c) % 251).astype(np.uint8)
+    with open(path, "wb") as fh:
+        fh.write(write_geotiff(img,
+                               geotransform=(10.0, 0.5, 0, 100.0, 0, -0.5),
+                               epsg=32601, rows_per_strip=7))
+
+    tiles = read_geotiff_tiles(spark, path, tile_size=16)
+
+    def _stats(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=rr["dtype"]).astype(
+                    np.int64)
+                rows.append({"ty": int(rr["ty"]), "tx": int(rr["tx"]),
+                             "npx": int(t.size), "sum_v": int(t.sum()),
+                             "min_v": int(t.min()), "max_v": int(t.max())})
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        _stats, "ty int, tx int, npx long, sum_v long, min_v long, "
+                "max_v long").orderBy("ty", "tx")

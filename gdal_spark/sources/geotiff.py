@@ -1,0 +1,104 @@
+"""GeoTIFF scan/sink over the baseline codec (kernels/tiff.py).
+
+Scale shape mirrors real satellite archives: MANY granule files, one
+strip-organized GeoTIFF each.  ``spark.read.format("binaryFile")``
+distributes whole files to executors; decode happens WHERE THE BYTES
+ARE in one Arrow pass (mapInPandas), emitting the engine's relational
+tile form (path, tx, ty, w, h, px) plus per-file georeferencing — no
+driver-side I/O, no shuffle.  The sink is the geopackage-style
+part-file writer: one GeoTIFF per (group) key assembled inside its
+task from that key's tiles.
+
+Reference roles: frmts/gtiff driver (scan), gdal_translate -of GTiff
+(sink).  At 10^6 granules the scan is a file-parallel map; a single
+huge mosaic should instead live as the (tx, ty, px) parquet tile
+table the rest of the raster engine uses.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernels.tiff import read_geotiff, write_geotiff
+
+TILE_SCHEMA = ("path string, tx int, ty int, w int, h int, px binary, "
+               "dtype string, x0 double, y0 double, dx double, dy double, "
+               "epsg int, nodata double")
+
+
+def read_geotiff_tiles(spark: SparkSession, path_glob: str,
+                       tile_size: int = 256) -> DataFrame:
+    """Scan GeoTIFF file(s) into (path, tx, ty, w, h, px, ...) tiles.
+
+    Ragged edge tiles keep their true (w, h); ``(x0, y0)`` is each
+    TILE's georeferenced origin derived from the file geotransform, so
+    downstream ops never need the file again."""
+    files = spark.read.format("binaryFile").load(path_glob) \
+        .select("path", "content")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                arr, gt, epsg, nodata = read_geotiff(bytes(blob))
+                h, w = arr.shape
+                gx0, gdx, _, gy0, _, gndy = gt if gt is not None else (
+                    0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+                for ty in range(0, (h + tile_size - 1) // tile_size):
+                    for tx in range(0, (w + tile_size - 1) // tile_size):
+                        t = arr[ty * tile_size:(ty + 1) * tile_size,
+                                tx * tile_size:(tx + 1) * tile_size]
+                        rows.append({
+                            "path": path, "tx": tx, "ty": ty,
+                            "w": t.shape[1], "h": t.shape[0],
+                            "px": np.ascontiguousarray(t).tobytes(),
+                            "dtype": str(t.dtype),
+                            "x0": gx0 + tx * tile_size * gdx,
+                            "y0": gy0 + ty * tile_size * gndy,
+                            "dx": gdx, "dy": gndy,
+                            "epsg": epsg, "nodata": nodata,
+                        })
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(_decode, TILE_SCHEMA)
+
+
+def write_geotiff_part_files(tiles: DataFrame, out_dir: str,
+                             tile_size: int = 256,
+                             key_col: str = "path") -> DataFrame:
+    """Assemble each key's tiles into one baseline GeoTIFF part file
+    (task-side, geopackage part-file pattern).  Expects the
+    read_geotiff_tiles schema; returns (key, out_path, w, h, n_tiles)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _assemble(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        key = keys[0]
+        w = int((pdf["tx"] * tile_size + pdf["w"]).max())
+        h = int((pdf["ty"] * tile_size + pdf["h"]).max())
+        dt = np.dtype(pdf["dtype"].iloc[0])
+        arr = np.zeros((h, w), dtype=dt)
+        for _, r in pdf.iterrows():
+            t = np.frombuffer(r["px"], dtype=np.dtype(r["dtype"])) \
+                .reshape(int(r["h"]), int(r["w"]))
+            y0, x0 = int(r["ty"]) * tile_size, int(r["tx"]) * tile_size
+            arr[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = t
+        top = pdf.loc[(pdf["tx"] == 0) & (pdf["ty"] == 0)].iloc[0]
+        gt = (float(top["x0"]), float(top["dx"]), 0.0,
+              float(top["y0"]), 0.0, float(top["dy"]))
+        epsg = None if pd.isna(top["epsg"]) else int(top["epsg"])
+        nodata = None if pd.isna(top["nodata"]) else float(top["nodata"])
+        base = os.path.basename(str(key)).replace("/", "_") or "part"
+        out_path = os.path.join(out_dir, f"{base}.tif")
+        with open(out_path, "wb") as fh:
+            fh.write(write_geotiff(arr, geotransform=gt, epsg=epsg,
+                                   nodata=nodata))
+        return pd.DataFrame([{"key": str(key), "out_path": out_path,
+                              "w": w, "h": h, "n_tiles": len(pdf)}])
+
+    return tiles.groupBy(key_col).applyInPandas(
+        _assemble, "key string, out_path string, w int, h int, n_tiles int")

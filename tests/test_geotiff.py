@@ -1,0 +1,130 @@
+"""Baseline GeoTIFF codec (kernels/tiff.py) + Spark scan/sink
+(sources/geotiff.py)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from gdal_spark.kernels.tiff import read_geotiff, write_geotiff
+
+
+@pytest.mark.parametrize("dt", ["u1", "u2", "u4", "i2", "i4", "f4", "f8"])
+def test_roundtrip_dtypes(dt):
+    a = (np.arange(37 * 53).reshape(37, 53) % 251).astype(dt)
+    blob = write_geotiff(a, geotransform=(100.0, 0.5, 0, 200.0, 0, -0.5),
+                         epsg=32633, nodata=7.0, rows_per_strip=5)
+    arr, gt, epsg, nod = read_geotiff(blob)
+    assert arr.dtype == np.dtype(dt)
+    np.testing.assert_array_equal(arr, a)
+    assert gt == (100.0, 0.5, 0.0, 200.0, 0.0, -0.5)
+    assert epsg == 32633 and nod == 7.0
+
+
+def test_geographic_key_and_defaults():
+    blob = write_geotiff(np.zeros((4, 4), np.uint8), epsg=4326)
+    _, gt, epsg, nod = read_geotiff(blob)
+    assert epsg == 4326 and gt is None and nod is None
+
+
+def test_nodata_precision():
+    blob = write_geotiff(np.zeros((2, 2), np.float64),
+                         nodata=-3.402823e38)
+    assert read_geotiff(blob)[3] == pytest.approx(-3.402823e38)
+
+
+def test_rejects_non_tiff_and_compressed():
+    with pytest.raises(ValueError, match="byte-order"):
+        read_geotiff(b"PK\x03\x04junk")
+    # patch the Compression entry of a valid file to 5 (LZW)
+    blob = bytearray(write_geotiff(np.zeros((2, 2), np.uint8)))
+    (n,) = struct.unpack_from("<H", blob, 8)
+    for k in range(n):
+        tag = struct.unpack_from("<H", blob, 10 + 12 * k)[0]
+        if tag == 259:
+            struct.pack_into("<H", blob, 10 + 12 * k + 8, 5)
+    with pytest.raises(ValueError, match="compression"):
+        read_geotiff(bytes(blob))
+
+
+def test_big_endian_read():
+    """Hand-built MM-order file: reader must byte-swap."""
+    h, w = 2, 3
+    px = np.array([[1, 2, 3], [4, 5, 600]], dtype=">u2")
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16),
+        (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 4, 1, None),          # strip offset, patched below
+        (277, 3, 1, 1), (278, 4, 1, h), (279, 4, 1, h * w * 2),
+        (339, 3, 1, 1),
+    ]
+    ifd_off = 8
+    strip0 = ifd_off + 2 + 12 * len(entries) + 4
+    out = bytearray(struct.pack(">2sHI", b"MM", 42, ifd_off))
+    out += struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = strip0
+        fmt = {3: "H", 4: "I"}[typ]
+        blob = struct.pack(">" + fmt, val)
+        out += struct.pack(">HHI", tag, typ, cnt) + blob.ljust(4, b"\x00")
+    out += struct.pack(">I", 0)
+    out += px.tobytes()
+    arr, gt, epsg, nod = read_geotiff(bytes(out))
+    np.testing.assert_array_equal(arr, [[1, 2, 3], [4, 5, 600]])
+    assert arr.dtype == np.dtype("u2").newbyteorder("=")
+
+
+def _formula_img(h=40, w=60, dt="u1"):
+    r, c = np.mgrid[0:h, 0:w]
+    return ((3 * r + 7 * c) % 251).astype(dt)
+
+
+def test_spark_scan_tiles(spark, tmp_path):
+    from gdal_spark.sources.geotiff import read_geotiff_tiles
+
+    for i in range(3):
+        img = _formula_img(40 + i, 60)
+        with open(tmp_path / f"g{i}.tif", "wb") as fh:
+            fh.write(write_geotiff(
+                img, geotransform=(10.0 * i, 0.5, 0, 100.0, 0, -0.5),
+                epsg=32601, nodata=255.0, rows_per_strip=7))
+    df = read_geotiff_tiles(spark, str(tmp_path / "*.tif"), tile_size=16)
+    rows = df.collect()
+    # file 0: 40x60 -> 3x4 ragged tile grid
+    f0 = [r for r in rows if r["path"].endswith("g0.tif")]
+    assert len(f0) == 12
+    got = np.zeros((40, 60), np.uint8)
+    for r in f0:
+        t = np.frombuffer(r["px"], dtype=r["dtype"]).reshape(r["h"], r["w"])
+        got[r["ty"] * 16:r["ty"] * 16 + r["h"],
+            r["tx"] * 16:r["tx"] * 16 + r["w"]] = t
+    np.testing.assert_array_equal(got, _formula_img(40, 60))
+    edge = next(r for r in f0 if r["tx"] == 3 and r["ty"] == 2)
+    assert (edge["w"], edge["h"]) == (12, 8)       # ragged edge tile
+    assert edge["x0"] == 0.0 + 3 * 16 * 0.5
+    assert edge["y0"] == 100.0 - 2 * 16 * 0.5
+    assert edge["epsg"] == 32601 and edge["nodata"] == 255.0
+
+
+def test_spark_sink_roundtrip(spark, tmp_path):
+    from gdal_spark.sources.geotiff import (read_geotiff_tiles,
+                                            write_geotiff_part_files)
+
+    img = _formula_img(33, 45, "f4")
+    src = tmp_path / "src.tif"
+    with open(src, "wb") as fh:
+        fh.write(write_geotiff(img, geotransform=(5.0, 2.0, 0, 9.0, 0, -2.0),
+                               epsg=3857))
+    tiles = read_geotiff_tiles(spark, str(src), tile_size=16)
+    out_dir = str(tmp_path / "out")
+    res = write_geotiff_part_files(tiles, out_dir, tile_size=16).collect()
+    assert len(res) == 1 and res[0]["n_tiles"] == 9
+    with open(res[0]["out_path"], "rb") as fh:
+        arr, gt, epsg, nod = read_geotiff(fh.read())
+    np.testing.assert_array_equal(arr, img)
+    assert gt == (5.0, 2.0, 0.0, 9.0, 0.0, -2.0) and epsg == 3857
+    assert os.path.dirname(res[0]["out_path"]) == out_dir
