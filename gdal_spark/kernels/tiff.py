@@ -31,6 +31,7 @@ import numpy as np
 _W, _H, _BPS, _COMP, _PHOT = 256, 257, 258, 259, 262
 _SOFF, _SPP, _RPS, _SCNT, _SFMT = 273, 277, 278, 279, 339
 _PSCALE, _TIEPOINT, _GEOKEYS, _NODATA = 33550, 33922, 34735, 42113
+_SUBFILE = 254          # NewSubfileType: 1 = reduced-resolution image
 
 _T_ASCII, _T_SHORT, _T_LONG, _T_DOUBLE = 2, 3, 4, 12
 _TYPE_SIZE = {1: 1, _T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, 11: 4,
@@ -40,26 +41,18 @@ _FMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
 _KIND_OF_FMT = {1: "u", 2: "i", 3: "f"}
 
 
-def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
-                  nodata: float | None = None,
-                  rows_per_strip: int | None = None) -> bytes:
-    """Encode a 2-D array as a single-band baseline GeoTIFF (LE).
-
-    ``geotransform`` is GDAL's 6-tuple (x0, dx, rot, y0, rot, -dy)
-    with zero rotation terms (north-up, the PixelScale+Tiepoint
-    model)."""
-    a = np.ascontiguousarray(arr)
-    if a.ndim != 2:
-        raise ValueError("single-band 2-D array expected")
-    if a.dtype.kind not in _FMT_OF_KIND:
-        raise ValueError(f"unsupported dtype {a.dtype}")
+def _ifd_block(a: np.ndarray, base: int,
+               extra_entries: list, rows_per_strip: int | None):
+    """Serialize ONE IFD + its external tag data + strip data as a
+    self-contained block whose internal offsets are absolute given
+    ``base`` (the block's position in the file).  Returns
+    (block_bytes, next_ptr_abs_offset) — the caller patches the
+    4-byte next-IFD pointer at that absolute position to chain."""
     h, w = a.shape
     if rows_per_strip is None:
-        # GDAL default: ~8KB strips
         rows_per_strip = max(1, 8192 // max(1, w * a.dtype.itemsize))
     rows_per_strip = min(rows_per_strip, h) if h else 1
     n_strips = max(1, (h + rows_per_strip - 1) // rows_per_strip)
-
     le = a.astype(a.dtype.newbyteorder("<"), copy=False)
     strips = [le[i * rows_per_strip:(i + 1) * rows_per_strip].tobytes()
               for i in range(n_strips)]
@@ -75,28 +68,11 @@ def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
         (_RPS, _T_LONG, 1, rows_per_strip),
         (_SCNT, _T_LONG, n_strips, [len(s) for s in strips]),
         (_SFMT, _T_SHORT, 1, _FMT_OF_KIND[a.dtype.kind]),
-    ]
-    if geotransform is not None:
-        x0, dx, _r0, y0, _r1, ndy = geotransform
-        entries.append((_PSCALE, _T_DOUBLE, 3, [dx, -ndy, 0.0]))
-        entries.append((_TIEPOINT, _T_DOUBLE, 6,
-                        [0.0, 0.0, 0.0, x0, y0, 0.0]))
-    if epsg is not None:
-        geographic = epsg == 4326
-        keys = [1, 1, 0, 3,
-                1024, 0, 1, 2 if geographic else 1,
-                1025, 0, 1, 1,
-                (2048 if geographic else 3072), 0, 1, int(epsg)]
-        entries.append((_GEOKEYS, _T_SHORT, len(keys), keys))
-    if nodata is not None:
-        txt = (f"{nodata:.18g}").encode() + b"\x00"
-        entries.append((_NODATA, _T_ASCII, len(txt), txt))
+    ] + list(extra_entries)
     entries.sort(key=lambda e: e[0])
 
-    # layout: header(8) | IFD | external tag data | strip data
-    ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
-    ext_off = ifd_off + ifd_size
+    ext_off = base + ifd_size
 
     def _pack_vals(typ, cnt, val) -> bytes:
         if typ == _T_ASCII:
@@ -105,27 +81,19 @@ def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
         vals = val if isinstance(val, (list, tuple)) else [val]
         return struct.pack(f"<{cnt}{fmt}", *[v for v in vals])
 
-    # first pass: compute external block sizes
-    ext_blobs: dict[int, bytes] = {}
+    # pass 1: external sizes -> strip offsets
     cursor = ext_off
     for tag, typ, cnt, val in entries:
-        if tag == _SOFF:
-            size = 4 * cnt
-        else:
-            size = _TYPE_SIZE[typ] * cnt
+        size = 4 * cnt if tag == _SOFF else _TYPE_SIZE[typ] * cnt
         if size > 4:
-            ext_blobs[tag] = b""       # placeholder, offset = cursor
             cursor += size + (size & 1)
-    strip0 = cursor
     offs = []
     for s in strips:
         offs.append(cursor)
         cursor += len(s)
 
-    # second pass: serialize
-    out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_off)
-    out += struct.pack("<H", len(entries))
+    # pass 2: serialize
+    out = bytearray(struct.pack("<H", len(entries)))
     ext = bytearray()
     ext_cursor = ext_off
     for tag, typ, cnt, val in entries:
@@ -139,27 +107,69 @@ def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
             ext_cursor += len(blob) + pad
         else:
             out += struct.pack("<HHI", tag, typ, cnt) + blob.ljust(4, b"\x00")
-    out += struct.pack("<I", 0)        # no next IFD
-    assert len(out) == ifd_size + 8 - 0
+    next_ptr_abs = base + len(out)
+    out += struct.pack("<I", 0)        # next IFD (patched when chaining)
     out += ext
-    assert len(out) == strip0, (len(out), strip0)
     for s in strips:
         out += s
+    return bytes(out), next_ptr_abs
+
+
+def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
+                  nodata: float | None = None,
+                  rows_per_strip: int | None = None,
+                  overviews=None) -> bytes:
+    """Encode a 2-D array as a single-band baseline GeoTIFF (LE).
+
+    ``geotransform`` is GDAL's 6-tuple (x0, dx, rot, y0, rot, -dy)
+    with zero rotation terms (north-up, the PixelScale+Tiepoint
+    model).  ``overviews`` is an optional list of reduced-resolution
+    arrays (same dtype; e.g. from operators/raster_tile.py's
+    reference-exact decimators) appended as chained IFDs tagged
+    NewSubfileType=reduced-image — the gdaladdo internal-overview
+    layout (frmts/gtiff role)."""
+    a = np.ascontiguousarray(arr)
+    if a.ndim != 2:
+        raise ValueError("single-band 2-D array expected")
+    if a.dtype.kind not in _FMT_OF_KIND:
+        raise ValueError(f"unsupported dtype {a.dtype}")
+
+    extra: list[tuple[int, int, int, object]] = []
+    if geotransform is not None:
+        x0, dx, _r0, y0, _r1, ndy = geotransform
+        extra.append((_PSCALE, _T_DOUBLE, 3, [dx, -ndy, 0.0]))
+        extra.append((_TIEPOINT, _T_DOUBLE, 6,
+                      [0.0, 0.0, 0.0, x0, y0, 0.0]))
+    if epsg is not None:
+        geographic = epsg == 4326
+        keys = [1, 1, 0, 3,
+                1024, 0, 1, 2 if geographic else 1,
+                1025, 0, 1, 1,
+                (2048 if geographic else 3072), 0, 1, int(epsg)]
+        extra.append((_GEOKEYS, _T_SHORT, len(keys), keys))
+    if nodata is not None:
+        txt = (f"{nodata:.18g}").encode() + b"\x00"
+        extra.append((_NODATA, _T_ASCII, len(txt), txt))
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    block, next_ptr = _ifd_block(a, 8, extra, rows_per_strip)
+    out += block
+    for ov in (overviews or []):
+        o = np.ascontiguousarray(ov)
+        if o.dtype != a.dtype:
+            raise ValueError("overview dtype must match the base band")
+        if len(out) & 1:
+            out += b"\x00"
+        base = len(out)
+        struct.pack_into("<I", out, next_ptr, base)
+        block, next_ptr = _ifd_block(
+            o, base, [(_SUBFILE, _T_LONG, 1, 1)], rows_per_strip)
+        out += block
     return bytes(out)
 
 
-def read_geotiff(data: bytes):
-    """Decode our baseline subset (either byte order) ->
-    (array, geotransform | None, epsg | None, nodata | None)."""
-    if data[:2] == b"II":
-        bo = "<"
-    elif data[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF (bad byte-order mark)")
-    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
-    if magic != 42:
-        raise ValueError("not a classic TIFF")
+def _read_ifd(data: bytes, bo: str, ifd_off: int):
+    """Parse one IFD -> (array, tags, vals, next_ifd_offset)."""
     (n_ent,) = struct.unpack_from(bo + "H", data, ifd_off)
     tags: dict[int, tuple[int, int, bytes]] = {}
     for k in range(n_ent):
@@ -170,6 +180,8 @@ def read_geotiff(data: bytes):
         if size > 4:
             (voff,) = struct.unpack_from(bo + "I", data, voff)
         tags[tag] = (typ, cnt, data[voff:voff + size])
+    (next_off,) = struct.unpack_from(bo + "I", data,
+                                     ifd_off + 2 + 12 * n_ent)
 
     def vals(tag, default=None):
         if tag not in tags:
@@ -194,13 +206,30 @@ def read_geotiff(data: bytes):
     if kind is None:
         raise ValueError(f"unsupported sample format {sfmt}")
     dtype = np.dtype(f"{bo}{kind}{bps // 8}")
-    rps = vals(_RPS, [h])[0]
     soff = vals(_SOFF)
     scnt = vals(_SCNT)
     buf = b"".join(data[o:o + c] for o, c in zip(soff, scnt))
     arr = np.frombuffer(buf, dtype=dtype, count=h * w).reshape(h, w)
     arr = arr.astype(dtype.newbyteorder("="))
-    del rps
+    return arr, tags, vals, next_off
+
+
+def read_geotiff(data: bytes, return_overviews: bool = False):
+    """Decode our baseline subset (either byte order) ->
+    (array, geotransform | None, epsg | None, nodata | None), or with
+    ``return_overviews`` a 5-tuple whose last element is the list of
+    reduced-resolution arrays from chained overview IFDs."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("not a classic TIFF")
+
+    arr, tags, vals, next_off = _read_ifd(data, bo, ifd_off)
 
     gt = None
     if _PSCALE in tags and _TIEPOINT in tags:
@@ -219,4 +248,13 @@ def read_geotiff(data: bytes):
                 epsg = int(v)
     nod = vals(_NODATA)
     nodata = float(nod) if nod is not None else None
-    return arr, gt, epsg, nodata
+    if not return_overviews:
+        return arr, gt, epsg, nodata
+
+    overviews = []
+    seen = {ifd_off}
+    while next_off and next_off not in seen:
+        seen.add(next_off)
+        ov, _t, _v, next_off = _read_ifd(data, bo, next_off)
+        overviews.append(ov)
+    return arr, gt, epsg, nodata, overviews

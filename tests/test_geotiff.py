@@ -128,3 +128,29 @@ def test_spark_sink_roundtrip(spark, tmp_path):
     np.testing.assert_array_equal(arr, img)
     assert gt == (5.0, 2.0, 0.0, 9.0, 0.0, -2.0) and epsg == 3857
     assert os.path.dirname(res[0]["out_path"]) == out_dir
+
+
+def test_overview_ifd_chain():
+    """Internal overviews: chained IFDs tagged reduced-resolution
+    (gdaladdo layout); the reader walks the chain, and the default
+    4-tuple read keeps returning only the full-resolution band."""
+    img = _formula_img(64, 64, "u1")
+    # reference integer average: (sum + 2) // 4 per 2x2
+    c = img.astype(np.int64)
+    ov1 = ((c[::2, ::2] + c[::2, 1::2] + c[1::2, ::2] + c[1::2, 1::2] + 2)
+           // 4).astype(np.uint8)
+    c2 = ov1.astype(np.int64)
+    ov2 = ((c2[::2, ::2] + c2[::2, 1::2] + c2[1::2, ::2] + c2[1::2, 1::2]
+            + 2) // 4).astype(np.uint8)
+    blob = write_geotiff(img, geotransform=(0.0, 1.0, 0, 64.0, 0, -1.0),
+                         epsg=4326, overviews=[ov1, ov2], rows_per_strip=9)
+    arr, gt, epsg, nod, ovs = read_geotiff(blob, return_overviews=True)
+    np.testing.assert_array_equal(arr, img)
+    assert epsg == 4326 and len(ovs) == 2
+    np.testing.assert_array_equal(ovs[0], ov1)
+    np.testing.assert_array_equal(ovs[1], ov2)
+    # back-compat default read
+    arr2 = read_geotiff(blob)[0]
+    np.testing.assert_array_equal(arr2, img)
+    with pytest.raises(ValueError, match="dtype"):
+        write_geotiff(img, overviews=[ov1.astype(np.uint16)])
