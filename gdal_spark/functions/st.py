@@ -81,8 +81,36 @@ def _st_astext(bs: pd.Series) -> pd.Series:
                     for r in rings) + ")"
                 for rings in p)
             return f"MULTIPOLYGON ({polys})"
+        if t == kwkb.GEOMETRYCOLLECTION:
+            if not p:
+                return "GEOMETRYCOLLECTION EMPTY"
+            parts = ",".join(
+                one(_encode_sub(pt, pp)) for pt, pp in p)
+            return f"GEOMETRYCOLLECTION ({parts})"
         return f"GEOMETRY_{t}"
     return bs.map(one)
+
+
+def _encode_sub(t, p):
+    """Re-encode a parsed (2-D) payload so _st_astext can recurse on
+    GeometryCollection members."""
+    if t == kwkb.POINT:
+        return kwkb.wkb_point(p[0], p[1])
+    if t == kwkb.LINESTRING:
+        return kwkb.wkb_linestring(np.asarray(p, dtype=np.float64))
+    if t == kwkb.POLYGON:
+        return kwkb.wkb_polygon([np.asarray(r, dtype=np.float64) for r in p])
+    if t == kwkb.MULTIPOINT:
+        return kwkb.wkb_multipoint([tuple(q) for q in p])
+    if t == kwkb.MULTILINESTRING:
+        return kwkb.wkb_multilinestring(
+            [np.asarray(q, dtype=np.float64) for q in p])
+    if t == kwkb.MULTIPOLYGON:
+        return kwkb.wkb_multipolygon(
+            [[np.asarray(r, dtype=np.float64) for r in poly] for poly in p])
+    if t == kwkb.GEOMETRYCOLLECTION:
+        return kwkb.wkb_collection([_encode_sub(pt, pp) for pt, pp in p])
+    raise ValueError(f"unsupported GC member type {t}")
 
 
 def _wkt_coord_groups(body: str):

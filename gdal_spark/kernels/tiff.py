@@ -32,6 +32,7 @@ _W, _H, _BPS, _COMP, _PHOT = 256, 257, 258, 259, 262
 _SOFF, _SPP, _RPS, _SCNT, _SFMT = 273, 277, 278, 279, 339
 _PSCALE, _TIEPOINT, _GEOKEYS, _NODATA = 33550, 33922, 34735, 42113
 _SUBFILE = 254          # NewSubfileType: 1 = reduced-resolution image
+_PRED = 317             # Predictor: 2 = horizontal differencing
 
 _T_ASCII, _T_SHORT, _T_LONG, _T_DOUBLE = 2, 3, 4, 12
 _TYPE_SIZE = {1: 1, _T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, 11: 4,
@@ -41,27 +42,53 @@ _FMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
 _KIND_OF_FMT = {1: "u", 2: "i", 3: "f"}
 
 
+def _hdiff(block: np.ndarray) -> np.ndarray:
+    """Predictor=2 horizontal differencing (TIFF 6.0 §14): each
+    sample minus its left neighbor, modulo the integer width."""
+    out = block.copy()
+    out[:, 1:] = block[:, 1:] - block[:, :-1]
+    return out
+
+
+def _unhdiff(block: np.ndarray) -> np.ndarray:
+    return np.cumsum(block.astype(block.dtype), axis=1,
+                     dtype=block.dtype)
+
+
 def _ifd_block(a: np.ndarray, base: int,
-               extra_entries: list, rows_per_strip: int | None):
+               extra_entries: list, rows_per_strip: int | None,
+               compression: int = 1, predictor: int = 1):
     """Serialize ONE IFD + its external tag data + strip data as a
     self-contained block whose internal offsets are absolute given
     ``base`` (the block's position in the file).  Returns
     (block_bytes, next_ptr_abs_offset) — the caller patches the
-    4-byte next-IFD pointer at that absolute position to chain."""
+    4-byte next-IFD pointer at that absolute position to chain.
+
+    compression: 1 = none, 8 = Adobe DEFLATE (zlib); predictor 2
+    (horizontal differencing — integer dtypes only) applies before
+    the codec, the usual pairing for compressible rasters."""
     h, w = a.shape
     if rows_per_strip is None:
         rows_per_strip = max(1, 8192 // max(1, w * a.dtype.itemsize))
     rows_per_strip = min(rows_per_strip, h) if h else 1
     n_strips = max(1, (h + rows_per_strip - 1) // rows_per_strip)
     le = a.astype(a.dtype.newbyteorder("<"), copy=False)
-    strips = [le[i * rows_per_strip:(i + 1) * rows_per_strip].tobytes()
-              for i in range(n_strips)]
+    strips = []
+    for i in range(n_strips):
+        block = le[i * rows_per_strip:(i + 1) * rows_per_strip]
+        if predictor == 2:
+            block = _hdiff(block)
+        raw = np.ascontiguousarray(block).tobytes()
+        if compression == 8:
+            import zlib
+            raw = zlib.compress(raw, 6)
+        strips.append(raw)
 
     entries: list[tuple[int, int, int, object]] = [
         (_W, _T_LONG, 1, w),
         (_H, _T_LONG, 1, h),
         (_BPS, _T_SHORT, 1, a.dtype.itemsize * 8),
-        (_COMP, _T_SHORT, 1, 1),
+        (_COMP, _T_SHORT, 1, compression),
         (_PHOT, _T_SHORT, 1, 1),
         (_SOFF, _T_LONG, n_strips, None),      # patched below
         (_SPP, _T_SHORT, 1, 1),
@@ -69,6 +96,8 @@ def _ifd_block(a: np.ndarray, base: int,
         (_SCNT, _T_LONG, n_strips, [len(s) for s in strips]),
         (_SFMT, _T_SHORT, 1, _FMT_OF_KIND[a.dtype.kind]),
     ] + list(extra_entries)
+    if predictor == 2:
+        entries.append((_PRED, _T_SHORT, 1, 2))
     entries.sort(key=lambda e: e[0])
 
     ifd_size = 2 + 12 * len(entries) + 4
@@ -118,7 +147,8 @@ def _ifd_block(a: np.ndarray, base: int,
 def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
                   nodata: float | None = None,
                   rows_per_strip: int | None = None,
-                  overviews=None) -> bytes:
+                  overviews=None, compression: str | None = None,
+                  predictor: int = 1) -> bytes:
     """Encode a 2-D array as a single-band baseline GeoTIFF (LE).
 
     ``geotransform`` is GDAL's 6-tuple (x0, dx, rot, y0, rot, -dy)
@@ -133,6 +163,13 @@ def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
         raise ValueError("single-band 2-D array expected")
     if a.dtype.kind not in _FMT_OF_KIND:
         raise ValueError(f"unsupported dtype {a.dtype}")
+    comp = {None: 1, "none": 1, "deflate": 8}.get(compression, -1)
+    if comp < 0:
+        raise ValueError(f"unsupported compression {compression!r}")
+    if predictor == 2 and a.dtype.kind == "f":
+        raise ValueError("predictor=2 is integer-only (TIFF 6.0 §14)")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
 
     extra: list[tuple[int, int, int, object]] = []
     if geotransform is not None:
@@ -152,7 +189,8 @@ def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
         extra.append((_NODATA, _T_ASCII, len(txt), txt))
 
     out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
-    block, next_ptr = _ifd_block(a, 8, extra, rows_per_strip)
+    block, next_ptr = _ifd_block(a, 8, extra, rows_per_strip,
+                                 compression=comp, predictor=predictor)
     out += block
     for ov in (overviews or []):
         o = np.ascontiguousarray(ov)
@@ -163,7 +201,8 @@ def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
         base = len(out)
         struct.pack_into("<I", out, next_ptr, base)
         block, next_ptr = _ifd_block(
-            o, base, [(_SUBFILE, _T_LONG, 1, 1)], rows_per_strip)
+            o, base, [(_SUBFILE, _T_LONG, 1, 1)], rows_per_strip,
+            compression=comp, predictor=predictor)
         out += block
     return bytes(out)
 
@@ -196,7 +235,7 @@ def _read_ifd(data: bytes, bo: str, ifd_off: int):
     h = vals(_H)[0]
     bps = vals(_BPS, [8])[0]
     comp = vals(_COMP, [1])[0]
-    if comp != 1:
+    if comp not in (1, 8):
         raise ValueError(f"unsupported compression {comp}")
     spp = vals(_SPP, [1])[0]
     if spp != 1:
@@ -208,9 +247,20 @@ def _read_ifd(data: bytes, bo: str, ifd_off: int):
     dtype = np.dtype(f"{bo}{kind}{bps // 8}")
     soff = vals(_SOFF)
     scnt = vals(_SCNT)
-    buf = b"".join(data[o:o + c] for o, c in zip(soff, scnt))
+    raw = [data[o:o + c] for o, c in zip(soff, scnt)]
+    if comp == 8:
+        import zlib
+        raw = [zlib.decompress(s) for s in raw]
+    buf = b"".join(raw)
     arr = np.frombuffer(buf, dtype=dtype, count=h * w).reshape(h, w)
     arr = arr.astype(dtype.newbyteorder("="))
+    pred = vals(_PRED, [1])[0]
+    if pred == 2:
+        # horizontal differencing is per ROW — strip boundaries don't
+        # matter, one cumsum undoes the whole band
+        arr = _unhdiff(arr)
+    elif pred != 1:
+        raise ValueError(f"unsupported predictor {pred}")
     return arr, tags, vals, next_off
 
 

@@ -154,3 +154,35 @@ def test_overview_ifd_chain():
     np.testing.assert_array_equal(arr2, img)
     with pytest.raises(ValueError, match="dtype"):
         write_geotiff(img, overviews=[ov1.astype(np.uint16)])
+
+
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("dt", ["u1", "u2", "i4"])
+def test_deflate_roundtrip(dt, pred):
+    """Compression=8 (Adobe DEFLATE) + optional predictor=2
+    (horizontal differencing) roundtrips bit-exact and shrinks a
+    smooth gradient."""
+    r, c = np.mgrid[0:50, 0:70]
+    img = (r * 2 + c).astype(dt)         # smooth -> very compressible
+    blob = write_geotiff(img, compression="deflate", predictor=pred,
+                         rows_per_strip=8,
+                         geotransform=(0.0, 1.0, 0, 50.0, 0, -1.0))
+    raw = write_geotiff(img, rows_per_strip=8)
+    assert len(blob) < len(raw) // 2
+    arr, gt, _, _ = read_geotiff(blob)
+    np.testing.assert_array_equal(arr, img)
+    assert gt == (0.0, 1.0, 0.0, 50.0, 0.0, -1.0)
+
+
+def test_deflate_overviews_and_float_guard():
+    img = _formula_img(32, 32, "u1")
+    ov = img[::2, ::2].copy()
+    blob = write_geotiff(img, compression="deflate", predictor=2,
+                         overviews=[ov])
+    arr, _, _, _, ovs = read_geotiff(blob, return_overviews=True)
+    np.testing.assert_array_equal(arr, img)
+    np.testing.assert_array_equal(ovs[0], ov)
+    with pytest.raises(ValueError, match="integer-only"):
+        write_geotiff(np.zeros((4, 4), np.float32), predictor=2)
+    with pytest.raises(ValueError, match="compression"):
+        write_geotiff(img, compression="lzw")
