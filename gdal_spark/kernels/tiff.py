@@ -207,6 +207,65 @@ def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
     return bytes(out)
 
 
+def lzw_decode(src: bytes) -> bytes:
+    """TIFF-variant LZW decode (TIFF 6.0 §13): MSB-first variable-width
+    codes starting at 9 bits, ClearCode 256, EOI 257, with the "early
+    change" convention (width bumps one code EARLY relative to naive
+    LZW — the libtiff behavior GDAL reads/writes).  Decoder only: the
+    writer emits DEFLATE; this accepts the wild's most common legacy
+    GeoTIFF compression."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")       # 256 clear
+        table.append(b"")       # 257 eoi
+        return 9
+
+    width = reset()
+    bitbuf = 0
+    nbits = 0
+    prev: bytes | None = None
+    i = 0
+    n = len(src)
+    while True:
+        while nbits < width:
+            if i >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | src[i]
+            i += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            width = reset()
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        # early change: the decoder's table lags the encoder's by ONE
+        # entry, so it widens when its next free code reaches
+        # 2^width - 2 (encoder: 2^width - 1) — TIFF 6.0 §13 / libtiff
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
 def _read_ifd(data: bytes, bo: str, ifd_off: int):
     """Parse one IFD -> (array, tags, vals, next_ifd_offset)."""
     (n_ent,) = struct.unpack_from(bo + "H", data, ifd_off)
@@ -235,7 +294,7 @@ def _read_ifd(data: bytes, bo: str, ifd_off: int):
     h = vals(_H)[0]
     bps = vals(_BPS, [8])[0]
     comp = vals(_COMP, [1])[0]
-    if comp not in (1, 8):
+    if comp not in (1, 5, 8):
         raise ValueError(f"unsupported compression {comp}")
     spp = vals(_SPP, [1])[0]
     if spp != 1:
@@ -251,6 +310,8 @@ def _read_ifd(data: bytes, bo: str, ifd_off: int):
     if comp == 8:
         import zlib
         raw = [zlib.decompress(s) for s in raw]
+    elif comp == 5:
+        raw = [lzw_decode(s) for s in raw]
     buf = b"".join(raw)
     arr = np.frombuffer(buf, dtype=dtype, count=h * w).reshape(h, w)
     arr = arr.astype(dtype.newbyteorder("="))

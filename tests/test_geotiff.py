@@ -39,13 +39,13 @@ def test_nodata_precision():
 def test_rejects_non_tiff_and_compressed():
     with pytest.raises(ValueError, match="byte-order"):
         read_geotiff(b"PK\x03\x04junk")
-    # patch the Compression entry of a valid file to 5 (LZW)
+    # patch the Compression entry of a valid file to 7 (JPEG)
     blob = bytearray(write_geotiff(np.zeros((2, 2), np.uint8)))
     (n,) = struct.unpack_from("<H", blob, 8)
     for k in range(n):
         tag = struct.unpack_from("<H", blob, 10 + 12 * k)[0]
         if tag == 259:
-            struct.pack_into("<H", blob, 10 + 12 * k + 8, 5)
+            struct.pack_into("<H", blob, 10 + 12 * k + 8, 7)
     with pytest.raises(ValueError, match="compression"):
         read_geotiff(bytes(blob))
 
@@ -186,3 +186,84 @@ def test_deflate_overviews_and_float_guard():
         write_geotiff(np.zeros((4, 4), np.float32), predictor=2)
     with pytest.raises(ValueError, match="compression"):
         write_geotiff(img, compression="lzw")
+
+
+def _lzw_encode_ref(data: bytes) -> bytes:
+    """Independent TIFF-LZW encoder (MSB-first, 9-bit start, early
+    change) written from TIFF 6.0 section 13 for the decode test."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def put(code, width):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    put(CLEAR, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        put(table[w], width)
+        table[w + c] = nxt
+        nxt += 1
+        # early change: encoder bumps width when next code reaches limit
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt >= 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = c
+    if w:
+        put(table[w], width)
+    put(EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_roundtrip():
+    from gdal_spark.kernels.tiff import lzw_decode
+
+    rng = np.random.default_rng(3)
+    for payload in (b"TOBEORNOTTOBEORTOBEORNOT" * 40,
+                    bytes(rng.integers(0, 8, 5000, dtype=np.uint8)),
+                    bytes(range(256)) * 20,
+                    b"", b"\x00" * 10000):
+        assert lzw_decode(_lzw_encode_ref(payload)) == payload
+
+
+def test_lzw_tiff_read():
+    """A compression=5 file (strip bytes re-encoded with the
+    independent reference encoder) decodes bit-exact."""
+    img = _formula_img(30, 40, "u1")
+    blob = bytearray(write_geotiff(img, rows_per_strip=30))
+    (n,) = struct.unpack_from("<H", blob, 8)
+    soff = scnt_pos = None
+    for k in range(n):
+        tag = struct.unpack_from("<H", blob, 10 + 12 * k)[0]
+        pos = 10 + 12 * k + 8
+        if tag == 259:
+            struct.pack_into("<H", blob, pos, 5)
+        elif tag == 273:
+            (soff,) = struct.unpack_from("<I", blob, pos)
+            soff_pos = pos
+        elif tag == 279:
+            scnt_pos = pos
+    enc = _lzw_encode_ref(img.tobytes())
+    struct.pack_into("<I", blob, soff_pos, len(blob))
+    struct.pack_into("<I", blob, scnt_pos, len(enc))
+    blob += enc
+    arr, _, _, _ = read_geotiff(bytes(blob))
+    np.testing.assert_array_equal(arr, img)
