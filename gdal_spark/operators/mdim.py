@@ -165,6 +165,43 @@ def mdim_resample(df: DataFrame, y_dim: str, x_dim: str,
         ).agg(F.avg(v).alias(value_col))
         return out.select(*lead, y_dim, x_dim, value_col)
 
+    if alg == "cubic":
+        # 4-tap cubic convolution (a = -0.5, the GDALResampleAlg
+        # kernel): src j contributes to every dst cell whose center
+        # falls within 2 src pixels; edge windows renormalize via the
+        # same sum(w*v)/sum(w) the interior uses.
+        def contrib4(src_col, scale, n_src, n_dst):
+            j = src_col.cast("double")
+            lo = F.ceil((j - 2 + 0.5) / F.lit(scale) - 0.5)
+            hi = F.floor((j + 2 + 0.5) / F.lit(scale) - 0.5)
+            lo = F.greatest(F.lit(0), lo).cast("long")
+            hi = F.least(F.lit(n_dst - 1), hi).cast("long")
+            return F.when(lo <= hi, F.sequence(lo, hi)) \
+                    .otherwise(F.array().cast("array<long>"))
+
+        def wcubic(dst_col, src_col, scale):
+            a = -0.5
+            t = F.abs(_src_center(dst_col, scale) - src_col.cast("double"))
+            t2, t3 = t * t, t * t * t
+            near = (a + 2.0) * t3 - (a + 3.0) * t2 + 1.0
+            far = a * t3 - 5.0 * a * t2 + 8.0 * a * t - 4.0 * a
+            return (F.when(t < 1.0, near)
+                     .when(t < 2.0, far)
+                     .otherwise(F.lit(0.0)))
+
+        out = (df
+               .withColumn("_yd", F.explode(
+                   contrib4(F.col(y_dim), scy, sy, dy)))
+               .withColumn("_xd", F.explode(
+                   contrib4(F.col(x_dim), scx, sx, dx)))
+               .withColumn("_w", wcubic(F.col("_yd"), F.col(y_dim), scy)
+                           * wcubic(F.col("_xd"), F.col(x_dim), scx))
+               .filter(F.col("_w") != 0))
+        agg = out.groupBy(*lead, F.col("_yd").alias(y_dim),
+                          F.col("_xd").alias(x_dim)).agg(
+            (F.sum(F.col("_w") * v) / F.sum("_w")).alias(value_col))
+        return agg.select(*lead, y_dim, x_dim, value_col)
+
     if alg != "bilinear":
         raise ValueError(f"unsupported resample alg {alg!r}")
 

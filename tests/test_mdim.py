@@ -137,3 +137,45 @@ def test_statistics_matches_numpy(spark):
     assert row["min"] == vals.min() and row["max"] == vals.max()
     assert row["mean"] == pytest.approx(vals.mean())
     assert row["std"] == pytest.approx(vals.std(), rel=1e-12)
+
+
+def _cubic_np(src: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    """Reference 4-tap cubic convolution (a=-0.5), edge-renormalized
+    exactly like the operator: sum(w*v)/sum(w) over in-bounds taps."""
+    def wk(t):
+        a, t = -0.5, abs(t)
+        if t < 1:
+            return (a + 2) * t**3 - (a + 3) * t**2 + 1
+        if t < 2:
+            return a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a
+        return 0.0
+
+    T, sy, sx = src.shape
+    out = np.empty((T, dy, dx))
+    for t in range(T):
+        for i in range(dy):
+            cy = (i + 0.5) * (sy / dy) - 0.5
+            for k in range(dx):
+                cx = (k + 0.5) * (sx / dx) - 0.5
+                num = den = 0.0
+                for jy in range(max(0, int(np.floor(cy)) - 1),
+                                min(sy, int(np.floor(cy)) + 3)):
+                    for jx in range(max(0, int(np.floor(cx)) - 1),
+                                    min(sx, int(np.floor(cx)) + 3)):
+                        w = wk(cy - jy) * wk(cx - jx)
+                        num += w * src[t, jy, jx]
+                        den += w
+                out[t, i, k] = num / den
+    return out
+
+
+@pytest.mark.parametrize("dst", [(9, 11), (4, 5)])
+def test_resample_cubic_matches_numpy(spark, dst):
+    dy, dx = dst
+    df = md.mdim_resample(_cube_df(spark), "y", "x", (6, 8), (dy, dx),
+                          alg="cubic")
+    got = {(r["t"], r["y"], r["x"]): r["value"] for r in df.collect()}
+    ref = _cubic_np(_cube_np().astype(np.float64), dy, dx)
+    assert len(got) == 3 * dy * dx
+    for (t, y, x), v in got.items():
+        assert v == pytest.approx(ref[t, y, x], rel=1e-9, abs=1e-9)
