@@ -123,10 +123,10 @@ _DEFERRED = [
 # Round-5 window should lead with the still-uncovered remainder:
 # the 15 older ones (grid_* x4, viewshed_curved/cumulative, gpkg_scan,
 # rpc_* x2, rasterize_points/lines, gcp_order* x2, tps_* x2 — listed
-# in _DEFERRED) plus the 9 added in round 4 (explode_collections_z,
+# in _DEFERRED) plus the 6 added in round 4 (explode_collections_z,
 # mdim_resample, mdim_resample_near, mdim_stats, st_measures,
-# mdim_view, curve_to_line-family rotations as needed) — all are
-# scripts/check.py-green at sf0.01 this round.
+# geotiff_scan) — all 177 are scripts/check.py-green at sf0.01 this
+# round (two full-gate runs, zero fails).
 _PRIORITY = [
     # changed this round (semdedup assignment/pair bound) — front
     "semdedup",
