@@ -33,6 +33,7 @@ _SOFF, _SPP, _RPS, _SCNT, _SFMT = 273, 277, 278, 279, 339
 _PSCALE, _TIEPOINT, _GEOKEYS, _NODATA = 33550, 33922, 34735, 42113
 _SUBFILE = 254          # NewSubfileType: 1 = reduced-resolution image
 _PRED = 317             # Predictor: 2 = horizontal differencing
+_PLANAR = 284           # PlanarConfiguration: 1 chunky, 2 planar
 
 _T_ASCII, _T_SHORT, _T_LONG, _T_DOUBLE = 2, 3, 4, 12
 _TYPE_SIZE = {1: 1, _T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, 11: 4,
@@ -44,7 +45,8 @@ _KIND_OF_FMT = {1: "u", 2: "i", 3: "f"}
 
 def _hdiff(block: np.ndarray) -> np.ndarray:
     """Predictor=2 horizontal differencing (TIFF 6.0 §14): each
-    sample minus its left neighbor, modulo the integer width."""
+    sample minus the SAME-CHANNEL sample of the previous pixel,
+    modulo the integer width.  block is (rows, w) or (rows, w, spp)."""
     out = block.copy()
     out[:, 1:] = block[:, 1:] - block[:, :-1]
     return out
@@ -66,10 +68,17 @@ def _ifd_block(a: np.ndarray, base: int,
 
     compression: 1 = none, 8 = Adobe DEFLATE (zlib); predictor 2
     (horizontal differencing — integer dtypes only) applies before
-    the codec, the usual pairing for compressible rasters."""
-    h, w = a.shape
+    the codec, the usual pairing for compressible rasters.  A 3-D
+    (h, w, spp) array writes SamplesPerPixel=spp with chunky
+    (pixel-interleaved) PlanarConfiguration=1 layout."""
+    if a.ndim == 3:
+        h, w, spp = a.shape
+    else:
+        h, w = a.shape
+        spp = 1
+    px_bytes = spp * a.dtype.itemsize
     if rows_per_strip is None:
-        rows_per_strip = max(1, 8192 // max(1, w * a.dtype.itemsize))
+        rows_per_strip = max(1, 8192 // max(1, w * px_bytes))
     rows_per_strip = min(rows_per_strip, h) if h else 1
     n_strips = max(1, (h + rows_per_strip - 1) // rows_per_strip)
     le = a.astype(a.dtype.newbyteorder("<"), copy=False)
@@ -84,18 +93,22 @@ def _ifd_block(a: np.ndarray, base: int,
             raw = zlib.compress(raw, 6)
         strips.append(raw)
 
+    bits = a.dtype.itemsize * 8
+    fmt = _FMT_OF_KIND[a.dtype.kind]
     entries: list[tuple[int, int, int, object]] = [
         (_W, _T_LONG, 1, w),
         (_H, _T_LONG, 1, h),
-        (_BPS, _T_SHORT, 1, a.dtype.itemsize * 8),
+        (_BPS, _T_SHORT, spp, [bits] * spp),
         (_COMP, _T_SHORT, 1, compression),
-        (_PHOT, _T_SHORT, 1, 1),
+        (_PHOT, _T_SHORT, 1, 2 if spp == 3 else 1),
         (_SOFF, _T_LONG, n_strips, None),      # patched below
-        (_SPP, _T_SHORT, 1, 1),
+        (_SPP, _T_SHORT, 1, spp),
         (_RPS, _T_LONG, 1, rows_per_strip),
         (_SCNT, _T_LONG, n_strips, [len(s) for s in strips]),
-        (_SFMT, _T_SHORT, 1, _FMT_OF_KIND[a.dtype.kind]),
+        (_SFMT, _T_SHORT, spp, [fmt] * spp),
     ] + list(extra_entries)
+    if spp > 1:
+        entries.append((_PLANAR, _T_SHORT, 1, 1))
     if predictor == 2:
         entries.append((_PRED, _T_SHORT, 1, 2))
     entries.sort(key=lambda e: e[0])
@@ -159,8 +172,8 @@ def write_geotiff(arr: np.ndarray, geotransform=None, epsg: int | None = None,
     NewSubfileType=reduced-image — the gdaladdo internal-overview
     layout (frmts/gtiff role)."""
     a = np.ascontiguousarray(arr)
-    if a.ndim != 2:
-        raise ValueError("single-band 2-D array expected")
+    if a.ndim not in (2, 3):
+        raise ValueError("(h, w) or (h, w, bands) array expected")
     if a.dtype.kind not in _FMT_OF_KIND:
         raise ValueError(f"unsupported dtype {a.dtype}")
     comp = {None: 1, "none": 1, "deflate": 8}.get(compression, -1)
@@ -292,18 +305,19 @@ def _read_ifd(data: bytes, bo: str, ifd_off: int):
 
     w = vals(_W)[0]
     h = vals(_H)[0]
-    bps = vals(_BPS, [8])[0]
     comp = vals(_COMP, [1])[0]
     if comp not in (1, 5, 8):
         raise ValueError(f"unsupported compression {comp}")
     spp = vals(_SPP, [1])[0]
-    if spp != 1:
-        raise ValueError("single-band subset only")
-    sfmt = vals(_SFMT, [1])[0]
-    kind = _KIND_OF_FMT.get(sfmt)
+    sfmts = vals(_SFMT, [1])
+    bpss = vals(_BPS, [8])
+    if len(set(sfmts)) > 1 or len(set(bpss)) > 1:
+        raise ValueError("heterogeneous per-band sample types")
+    kind = _KIND_OF_FMT.get(sfmts[0])
     if kind is None:
-        raise ValueError(f"unsupported sample format {sfmt}")
-    dtype = np.dtype(f"{bo}{kind}{bps // 8}")
+        raise ValueError(f"unsupported sample format {sfmts[0]}")
+    dtype = np.dtype(f"{bo}{kind}{bpss[0] // 8}")
+    planar = vals(_PLANAR, [1])[0]
     soff = vals(_SOFF)
     scnt = vals(_SCNT)
     raw = [data[o:o + c] for o, c in zip(soff, scnt)]
@@ -313,12 +327,20 @@ def _read_ifd(data: bytes, bo: str, ifd_off: int):
     elif comp == 5:
         raw = [lzw_decode(s) for s in raw]
     buf = b"".join(raw)
-    arr = np.frombuffer(buf, dtype=dtype, count=h * w).reshape(h, w)
+    flat = np.frombuffer(buf, dtype=dtype, count=h * w * spp)
+    if spp == 1:
+        arr = flat.reshape(h, w)
+    elif planar == 1:       # chunky: pixel-interleaved
+        arr = flat.reshape(h, w, spp)
+    elif planar == 2:       # planar: band-major strip sequence
+        arr = np.moveaxis(flat.reshape(spp, h, w), 0, 2)
+    else:
+        raise ValueError(f"unsupported planar configuration {planar}")
     arr = arr.astype(dtype.newbyteorder("="))
     pred = vals(_PRED, [1])[0]
     if pred == 2:
-        # horizontal differencing is per ROW — strip boundaries don't
-        # matter, one cumsum undoes the whole band
+        # horizontal differencing is per ROW (per channel) — strip
+        # boundaries don't matter, one cumsum undoes the whole band
         arr = _unhdiff(arr)
     elif pred != 1:
         raise ValueError(f"unsupported predictor {pred}")

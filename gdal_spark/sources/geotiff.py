@@ -26,9 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..kernels.tiff import read_geotiff, write_geotiff
 
-TILE_SCHEMA = ("path string, tx int, ty int, w int, h int, px binary, "
-               "dtype string, x0 double, y0 double, dx double, dy double, "
-               "epsg int, nodata double")
+TILE_SCHEMA = ("path string, band int, tx int, ty int, w int, h int, "
+               "px binary, dtype string, x0 double, y0 double, dx double, "
+               "dy double, epsg int, nodata double")
 
 
 def read_geotiff_tiles(spark: SparkSession, path_glob: str,
@@ -46,23 +46,27 @@ def read_geotiff_tiles(spark: SparkSession, path_glob: str,
             rows = []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 arr, gt, epsg, nodata = read_geotiff(bytes(blob))
-                h, w = arr.shape
+                bands = ([arr] if arr.ndim == 2
+                         else [arr[:, :, b] for b in range(arr.shape[2])])
+                h, w = bands[0].shape
                 gx0, gdx, _, gy0, _, gndy = gt if gt is not None else (
                     0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
-                for ty in range(0, (h + tile_size - 1) // tile_size):
-                    for tx in range(0, (w + tile_size - 1) // tile_size):
-                        t = arr[ty * tile_size:(ty + 1) * tile_size,
-                                tx * tile_size:(tx + 1) * tile_size]
-                        rows.append({
-                            "path": path, "tx": tx, "ty": ty,
-                            "w": t.shape[1], "h": t.shape[0],
-                            "px": np.ascontiguousarray(t).tobytes(),
-                            "dtype": str(t.dtype),
-                            "x0": gx0 + tx * tile_size * gdx,
-                            "y0": gy0 + ty * tile_size * gndy,
-                            "dx": gdx, "dy": gndy,
-                            "epsg": epsg, "nodata": nodata,
-                        })
+                for bi, band in enumerate(bands, start=1):
+                    for ty in range(0, (h + tile_size - 1) // tile_size):
+                        for tx in range(0, (w + tile_size - 1) // tile_size):
+                            t = band[ty * tile_size:(ty + 1) * tile_size,
+                                     tx * tile_size:(tx + 1) * tile_size]
+                            rows.append({
+                                "path": path, "band": bi,
+                                "tx": tx, "ty": ty,
+                                "w": t.shape[1], "h": t.shape[0],
+                                "px": np.ascontiguousarray(t).tobytes(),
+                                "dtype": str(t.dtype),
+                                "x0": gx0 + tx * tile_size * gdx,
+                                "y0": gy0 + ty * tile_size * gndy,
+                                "dx": gdx, "dy": gndy,
+                                "epsg": epsg, "nodata": nodata,
+                            })
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(_decode, TILE_SCHEMA)
@@ -81,12 +85,19 @@ def write_geotiff_part_files(tiles: DataFrame, out_dir: str,
         w = int((pdf["tx"] * tile_size + pdf["w"]).max())
         h = int((pdf["ty"] * tile_size + pdf["h"]).max())
         dt = np.dtype(pdf["dtype"].iloc[0])
-        arr = np.zeros((h, w), dtype=dt)
+        band_ids = sorted(pdf["band"].unique()) if "band" in pdf else [1]
+        nb = len(band_ids)
+        arr = np.zeros((h, w, nb), dtype=dt) if nb > 1 \
+            else np.zeros((h, w), dtype=dt)
         for _, r in pdf.iterrows():
             t = np.frombuffer(r["px"], dtype=np.dtype(r["dtype"])) \
                 .reshape(int(r["h"]), int(r["w"]))
             y0, x0 = int(r["ty"]) * tile_size, int(r["tx"]) * tile_size
-            arr[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = t
+            if nb > 1:
+                bi = band_ids.index(int(r["band"]))
+                arr[y0:y0 + t.shape[0], x0:x0 + t.shape[1], bi] = t
+            else:
+                arr[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = t
         top = pdf.loc[(pdf["tx"] == 0) & (pdf["ty"] == 0)].iloc[0]
         gt = (float(top["x0"]), float(top["dx"]), 0.0,
               float(top["y0"]), 0.0, float(top["dy"]))

@@ -267,3 +267,92 @@ def test_lzw_tiff_read():
     blob += enc
     arr, _, _, _ = read_geotiff(bytes(blob))
     np.testing.assert_array_equal(arr, img)
+
+
+# -------------------------------------------------------- multi-band
+@pytest.mark.parametrize("compression,pred", [(None, 1),
+                                              ("deflate", 1),
+                                              ("deflate", 2)])
+def test_multiband_chunky_roundtrip(compression, pred):
+    """(h, w, bands) writes SamplesPerPixel=bands chunky
+    (PlanarConfiguration=1); predictor differencing stays per
+    channel."""
+    r, c = np.mgrid[0:21, 0:17]
+    rgb = np.stack([(r + c) % 251, (2 * r) % 251, (3 * c) % 251],
+                   axis=2).astype(np.uint8)
+    blob = write_geotiff(rgb, compression=compression, predictor=pred,
+                         rows_per_strip=4,
+                         geotransform=(1.0, 0.5, 0, 2.0, 0, -0.5),
+                         epsg=3857)
+    arr, gt, epsg, _ = read_geotiff(blob)
+    assert arr.shape == (21, 17, 3)
+    np.testing.assert_array_equal(arr, rgb)
+    assert epsg == 3857 and gt[1] == 0.5
+
+
+def test_multiband_u16_5band():
+    a = (np.arange(6 * 7 * 5).reshape(6, 7, 5) % 60000).astype(np.uint16)
+    blob = write_geotiff(a)
+    arr = read_geotiff(blob)[0]
+    np.testing.assert_array_equal(arr, a)
+
+
+def test_planar_configuration_2_read():
+    """Hand-built planar (band-major strips) file decodes to the same
+    (h, w, b) as chunky."""
+    h, w, b = 4, 5, 2
+    bands = np.arange(h * w * b, dtype=np.uint8).reshape(b, h, w)
+    # SHORTx2 values (bps, sfmt) fit in 4 bytes -> inline; only the
+    # LONGx2 strip offset/count arrays go external
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 2, (8, 8)),
+        (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 2, None),
+        (277, 3, 1, b), (278, 4, 1, h), (279, 4, 2, None),
+        (284, 3, 1, 2), (339, 3, 2, (1, 1)),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext0 = ifd_off + ifd_size
+    soff_off, scnt_off = ext0, ext0 + 8
+    strip0 = ext0 + 16
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag in (273, 279):
+            off = soff_off if tag == 273 else scnt_off
+            out += struct.pack("<HHII", tag, typ, cnt, off)
+        else:
+            fmtc = {3: "H", 4: "I"}[typ]
+            vals_ = val if isinstance(val, tuple) else (val,)
+            blob = struct.pack(f"<{len(vals_)}{fmtc}", *vals_)
+            out += struct.pack("<HHI", tag, typ, cnt) + blob.ljust(4, b"\x00")
+    out += struct.pack("<I", 0)
+    out += struct.pack("<2I", strip0, strip0 + h * w)     # offsets
+    out += struct.pack("<2I", h * w, h * w)               # counts
+    out += bands.tobytes()
+    arr, _, _, _ = read_geotiff(bytes(out))
+    assert arr.shape == (h, w, b)
+    np.testing.assert_array_equal(np.moveaxis(arr, 2, 0), bands)
+
+
+def test_spark_multiband_scan_sink(spark, tmp_path):
+    """3-band file -> per-band tile rows -> reassembled RGB file."""
+    from gdal_spark.sources.geotiff import (read_geotiff_tiles,
+                                            write_geotiff_part_files)
+
+    r, c = np.mgrid[0:20, 0:30]
+    rgb = np.stack([(r + c) % 251, (2 * r) % 251, (3 * c) % 251],
+                   axis=2).astype(np.uint8)
+    src = tmp_path / "rgb.tif"
+    with open(src, "wb") as fh:
+        fh.write(write_geotiff(rgb, geotransform=(0.0, 1.0, 0, 20.0, 0, -1.0),
+                               epsg=3857, compression="deflate"))
+    tiles = read_geotiff_tiles(spark, str(src), tile_size=16)
+    rows = tiles.collect()
+    assert len(rows) == 3 * 2 * 2           # 3 bands x 2x2 ragged grid
+    assert sorted({r["band"] for r in rows}) == [1, 2, 3]
+    res = write_geotiff_part_files(tiles, str(tmp_path / "o"),
+                                   tile_size=16).collect()
+    with open(res[0]["out_path"], "rb") as fh:
+        arr = read_geotiff(fh.read())[0]
+    np.testing.assert_array_equal(arr, rgb)
