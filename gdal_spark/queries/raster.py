@@ -2716,3 +2716,74 @@ def tile_index_q(spark, sf_dir):
         (F.floor(F.col("doc_id") / 8) % 8).cast("long").alias("ty"))
     grid = TileGrid(0.0, 256.0, 256.0)
     return tile_index(docs, grid, 3).orderBy("tx", "ty")
+
+
+@register(
+    "contour_polygons",
+    sql="""
+    WITH grid AS (
+      SELECT r.r, c.c,
+             CASE WHEN r.r BETWEEN 34 AND 37 AND c.c BETWEEN 34 AND 37
+                  THEN 99
+                  ELSE GREATEST(ABS(r.r - 32), ABS(c.c - 32)) END AS v
+      FROM (SELECT unnest(generate_series(0, 64)) AS r) r
+      CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS c) c
+    ),
+    banded AS (
+      SELECT r, c,
+             CASE WHEN v >= 90 AND v < 100 THEN 5
+                  WHEN v >= 0  AND v < 8   THEN 1
+                  WHEN v >= 8  AND v < 16  THEN 2
+                  WHEN v >= 16 AND v < 24  THEN 3
+                  WHEN v >= 24 AND v < 33  THEN 4
+                  ELSE 0 END AS band
+      FROM grid
+    )
+    SELECT CAST(band AS BIGINT) AS value,
+           CAST(COUNT(*) AS BIGINT) AS pixel_count,
+           -- closed-form ring counts for this fixture's geometry:
+           -- band 1 is the centre square with the planted hole cut out
+           -- (outer ring + hole ring), bands 2-4 are square annuli
+           -- (outer + hole), band 5 is the solid planted square
+           CAST(CASE WHEN band = 5 THEN 1 ELSE 2 END AS INT) AS n_rings
+    FROM banded WHERE band <> 0
+    GROUP BY band ORDER BY value
+    """,
+    desc="gdal_contour -p role (polygon bands between levels, "
+         "apps/gdal_contour_bin.cpp -p / contour writer polygonize "
+         "path): classify the DEM into level bands (reclassify_tiles, "
+         "first-match ranges) then run the FULL distributed polygonize "
+         "(per-tile CC -> cross-tile union-find -> ring assembly) on "
+         "the banded raster.  Fixture: Chebyshev-cone DEM on a 65x65 "
+         "grid (bands = nested square annuli, each one 4-connected "
+         "component) with a planted high square cutting a hole in the "
+         "centre band; oracle re-derives band membership and pixel "
+         "counts relationally and states the annulus ring counts in "
+         "closed form (solid square 1 ring, annulus/holed square 2)",
+)
+def contour_polygons_q(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.raster_calc import reclassify_tiles
+
+    ts = 13
+    rr, cc = np.mgrid[0:65, 0:65]
+    dem = np.maximum(np.abs(rr - 32), np.abs(cc - 32)).astype(np.uint8)
+    dem[34:38, 34:38] = 99                 # planted square -> hole in band 1
+    rows = []
+    for ty in range(5):
+        for tx in range(5):
+            rows.append({"tx": tx, "ty": ty,
+                         "px": dem[ty * ts:(ty + 1) * ts,
+                                   tx * ts:(tx + 1) * ts].tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    banded = reclassify_tiles(
+        tiles,
+        ranges=[(90.0, 100.0, 5), (0.0, 8.0, 1), (8.0, 16.0, 2),
+                (16.0, 24.0, 3), (24.0, 33.0, 4)],
+        default=0, tile_size=ts)
+    out = polygonize_tiles(banded, tile_size=ts, nodata=0)
+    return out.select(F.col("value").cast("long").alias("value"),
+                      F.col("pixel_count").cast("long").alias("pixel_count"),
+                      F.col("n_rings").cast("int").alias("n_rings")) \
+              .orderBy("value")

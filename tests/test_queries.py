@@ -49,3 +49,21 @@ def test_query_matches_oracle(spark, name):
     con = connect_oracle(SF_DIR)
     problems = check_query(spark, con, QUERIES[name], SF_DIR)
     assert not problems, problems
+
+
+def test_contour_polygons_bands(spark):
+    """gdal_contour -p composition: bands are one component each with
+    the expected annulus geometry (hole in the centre band from the
+    planted square)."""
+    from gdal_spark.queries import QUERIES
+
+    rows = QUERIES["contour_polygons"].fn(spark, "/root/testdata/sf0.001") \
+        .collect()
+    got = {r["value"]: (r["pixel_count"], r["n_rings"]) for r in rows}
+    # closed forms: centre square 15^2 minus 4x4 hole; annuli side
+    # (2w-1)^2 differences; frame 65^2-47^2; planted 4x4
+    assert got[1] == (15 * 15 - 16, 2)
+    assert got[2] == (31 * 31 - 15 * 15, 2)
+    assert got[3] == (47 * 47 - 31 * 31, 2)
+    assert got[4] == (65 * 65 - 47 * 47, 2)
+    assert got[5] == (16, 1)
