@@ -123,10 +123,11 @@ _DEFERRED = [
 # Round-5 window should lead with the still-uncovered remainder:
 # the 15 older ones (grid_* x4, viewshed_curved/cumulative, gpkg_scan,
 # rpc_* x2, rasterize_points/lines, gcp_order* x2, tps_* x2 — listed
-# in _DEFERRED) plus the 6 added in round 4 (explode_collections_z,
+# in _DEFERRED) plus the 8 added in round 4 (explode_collections_z,
 # mdim_resample, mdim_resample_near, mdim_stats, st_measures,
-# geotiff_scan) — all 177 are scripts/check.py-green at sf0.01 this
-# round (two full-gate runs, zero fails).
+# geotiff_scan, geotiff_roundtrip, contour_polygons) — all
+# scripts/check.py-green at sf0.01 this round (full gate run three
+# times, zero fails).
 _PRIORITY = [
     # changed this round (semdedup assignment/pair bound) — front
     "semdedup",

@@ -253,3 +253,65 @@ def geotiff_scan_q(spark, sf_dir):
     return tiles.mapInPandas(
         _stats, "ty int, tx int, npx long, sum_v long, min_v long, "
                 "max_v long").orderBy("ty", "tx")
+
+
+@register(
+    "geotiff_roundtrip",
+    sql="""
+    WITH px AS (
+      SELECT r.r, c.c, (5 * r.r + 11 * c.c) % 241 AS v
+      FROM (SELECT unnest(generate_series(0, 31)) AS r) r
+      CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS c) c
+    )
+    SELECT CAST(1 AS INT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS npx,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq
+    FROM px
+    """,
+    desc="GeoTIFF sink->scan roundtrip (gdal_translate -of GTiff "
+         "role): formula tiles -> per-key part-file assembly "
+         "(deflate+predictor) -> binaryFile re-scan -> whole-image "
+         "aggregates; the oracle re-derives the pixel formula "
+         "relationally, so a single flipped bit anywhere in the "
+         "write->read path breaks sum/sum_sq",
+)
+def geotiff_roundtrip_q(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..kernels.tiff import write_geotiff
+    from ..sources.geotiff import (read_geotiff_tiles,
+                                   write_geotiff_part_files)
+
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    src = os.path.join(_FIX_DIR, "rt_src.tif")
+    r, c = np.mgrid[0:32, 0:48]
+    img = ((5 * r + 11 * c) % 241).astype(np.uint8)
+    with open(src, "wb") as fh:
+        fh.write(write_geotiff(img,
+                               geotransform=(0.0, 1.0, 0, 32.0, 0, -1.0),
+                               epsg=32601))
+    tiles = read_geotiff_tiles(spark, src, tile_size=16)
+    out_dir = os.path.join(_FIX_DIR, "rt_out")
+    res = write_geotiff_part_files(tiles, out_dir, tile_size=16)
+    n_files = res.count()
+    back = read_geotiff_tiles(spark, os.path.join(out_dir, "*.tif"),
+                              tile_size=16)
+
+    def _stats(batches):
+        for pdf in batches:
+            rows = []
+            for _, rr_ in pdf.iterrows():
+                t = np.frombuffer(rr_["px"], dtype=rr_["dtype"]).astype(
+                    np.int64)
+                rows.append({"npx": int(t.size), "sum_v": int(t.sum()),
+                             "sum_sq": int((t * t).sum())})
+            yield pd.DataFrame(rows)
+
+    agg = back.mapInPandas(_stats, "npx long, sum_v long, sum_sq long") \
+        .agg(F.sum("npx").alias("npx"), F.sum("sum_v").alias("sum_v"),
+             F.sum("sum_sq").alias("sum_sq"))
+    return agg.select(F.lit(int(n_files)).cast("int").alias("n_files"),
+                      "npx", "sum_v", "sum_sq")

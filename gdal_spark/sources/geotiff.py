@@ -74,10 +74,13 @@ def read_geotiff_tiles(spark: SparkSession, path_glob: str,
 
 def write_geotiff_part_files(tiles: DataFrame, out_dir: str,
                              tile_size: int = 256,
-                             key_col: str = "path") -> DataFrame:
+                             key_col: str = "path",
+                             compression: str | None = "deflate") -> DataFrame:
     """Assemble each key's tiles into one baseline GeoTIFF part file
     (task-side, geopackage part-file pattern).  Expects the
-    read_geotiff_tiles schema; returns (key, out_path, w, h, n_tiles)."""
+    read_geotiff_tiles schema; returns (key, out_path, w, h, n_tiles).
+    Output compresses with DEFLATE by default (predictor 2 for
+    integer dtypes); pass compression=None for raw strips."""
     os.makedirs(out_dir, exist_ok=True)
 
     def _assemble(keys, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -106,8 +109,10 @@ def write_geotiff_part_files(tiles: DataFrame, out_dir: str,
         base = os.path.basename(str(key)).replace("/", "_") or "part"
         out_path = os.path.join(out_dir, f"{base}.tif")
         with open(out_path, "wb") as fh:
-            fh.write(write_geotiff(arr, geotransform=gt, epsg=epsg,
-                                   nodata=nodata))
+            fh.write(write_geotiff(
+                arr, geotransform=gt, epsg=epsg, nodata=nodata,
+                compression=compression,
+                predictor=2 if (compression and dt.kind != "f") else 1))
         return pd.DataFrame([{"key": str(key), "out_path": out_path,
                               "w": w, "h": h, "n_tiles": len(pdf)}])
 
