@@ -95,6 +95,8 @@ HEADLINE = [
     "mdim_stats",
     "explode_collections_z",
     "geotiff_scan",
+    "geotiff_roundtrip",
+    "contour_polygons",
 ]
 
 BIG_JOIN_N = 8_000_000
