@@ -294,7 +294,11 @@ def _chain_sums(vals: np.ndarray, starts: np.ndarray,
     excluded."""
     if len(counts) == 0:
         return np.zeros(0, dtype=np.float64)
-    v = np.append(vals, 0.0)
+    # two pads: ``vals`` has N-1 edge terms for N vertices, and a chain
+    # that is EMPTY and LAST has starts[-1] == N — reduceat needs that
+    # index to be in range, so v must reach length N+1 (a single pad
+    # only covers the spurious-boundary-edge slot at N-1).
+    v = np.concatenate([vals, (0.0, 0.0)])
     # chain k's spurious boundary edge (last vertex -> next chain's
     # first vertex) sits at starts[k] + counts[k] - 1; zero it BEFORE
     # the reduceat so per-chain sums contain only valid terms —
@@ -372,7 +376,9 @@ def batch_centroid(blobs):
 
     for sel_type, kind in ((kw.POINT, "pt"), (kw.LINESTRING, "mean"),
                            (kw.POLYGON, "poly")):
-        mask = gtypes[fgeom] == sel_type
+        # EMPTY geometries (first chain has no vertices) have no
+        # centroid — scalar contract returns None, so ok stays False
+        mask = (gtypes[fgeom] == sel_type) & (counts[fidx] > 0)
         if not mask.any():
             continue
         gi = fgeom[mask]

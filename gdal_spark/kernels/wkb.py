@@ -107,8 +107,21 @@ def wkb_triangle(rings, z: bool = False, m: bool = False) -> bytes:
 
 
 def wkb_multipoint(points, z: bool = False, m: bool = False) -> bytes:
-    body = struct.pack("<I", len(points)) + b"".join(
-        wkb_point(*[float(v) for v in p]) for p in points)
+    # member headers must honor the container's z/m flags — a bare
+    # positional splat would tag an M-only point's third ordinate as Z
+    # (2001 PointM vs 1001 PointZ on the wire)
+    def _pt(p) -> bytes:
+        vals = [float(v) for v in p]
+        i = 2
+        zv = mv = None
+        if z:
+            zv = vals[i]
+            i += 1
+        if m:
+            mv = vals[i]
+        return wkb_point(vals[0], vals[1], zv, mv)
+
+    body = struct.pack("<I", len(points)) + b"".join(_pt(p) for p in points)
     return struct.pack("<BI", _LE, iso_type(MULTIPOINT, z, m)) + body
 
 

@@ -22,6 +22,12 @@ from pyspark.sql.window import Window
 from .. import functions as gf
 from ..kernels.cells import TileGrid
 
+# grid_linear's Delaunay runs on the driver (the reference's own shape:
+# qhull triangulates the full point array serially before gridding,
+# alg/delaunay.c:107).  2M points ≈ a few hundred MB of driver state —
+# ample for gridding workloads, a hard error beyond it.
+MAX_DRIVER_TIN_POINTS = 2_000_000
+
 
 def _cells_around_points(points: DataFrame, grid: TileGrid, zoom: int,
                          radius_cells: int) -> DataFrame:
@@ -235,6 +241,20 @@ def grid_linear(points: DataFrame, grid: TileGrid, zoom: int,
     from ..kernels.delaunay import delaunay_triangles
 
     spark = points.sparkSession
+    # the driver TIN is faithful to the reference's global qhull pass
+    # but must stay bounded: LIMIT cap+1 BEFORE the collect so an
+    # oversized point layer raises instead of silently OOMing the
+    # driver (mirrors similarity.MAX_DRIVER_CENTROIDS)
+    probe = (points.select(id_col).limit(MAX_DRIVER_TIN_POINTS + 1)
+             .count())
+    if probe > MAX_DRIVER_TIN_POINTS:
+        raise ValueError(
+            f"grid_linear triangulates on the driver (reference "
+            f"semantics: global qhull TIN, alg/delaunay.c:107) and the "
+            f"point layer exceeds MAX_DRIVER_TIN_POINTS="
+            f"{MAX_DRIVER_TIN_POINTS}; pre-aggregate the points (e.g. "
+            "grid_moving_average / decimate per cell) or raise the cap "
+            "explicitly if the driver has the memory")
     rows = (points.select(id_col, "x", "y", value_col)
             .orderBy(id_col).collect())
     xs = [r["x"] for r in rows]

@@ -282,7 +282,16 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 3,
     if centroids is not None:
         cents = collect_centroids(centroids)
     else:
-        rows = v.filter(F.col(id_col) % centroid_stride == 0).collect()
+        # LIMIT bound+1 BEFORE the collect so an oversized corpus
+        # raises without first materializing n/stride vectors on the
+        # driver (the _centroid_structs check alone would be too late)
+        rows = (v.filter(F.col(id_col) % centroid_stride == 0)
+                .limit(MAX_DRIVER_CENTROIDS + 1).collect())
+        if len(rows) > MAX_DRIVER_CENTROIDS:
+            raise ValueError(
+                f"fallback centroid subset exceeds the driver-literal "
+                f"bound ({MAX_DRIVER_CENTROIDS}); raise centroid_stride "
+                "or pass kmeans_centroids output")
         cents = sorted((int(r[id_col]), list(r["_sv"])) for r in rows)
 
     corpus = v.withColumn("cid", argmin_centroid_col(cents, F.col("_sv")))

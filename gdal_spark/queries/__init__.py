@@ -114,6 +114,25 @@ _DEFERRED = [
     # 50-query driver window
     "count_star", "distinct_order", "topk_per_group", "union_all",
     "fingerprint", "rasterize_tiles",
+    # round-4 window (all 50 driver-green in CORRECTNESS_r04) —
+    # deferred in round 5 so the window's remaining slots go to the
+    # 23 never-driver-checked names plus queries added/changed this
+    # round
+    "semdedup", "charlm_perplexity", "pii_scrub", "dsir_select",
+    "url_filter", "substring_dedup", "gopher_rules",
+    "quality_classifier", "vocab_oov", "hll_distinct", "cm_topk",
+    "pack_sequences", "warp_cubic", "warp_cubicspline", "warp_lanczos",
+    "warp_mode", "warp_med", "warp_q1", "warp_q3", "warp_bilinear_aa",
+    "warp_sum", "warp_min", "warp_max", "warp_rms", "mosaic",
+    "color_relief", "nearblack", "focal_slope_zt", "focal_aspect_zt",
+    "focal_hillshade_zt", "focal_hillshade_combined",
+    "focal_hillshade_multidirectional", "focal_hillshade_igor",
+    "equalize", "translate_scale", "translate_exponent",
+    "rasterize_invert", "xyz_export", "raster_histogram",
+    "la_clip", "la_erase", "la_identity", "la_union",
+    "la_symdifference", "la_line_clip",
+    "focal_slope", "focal_aspect", "focal_tpi", "focal_tri",
+    "focal_roughness",
 ]
 
 
@@ -129,28 +148,24 @@ _DEFERRED = [
 # scripts/check.py-green at sf0.01 this round (full gate run three
 # times, zero fails).
 _PRIORITY = [
-    # changed this round (semdedup assignment/pair bound) — front
-    "semdedup",
-    # text/pipeline battery ×11
-    "charlm_perplexity", "pii_scrub", "dsir_select", "url_filter",
-    "substring_dedup", "gopher_rules", "quality_classifier", "vocab_oov",
-    "hll_distinct", "cm_topk", "pack_sequences",
-    # warp kernel family ×13
-    "warp_cubic", "warp_cubicspline", "warp_lanczos", "warp_mode",
-    "warp_med", "warp_q1", "warp_q3", "warp_bilinear_aa", "warp_sum",
-    "warp_min", "warp_max", "warp_rms", "mosaic",
-    # raster/gdaldem battery
-    "color_relief", "nearblack", "focal_slope_zt", "focal_aspect_zt",
-    "focal_hillshade_zt", "focal_hillshade_combined",
-    "focal_hillshade_multidirectional", "focal_hillshade_igor",
-    "equalize", "translate_scale", "translate_exponent",
-    "rasterize_invert", "xyz_export", "raster_histogram",
-    # layer algebra point×polygon + line clip ×6
-    "la_clip", "la_erase", "la_identity", "la_union",
-    "la_symdifference", "la_line_clip",
-    # focal derivatives ×5
-    "focal_slope", "focal_aspect", "focal_tpi", "focal_tri",
-    "focal_roughness",
+    # Round-5 window: the 23 catalog queries with no driver-green row
+    # in CORRECTNESS_r01-r04 (judge r4 item #1 — all 23 are
+    # judge-verified value-exact via scripts/check.py in r4; this
+    # buys them the final driver signal so the union of r1-r5 driver
+    # rows covers all 179 names).
+    "explode_collections_z", "st_measures", "contour_polygons",
+    "grid_nearest", "grid_moving_average", "grid_invdistnn",
+    "grid_linear", "viewshed_cumulative", "viewshed_curved",
+    "gpkg_scan", "geotiff_scan", "geotiff_roundtrip",
+    "rpc_forward", "rpc_inverse",
+    "mdim_resample", "mdim_resample_near", "mdim_stats",
+    "rasterize_points", "rasterize_lines",
+    "gcp_order1", "gcp_order2",
+    "tps_transform_small", "tps_transform_full",
+    # New in round 5 (names appended as the round adds queries) and
+    # queries whose implementation changed this round (ST overlay
+    # batching touches st_measures above; explode M/ZM variants,
+    # PNG decode, DDL dialect, strip-split GeoTIFF scan).
 ]
 
 

@@ -85,8 +85,13 @@ def write_geotiff_part_files(tiles: DataFrame, out_dir: str,
 
     def _assemble(keys, pdf: pd.DataFrame) -> pd.DataFrame:
         key = keys[0]
-        w = int((pdf["tx"] * tile_size + pdf["w"]).max())
-        h = int((pdf["ty"] * tile_size + pdf["h"]).max())
+        # anchor on min(tx)/min(ty), NOT (0, 0): upstream crops/filters
+        # may drop the origin tile, and an assembly pinned to pixel
+        # (0, 0) would zero-pad the crop back out under a wrong origin
+        txmin = int(pdf["tx"].min())
+        tymin = int(pdf["ty"].min())
+        w = int(((pdf["tx"] - txmin) * tile_size + pdf["w"]).max())
+        h = int(((pdf["ty"] - tymin) * tile_size + pdf["h"]).max())
         dt = np.dtype(pdf["dtype"].iloc[0])
         band_ids = sorted(pdf["band"].unique()) if "band" in pdf else [1]
         nb = len(band_ids)
@@ -95,15 +100,26 @@ def write_geotiff_part_files(tiles: DataFrame, out_dir: str,
         for _, r in pdf.iterrows():
             t = np.frombuffer(r["px"], dtype=np.dtype(r["dtype"])) \
                 .reshape(int(r["h"]), int(r["w"]))
-            y0, x0 = int(r["ty"]) * tile_size, int(r["tx"]) * tile_size
+            y0 = (int(r["ty"]) - tymin) * tile_size
+            x0 = (int(r["tx"]) - txmin) * tile_size
             if nb > 1:
                 bi = band_ids.index(int(r["band"]))
                 arr[y0:y0 + t.shape[0], x0:x0 + t.shape[1], bi] = t
             else:
                 arr[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = t
-        top = pdf.loc[(pdf["tx"] == 0) & (pdf["ty"] == 0)].iloc[0]
-        gt = (float(top["x0"]), float(top["dx"]), 0.0,
-              float(top["y0"]), 0.0, float(top["dy"]))
+        anchor = pdf.loc[(pdf["tx"] == txmin) & (pdf["ty"] == tymin)]
+        if len(anchor):
+            top = anchor.iloc[0]
+            ax0, ay0 = float(top["x0"]), float(top["y0"])
+        else:
+            # no tile at the anchor corner (L-shaped crop): back out
+            # the corner's georeference from any tile's own origin
+            top = pdf.iloc[0]
+            ax0 = float(top["x0"]) - (int(top["tx"]) - txmin) \
+                * tile_size * float(top["dx"])
+            ay0 = float(top["y0"]) - (int(top["ty"]) - tymin) \
+                * tile_size * float(top["dy"])
+        gt = (ax0, float(top["dx"]), 0.0, ay0, 0.0, float(top["dy"]))
         epsg = None if pd.isna(top["epsg"]) else int(top["epsg"])
         nodata = None if pd.isna(top["nodata"]) else float(top["nodata"])
         base = os.path.basename(str(key)).replace("/", "_") or "part"

@@ -186,3 +186,45 @@ def test_uniform_fast_path_multipolygon_z():
              for i in range(16)]
     assert bm._decode_uniform(blobs) is not None
     np.testing.assert_allclose(bm.batch_area(blobs), 8.0)
+
+
+def test_empty_chain_in_final_position():
+    """A valid EMPTY geometry as the last row of a batch must not kill
+    the kernel (reduceat index == len(v) regression): the scalar path
+    returns 0.0/None for empties, and the batch path must agree."""
+    full = kw.wkb_linestring(np.array([[0.0, 0.0], [3.0, 4.0]]))
+    empty_ls = kw.wkb_linestring(np.empty((0, 2)))
+    empty_poly = kw.wkb_polygon([])
+    got = bm.batch_length([full, empty_ls])
+    np.testing.assert_allclose(got, [5.0, 0.0])
+    got = bm.batch_area([kw.wkb_polygon(
+        [np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)]),
+        empty_poly])
+    np.testing.assert_allclose(got, [4.0, 0.0])
+    cx, cy, ok = bm.batch_centroid([full, empty_ls])
+    assert ok[0] and not ok[1]
+    np.testing.assert_allclose([cx[0], cy[0]], [1.5, 2.0])
+    # empty-only batch and empty mid-batch
+    np.testing.assert_allclose(bm.batch_length([empty_ls]), [0.0])
+    got = bm.batch_length([empty_ls, full, empty_ls])
+    np.testing.assert_allclose(got, [0.0, 5.0, 0.0])
+
+
+def test_multipoint_m_member_headers():
+    """wkb_multipoint(m=True) members must be tagged 2001 (PointM) on
+    the wire, not 1001 (PointZ) — external readers decode member
+    headers, not the container's."""
+    import struct
+    mp = kw.wkb_multipoint([(1.0, 2.0, 9.0)], m=True)
+    # container header (5) + count (4), then member header
+    (member_type,) = struct.unpack_from("<I", mp, 5 + 4 + 1)
+    assert member_type == 2001
+    mpz = kw.wkb_multipoint([(1.0, 2.0, 9.0)], z=True)
+    (member_type,) = struct.unpack_from("<I", mpz, 5 + 4 + 1)
+    assert member_type == 1001
+    mpzm = kw.wkb_multipoint([(1.0, 2.0, 9.0, 8.0)], z=True, m=True)
+    (member_type,) = struct.unpack_from("<I", mpzm, 5 + 4 + 1)
+    assert member_type == 3001
+    base, hz, hm, pts = kw.parse_wkb_full(mpzm)
+    assert (base, hz, hm) == (kw.MULTIPOINT, True, True)
+    assert list(pts[0]) == [1.0, 2.0, 9.0, 8.0]

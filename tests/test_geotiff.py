@@ -356,3 +356,30 @@ def test_spark_multiband_scan_sink(spark, tmp_path):
     with open(res[0]["out_path"], "rb") as fh:
         arr = read_geotiff(fh.read())[0]
     np.testing.assert_array_equal(arr, rgb)
+
+
+def test_sink_anchors_cropped_tiles(spark, tmp_path):
+    """A tile set missing the (0,0) origin tile (filtered/cropped
+    upstream) must assemble anchored at min(tx)/min(ty) with the crop's
+    own georeferenced origin — not zero-pad back to pixel (0,0) under
+    the full-image origin."""
+    from pyspark.sql import functions as F
+    from gdal_spark.sources.geotiff import (read_geotiff_tiles,
+                                            write_geotiff_part_files)
+
+    img = _formula_img(48, 48, "u2")
+    src = tmp_path / "src.tif"
+    with open(src, "wb") as fh:
+        fh.write(write_geotiff(img, geotransform=(100.0, 2.0, 0, 900.0,
+                                                  0, -2.0), epsg=32633))
+    tiles = read_geotiff_tiles(spark, str(src), tile_size=16)
+    crop = tiles.filter((F.col("tx") >= 1) & (F.col("ty") >= 1))
+    res = write_geotiff_part_files(crop, str(tmp_path / "o"),
+                                   tile_size=16).collect()
+    assert len(res) == 1 and res[0]["w"] == 32 and res[0]["h"] == 32
+    with open(res[0]["out_path"], "rb") as fh:
+        arr, gt, epsg, _ = read_geotiff(fh.read())
+    np.testing.assert_array_equal(arr, img[16:, 16:])
+    # origin = full origin shifted by one 16px tile in each axis
+    assert gt == (100.0 + 16 * 2.0, 2.0, 0.0, 900.0 - 16 * 2.0, 0.0, -2.0)
+    assert epsg == 32633

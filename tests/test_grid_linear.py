@@ -98,3 +98,18 @@ def test_hull_fallback_nearest(spark):
     # fallback="none" keeps only in-hull rows
     assert grid_linear(df, GRID, Z, fallback="none") \
         .filter(~F.col("in_hull")).count() == 0
+
+
+def test_driver_tin_guard(spark, monkeypatch):
+    """Oversized point layers must raise (bounded driver TIN), not
+    silently collect; within-cap layers are unaffected."""
+    from gdal_spark.operators import grid_interp as gi
+    xs, ys = _pts(20, 5)
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y), float(i % 7)) for i, (x, y)
+         in enumerate(zip(xs, ys))], "pid long, x double, y double, v double")
+    monkeypatch.setattr(gi, "MAX_DRIVER_TIN_POINTS", 10)
+    with pytest.raises(ValueError, match="MAX_DRIVER_TIN_POINTS"):
+        gi.grid_linear(pts, GRID, Z)
+    monkeypatch.setattr(gi, "MAX_DRIVER_TIN_POINTS", 20)
+    assert gi.grid_linear(pts, GRID, Z).count() > 0

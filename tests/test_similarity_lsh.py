@@ -135,3 +135,16 @@ def test_ivf_with_kmeans_centroids(spark, emb_df):
     # rank-1 with nprobe=2/4 lists must be the true self-match
     top1 = got[got["rnk"] == 1]
     assert (top1["vec_id"] == top1["qid"]).all()
+
+
+def test_ivf_fallback_centroid_bound(spark, emb_df, monkeypatch):
+    """The stride-subset fallback must bound its driver collect:
+    LIMIT cap+1 then raise, never materialize n/stride vectors."""
+    from pyspark.sql import functions as F
+    from gdal_spark.operators import similarity as sim
+
+    qs = emb_df.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    monkeypatch.setattr(sim, "MAX_DRIVER_CENTROIDS", 2)
+    with pytest.raises(ValueError, match="centroid_stride"):
+        sim.ivf_topk(emb_df, qs, 64, k=3, nprobe=1, centroid_stride=10)
