@@ -644,6 +644,23 @@ def _set_op_factory(op: str):
                 return _line_pieces_wkb(pieces)
             polys = kclip.boolean_op(_rings(wa), _rings(wb), op)
             return kclip.wkb_of_polys(polys) if polys else None
+
+        if op == "intersection":
+            # vectorized bbox prefilter: ONE batched coordinate pass
+            # per side; bbox-disjoint pairs have an empty intersection
+            # (the kernel would trace no face and return None) so the
+            # per-pair Python kernel only ever sees overlapping
+            # candidates — the dominant cost on real layers, where most
+            # pairs are far apart
+            ax0, ay0, ax1, ay1 = kbm.batch_bbox(a)
+            bx0, by0, bx1, by1 = kbm.batch_bbox(b)
+            overlap = ((ax0 <= bx1) & (bx0 <= ax1)
+                       & (ay0 <= by1) & (by0 <= ay1))   # False where NaN
+            # NaN bboxes (NULL or EMPTY input) compare False -> None,
+            # exactly what the kernel returns for those rows
+            out = [one(x, y) if o else None
+                   for x, y, o in zip(a, b, overlap)]
+            return pd.Series(out, dtype=object)
         return pd.Series([one(x, y) for x, y in zip(a, b)],
                          dtype=object)
     return fn
@@ -770,6 +787,21 @@ def _st_buffer(bs: pd.Series, dist: pd.Series) -> pd.Series:
     piecewise Minkowski union (region + edge quads + vertex discs) on
     the overlay kernel.  Positive distances only."""
     ang = np.linspace(0.0, 2 * math.pi, N_BUFFER_SEG + 1)
+
+    pts = _decode_points_batch(bs)
+    if pts is not None:
+        # all-point batch (the common layer shape): rings for the whole
+        # batch in one (n, seg+1, 2) broadcast, WKB via the uniform
+        # matrix encoder — no per-row Python at all.  Element ops are
+        # the scalar path's own (p + d*cos(ang)), so bytes bit-match.
+        px, py = pts
+        d = np.asarray(dist, dtype=np.float64)
+        rings = np.empty((len(px), N_BUFFER_SEG + 1, 2))
+        rings[:, :, 0] = px[:, None] + d[:, None] * np.cos(ang)[None, :]
+        rings[:, :, 1] = py[:, None] + d[:, None] * np.sin(ang)[None, :]
+        rings[:, -1, :] = rings[:, 0, :]
+        return pd.Series(kbm.encode_polygons_uniform(rings),
+                         index=bs.index, dtype=object)
 
     def one(b, d):
         if b is None:

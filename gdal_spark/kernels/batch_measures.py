@@ -401,3 +401,56 @@ def batch_centroid(blobs):
             cy[gi] = py
         ok[gi] = True
     return cx, cy, ok
+
+
+def batch_bbox(blobs):
+    """Per-blob 2-D bounding boxes in ONE coordinate pass.
+
+    Returns (minx, miny, maxx, maxy) float64 arrays, NaN for NULL or
+    empty geometries.  The batch analogue of kw.wkb_bbox — used as the
+    vectorized prefilter in front of the per-pair overlay kernel
+    (bbox-disjoint pairs never reach Python geometry)."""
+    coords, starts, counts, role, cgeom, gtypes = decode_chains_batch(blobs)
+    G = len(gtypes)
+    minx = np.full(G, np.nan)
+    miny = np.full(G, np.nan)
+    maxx = np.full(G, np.nan)
+    maxy = np.full(G, np.nan)
+    if len(cgeom) == 0 or len(coords) == 0:
+        return minx, miny, maxx, maxy
+    # vertices arrive grouped by geometry (chains are emitted in row
+    # order), so per-geometry extremes are one reduceat over the
+    # first-vertex offsets of each geometry that has any vertex
+    vgeom = np.repeat(cgeom, counts)
+    if len(vgeom) == 0:
+        return minx, miny, maxx, maxy
+    first = np.ones(len(vgeom), dtype=bool)
+    first[1:] = vgeom[1:] != vgeom[:-1]
+    gstarts = np.nonzero(first)[0]
+    gids = vgeom[gstarts]
+    x, y = coords[:, 0], coords[:, 1]
+    minx[gids] = np.minimum.reduceat(x, gstarts)
+    miny[gids] = np.minimum.reduceat(y, gstarts)
+    maxx[gids] = np.maximum.reduceat(x, gstarts)
+    maxy[gids] = np.maximum.reduceat(y, gstarts)
+    return minx, miny, maxx, maxy
+
+
+def encode_polygons_uniform(rings: np.ndarray) -> list[bytes]:
+    """(n, nv, 2) float64 -> n single-ring Polygon WKB blobs via one
+    matrix write: every blob shares the identical 13-byte header
+    (endian, type 3, 1 ring, nv vertices), so the batch encodes as one
+    uint8 matrix fill + one tobytes — the inverse of _decode_uniform.
+    Byte-identical to kw.wkb_polygon([ring]) per row."""
+    n, nv, two = rings.shape
+    assert two == 2
+    header = struct.pack("<BIII", 1, kw.POLYGON, 1, nv)
+    hl = len(header)
+    L = hl + 16 * nv
+    mat = np.empty((n, L), dtype=np.uint8)
+    mat[:, :hl] = np.frombuffer(header, dtype=np.uint8)
+    cb = np.ascontiguousarray(rings, dtype="<f8") \
+        .reshape(n, 2 * nv).view(np.uint8)
+    mat[:, hl:] = cb
+    blob = mat.tobytes()
+    return [blob[i * L:(i + 1) * L] for i in range(n)]

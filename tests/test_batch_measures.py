@@ -228,3 +228,33 @@ def test_multipoint_m_member_headers():
     base, hz, hm, pts = kw.parse_wkb_full(mpzm)
     assert (base, hz, hm) == (kw.MULTIPOINT, True, True)
     assert list(pts[0]) == [1.0, 2.0, 9.0, 8.0]
+
+
+def test_batch_bbox_matches_scalar():
+    """batch_bbox vs kw.wkb_bbox per blob on the mixed battery; NULL
+    and EMPTY rows come back all-NaN (so any bbox comparison is
+    False -> the overlay prefilter yields None, matching the kernel)."""
+    base = _mixed_blobs(seed=7)
+    blobs = base + [
+        kw.wkb_linestring(np.empty((0, 2))), kw.wkb_polygon([]), None]
+    minx, miny, maxx, maxy = bm.batch_bbox(blobs)
+    for i, b in enumerate(base):
+        if b is None:
+            assert np.isnan(minx[i]) and np.isnan(maxy[i])
+            continue
+        ref = kw.wkb_bbox(b)
+        np.testing.assert_allclose(
+            [minx[i], miny[i], maxx[i], maxy[i]], list(ref))
+    for i in range(len(base), len(blobs)):   # EMPTY x2, NULL
+        assert np.isnan(minx[i]) and np.isnan(miny[i])
+        assert np.isnan(maxx[i]) and np.isnan(maxy[i])
+
+
+def test_encode_polygons_uniform_bitmatch():
+    """encode_polygons_uniform bytes == kw.wkb_polygon per ring."""
+    rng = np.random.default_rng(3)
+    rings = rng.uniform(-10, 10, (5, 9, 2))
+    rings[:, -1, :] = rings[:, 0, :]
+    got = bm.encode_polygons_uniform(rings)
+    for i in range(5):
+        assert got[i] == kw.wkb_polygon([rings[i]])
