@@ -131,6 +131,8 @@ def decode_media_real(df: DataFrame, id_col: str = "doc_id",
                     base.update(km.wav_features(bytes(payload)))
                 elif kind == "bmp":
                     base.update(km.bmp_features(bytes(payload)))
+                elif kind == "png":
+                    base.update(km.png_features(bytes(payload)))
                 else:
                     raise ValueError(
                         f"no stdlib codec for kind={kind!r}; "
@@ -169,6 +171,38 @@ def synth_media_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                          % 256).astype(np.uint8)
                     rows.append({"doc_id": did, "kind": "bmp",
                                  "payload": km.encode_bmp(a)})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        _mk, "doc_id long, kind string, payload binary")
+
+
+def synth_png_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture builder for the PNG decode path: deterministic payloads
+    from pure doc_id formulas, cycling gray / RGB / RGBA by doc_id % 3
+    and the per-scanline filter by row % 5 (encode_png "cycle"), so
+    decoding a batch exercises every color type AND all five PNG
+    filter types; the oracle restates the features from the same
+    formulas in SQL."""
+    from ..kernels import media as km
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 5 + did % 8, 5 + did % 6
+                k = did % 3
+                if k == 0:                 # gray (color type 0)
+                    rr, cc = np.mgrid[0:h, 0:w]
+                    a = ((did * 7 + rr * 13 + cc * 3) % 256).astype(np.uint8)
+                else:                      # RGB (2) / RGBA (6)
+                    ch = 3 if k == 1 else 4
+                    rr, cc, kk = np.mgrid[0:h, 0:w, 0:ch]
+                    a = ((did * 7 + rr * 13 + cc * 3 + kk * 11)
+                         % 256).astype(np.uint8)
+                rows.append({"doc_id": did, "kind": "png",
+                             "payload": km.encode_png(a, "cycle")})
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(

@@ -595,6 +595,48 @@ def media_decode(spark, sf_dir):
 
 
 @register(
+    "media_decode_png",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, 5 + doc_id % 8 AS w, 5 + doc_id % 6 AS h,
+             doc_id % 3 AS k
+      FROM documents
+    ),
+    rws AS (
+      SELECT doc_id, w, h, k, unnest(generate_series(0, h - 1)) AS r FROM d
+    ),
+    cells AS (
+      SELECT doc_id, w, h, k, r, unnest(generate_series(0, w - 1)) AS c
+      FROM rws
+    )
+    SELECT doc_id, 'png' AS kind,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           SUM(CAST((doc_id * 7 + r * 13 + c * 3) % 256 AS DOUBLE))
+             / (MAX(w) * MAX(h)) AS mean_r,
+           SUM(CAST((doc_id * 7 + r * 13 + c * 3
+                     + CASE WHEN k = 0 THEN 0 ELSE 11 END) % 256
+                    AS DOUBLE)) / (MAX(w) * MAX(h)) AS mean_g,
+           SUM(CAST((doc_id * 7 + r * 13 + c * 3
+                     + CASE WHEN k = 0 THEN 0 ELSE 22 END) % 256
+                    AS DOUBLE)) / (MAX(w) * MAX(h)) AS mean_b
+    FROM cells GROUP BY doc_id, k ORDER BY doc_id
+    """,
+    desc="REAL PNG decode, codec written from the public PNG 1.2 spec "
+         "(kernels/media.py: stdlib zlib inflate + all 5 scanline filters, "
+         "gray/RGB/RGBA cycled by doc_id, filter type cycled per row) — "
+         "the oracle re-derives every feature from the generating pixel "
+         "formula, so one wrong unfiltered byte anywhere breaks the hash",
+)
+def media_decode_png(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_png_col_rows(docs)
+    return (mm.decode_media_real(media)
+            .select("doc_id", "kind", "width", "height",
+                    "mean_r", "mean_g", "mean_b")
+            .orderBy("doc_id"))
+
+
+@register(
     "frame_sample",
     sql="""
     WITH d AS (SELECT doc_id, 1 + (doc_id % 120) AS nf FROM documents)

@@ -99,3 +99,44 @@ def test_decode_media_real_rejects_unknown_kind(spark):
         "doc_id long, kind string, payload binary")
     with pytest.raises(Exception, match="no stdlib codec"):
         mm.decode_media_real(df).collect()
+
+
+# ---- PNG ------------------------------------------------------------------
+def test_png_roundtrip_all_filters_and_colortypes():
+    rng = np.random.default_rng(11)
+    for shape in [(7, 5, 3), (6, 4, 4), (9, 3), (5, 5, 3),
+                  (1, 8, 3), (8, 1, 3), (1, 1)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        for mode in ("cycle", "none"):
+            back = km.decode_png(km.encode_png(a, mode))
+            assert back.shape == a.shape
+            assert (back == a).all(), (shape, mode)
+
+
+def test_png_decodes_external_bytes():
+    """A widely-published externally-encoded 1x1 RGBA PNG must decode
+    to its known pixel (255, 0, 0, 127) — validates signature, chunk
+    walk, zlib stream, and IHDR parse against a foreign encoder."""
+    import base64
+    b64 = ("iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+           "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    a = km.decode_png(base64.b64decode(b64))
+    assert a.shape == (1, 1, 4)
+    assert a.tolist() == [[[255, 0, 0, 127]]]
+
+
+def test_png_rejects_unsupported():
+    a = np.zeros((4, 4), dtype=np.uint8)
+    blob = bytearray(km.encode_png(a))
+    with pytest.raises(ValueError, match="not a PNG"):
+        km.decode_png(b"\x00" + bytes(blob[1:]))
+    blob[24] = 16                       # depth byte in IHDR
+    with pytest.raises(ValueError, match="8-bit"):
+        km.decode_png(bytes(blob))
+
+
+def test_png_features_gray_repeats_channels():
+    a = (np.arange(30, dtype=np.uint8).reshape(6, 5) * 7) % 256
+    f = km.png_features(km.encode_png(a))
+    assert f["width"] == 5 and f["height"] == 6
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"] == a.mean()
