@@ -165,3 +165,44 @@ def synth_gc_z_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(_mk, "doc_id long, wkb binary")
+
+
+def synth_gc_zm_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture builder: deterministic GeometryCollection-ZM WKB (type
+    3007) — part 0 PointZM, part 1 LineStringZM (3 vertices), part 2
+    CircularStringZM (3 vertices, the curved member), part 3 PolygonZM
+    (closed 4-vertex ring) — M formulas are distinct from Z so a
+    swapped ordinate cannot hash-match.  Exercises the ISO +3000 ZM
+    offset through parse -> explode -> re-encode end-to-end
+    (ogr/ogr_core.h:405-519: wkbPointZM :491, wkbCircularStringZM
+    :512)."""
+    import numpy as np
+
+    def _mk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                pt = kw.wkb_point(float(did % 100), float((did * 3) % 100),
+                                  float(did % 7), float(did % 11))
+                line = kw.wkb_linestring(np.array(
+                    [[did % 50 + i, did % 20 + 2 * i,
+                      did % 5 + i, did % 13 + 3 * i]
+                     for i in range(3)], dtype=np.float64), z=True, m=True)
+                arc = kw.wkb_circularstring(np.array(
+                    [[did % 60 + i, did % 25 + i * i,
+                      did % 6 + 2 * i, did % 17 + i]
+                     for i in range(3)], dtype=np.float64), z=True, m=True)
+                bx, by = did % 40, did % 30
+                bz, bm = did % 9, did % 15
+                ring = np.array(
+                    [[bx, by, bz, bm], [bx + 4, by, bz, bm],
+                     [bx, by + 3, bz, bm], [bx, by, bz, bm]],
+                    dtype=np.float64)
+                poly = kw.wkb_polygon([ring], z=True, m=True)
+                blob = kw.wkb_collection([pt, line, arc, poly],
+                                         z=True, m=True)
+                rows.append({"doc_id": did, "wkb": blob})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(_mk, "doc_id long, wkb binary")

@@ -877,6 +877,72 @@ def explode_collections_z_q(spark, sf_dir):
                  "x0 double, y0 double, z0 double").orderBy("doc_id", "part")
 
 
+@register(
+    "explode_collections_zm",
+    sql="""
+    SELECT doc_id, CAST(j.p AS INT) AS part,
+           CAST(CASE j.p WHEN 0 THEN 1 WHEN 1 THEN 2
+                         WHEN 2 THEN 8 ELSE 3 END AS INT) AS gtype,
+           CAST(CASE j.p WHEN 0 THEN 1 WHEN 3 THEN 4 ELSE 3 END AS INT)
+             AS npts,
+           CAST(CASE j.p WHEN 0 THEN doc_id % 100
+                         WHEN 1 THEN doc_id % 50
+                         WHEN 2 THEN doc_id % 60
+                         ELSE doc_id % 40 END AS DOUBLE) AS x0,
+           CAST(CASE j.p WHEN 0 THEN (doc_id * 3) % 100
+                         WHEN 1 THEN doc_id % 20
+                         WHEN 2 THEN doc_id % 25
+                         ELSE doc_id % 30 END AS DOUBLE) AS y0,
+           CAST(CASE j.p WHEN 0 THEN doc_id % 7
+                         WHEN 1 THEN doc_id % 5
+                         WHEN 2 THEN doc_id % 6
+                         ELSE doc_id % 9 END AS DOUBLE) AS z0,
+           CAST(CASE j.p WHEN 0 THEN doc_id % 11
+                         WHEN 1 THEN doc_id % 13
+                         WHEN 2 THEN doc_id % 17
+                         ELSE doc_id % 15 END AS DOUBLE) AS m0
+    FROM documents, LATERAL (SELECT unnest(generate_series(0, 3)) AS p) j
+    ORDER BY doc_id, part
+    """,
+    desc="explodecollections over GeometryCollection-ZM WKB (type 3007, "
+         "ISO +3000 offset — ogr_core.h:491,512): PointZM/LineStringZM/"
+         "CircularStringZM/PolygonZM parts keep tags AND both extra "
+         "ordinates; z0/m0 are re-read from each emitted PART's WKB "
+         "(4-wide vertices), proving the full ZM roundtrip including a "
+         "curved member",
+)
+def explode_collections_zm_q(spark, sf_dir):
+    from ..operators import geometry as ge
+    from ..kernels import wkb as kwkb_
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    gc = ge.synth_gc_zm_rows(docs)
+    out = ge.explode_collections(gc)
+
+    import pandas as pd_
+
+    def _zm_back(it):
+        for pdf in it:
+            zs, ms = [], []
+            for blob in pdf["wkb"]:
+                base, hz, hm, payload = kwkb_.parse_wkb_full(bytes(blob))
+                assert hz and hm, "part WKB lost its Z/M flags"
+                v0 = (payload if base == kwkb_.POINT
+                      else payload[0] if base in (kwkb_.LINESTRING,
+                                                  kwkb_.CIRCULARSTRING)
+                      else payload[0][0])
+                zs.append(float(v0[2]))
+                ms.append(float(v0[3]))
+            out_pdf = pdf[["doc_id", "part", "gtype", "npts", "x0", "y0"]]
+            yield out_pdf.assign(z0=pd_.Series(zs, index=pdf.index),
+                                 m0=pd_.Series(ms, index=pdf.index))
+
+    return out.mapInPandas(
+        _zm_back, "doc_id long, part int, gtype int, npts int, "
+                  "x0 double, y0 double, z0 double, m0 double"
+    ).orderBy("doc_id", "part")
+
+
 # ---------------------------------------------- compound-curve stroke
 _CC_AX0 = "CAST(doc_id % 90 AS DOUBLE)"
 _CC_AY0 = "CAST((3 * doc_id) % 80 AS DOUBLE)"

@@ -157,3 +157,72 @@ def test_explode_preserves_m_only_point(spark):
         assert (base, hz, hm) == (kw.POINT, False, True)
         assert p[2] == 42.0 + i
         assert r["z0"] is None   # M is not Z
+
+
+def test_circularstring_zm_roundtrip():
+    """Curved member ZM roundtrip (wkbCircularStringZM, type 3008 —
+    ogr_core.h:512): all four ordinates survive encode -> parse."""
+    cs = np.array([[0, 0, 1, 9], [1, 1, 2, 8], [2, 0, 3, 7]], float)
+    blob = kw.wkb_circularstring(cs, z=True, m=True)
+    base, hz, hm, payload = kw.parse_wkb_full(blob)
+    assert base == kw.CIRCULARSTRING and hz and hm
+    np.testing.assert_array_equal(payload, cs)
+    # header tag is the ISO +3000 id
+    import struct
+    (raw,) = struct.unpack_from("<I", blob, 1)
+    assert raw == 3008
+
+
+def test_multicurve_zm_tagged_parts():
+    """MultiCurveZM (3011) keeps each member's own ZM tag + ordinates."""
+    ls = np.array([[0, 0, 1, 2], [3, 4, 5, 6]], float)
+    cs = np.array([[0, 0, 1, 9], [1, 1, 2, 8], [2, 0, 3, 7]], float)
+    blob = kw.wkb_multicurve(
+        [(kw.LINESTRING, ls), (kw.CIRCULARSTRING, cs)], z=True, m=True)
+    base, hz, hm, parts = kw.parse_wkb_full(blob)
+    assert base == kw.MULTICURVE and hz and hm
+    (t0, p0), (t1, p1) = parts
+    assert t0 == kw.LINESTRING and t1 == kw.CIRCULARSTRING
+    np.testing.assert_array_equal(p0, ls)
+    np.testing.assert_array_equal(p1, cs)
+
+
+def test_batch_measures_ignore_zm():
+    """Length/area/centroid over ZM blobs must equal the same
+    geometry's 2-D values — the strided chain decode may not let the
+    extra ordinates leak into the planar math."""
+    from gdal_spark.kernels import batch_measures as bm
+    ls2 = np.array([[0, 0], [3, 4]], float)
+    lszm = np.array([[0, 0, 7, 1], [3, 4, 8, 2]], float)
+    ring2 = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+    ringzm = np.hstack([ring2, np.full((5, 1), 5.0), np.full((5, 1), 6.0)])
+    blobs2 = [kw.wkb_linestring(ls2), kw.wkb_polygon([ring2])]
+    blobszm = [kw.wkb_linestring(lszm, z=True, m=True),
+               kw.wkb_polygon([ringzm], z=True, m=True)]
+    np.testing.assert_allclose(bm.batch_length(blobszm),
+                               bm.batch_length(blobs2))
+    np.testing.assert_allclose(bm.batch_area(blobszm),
+                               bm.batch_area(blobs2))
+    np.testing.assert_allclose(bm.batch_bbox(blobszm),
+                               bm.batch_bbox(blobs2))
+    cx, cy, ok = bm.batch_centroid(blobszm)
+    cx2, cy2, ok2 = bm.batch_centroid(blobs2)
+    np.testing.assert_allclose([cx, cy], [cx2, cy2])
+    np.testing.assert_array_equal(ok, ok2)
+
+
+def test_explode_zm_multicurve_parts(spark):
+    """explode_collections over a MultiCurveZM: curved + straight
+    members each emit a part whose WKB still carries Z AND M."""
+    from gdal_spark.operators.geometry import explode_collections
+    ls = np.array([[0, 0, 1, 2], [3, 4, 5, 6]], float)
+    cs = np.array([[10, 0, 1, 9], [11, 1, 2, 8], [12, 0, 3, 7]], float)
+    blob = kw.wkb_multicurve(
+        [(kw.LINESTRING, ls), (kw.CIRCULARSTRING, cs)], z=True, m=True)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, wkb binary")
+    rows = explode_collections(df).orderBy("part").collect()
+    assert [r.gtype for r in rows] == [kw.LINESTRING, kw.CIRCULARSTRING]
+    for r, src in zip(rows, (ls, cs)):
+        base, hz, hm, payload = kw.parse_wkb_full(bytes(r.wkb))
+        assert hz and hm
+        np.testing.assert_array_equal(payload, src)
