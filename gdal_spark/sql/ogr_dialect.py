@@ -293,17 +293,26 @@ def _rewrite_quoted_idents(sql: str) -> str:
     return _splice(sql, edits)
 
 
-def ogr_sql(spark: SparkSession, sql: str) -> DataFrame:
+def ogr_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     """Execute an OGR-SQL-dialect statement against registered layers.
 
-    Statements go through the recursive-descent grammar
+    DDL commands (ALTER TABLE ADD/DROP/RENAME/ALTER COLUMN, DROP
+    TABLE, CREATE/DROP INDEX — the reference intercepts these before
+    its SELECT parser, gcore/gdaldataset.cpp:6255-6818) are handled by
+    sql/ddl.py and return None, matching ExecuteSQL's NULL layer for
+    statements without a result set.
+
+    SELECTs go through the recursive-descent grammar
     (sql/parser.py — the swq_parser.y select_statement, extended with
     sub-SELECT in FROM) and one tree walk applies every dialect
     rewrite in correct scope.  Statements the grammar does not cover
     fall back to the token-stream rewrites (identical behavior on the
     shared surface, pinned by tests/test_ogr_parser.py)."""
+    from .ddl import try_execute_ddl
     from .parser import ParseError, emit, parse
 
+    if try_execute_ddl(spark, sql):
+        return None
     try:
         tree = parse(sql)
     except ParseError:

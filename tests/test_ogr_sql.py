@@ -283,3 +283,61 @@ def test_first_match_rewrite_ignores_literal_parens(spark):
     ).collect()
     # first-match semantics: ONE row for the matching base feature
     assert len(rows) == 1 and rows[0]["v"] == "v1"
+
+
+# ---- DDL subset (gdaldataset.cpp:6255-6818) -------------------------------
+class TestDDL:
+    @pytest.fixture()
+    def ddl_layer(self, spark):
+        register_layer(spark, "ddl_poly",
+                       spark.createDataFrame(fx.polygons_pandas()))
+        yield spark
+        spark.catalog.dropTempView("ddl_poly")
+
+    def test_add_column_then_select(self, ddl_layer):
+        assert ogr_sql(ddl_layer,
+                       "ALTER TABLE ddl_poly ADD COLUMN note VARCHAR(10)"
+                       ) is None
+        rows = ogr_sql(ddl_layer,
+                       "SELECT fid, note FROM ddl_poly").collect()
+        assert all(r["note"] is None for r in rows)
+        assert dict(ogr_sql(ddl_layer, "SELECT * FROM ddl_poly").dtypes
+                    )["note"] == "string"
+
+    def test_rename_column_seen_by_next_query(self, ddl_layer):
+        ogr_sql(ddl_layer,
+                "ALTER TABLE ddl_poly RENAME COLUMN eas_id TO eas2")
+        rows = ogr_sql(ddl_layer,
+                       "SELECT eas2 FROM ddl_poly WHERE eas2 < 167").collect()
+        assert sorted(r["eas2"] for r in rows) == [158, 165, 166]
+
+    def test_drop_and_alter_type(self, ddl_layer):
+        ogr_sql(ddl_layer, "ALTER TABLE ddl_poly DROP COLUMN prfedea")
+        cols = ogr_sql(ddl_layer, "SELECT * FROM ddl_poly").columns
+        assert "prfedea" not in cols
+        ogr_sql(ddl_layer,
+                "ALTER TABLE ddl_poly ALTER COLUMN eas_id TYPE DOUBLE")
+        assert dict(ogr_sql(ddl_layer, "SELECT * FROM ddl_poly").dtypes
+                    )["eas_id"] == "double"
+
+    def test_index_noops_recorded_and_drop_table(self, ddl_layer):
+        from gdal_spark.sql.ddl import ATTRIBUTE_INDEXES
+        assert ogr_sql(ddl_layer,
+                       "CREATE INDEX ON ddl_poly USING eas_id") is None
+        assert ATTRIBUTE_INDEXES.get(("ddl_poly", "eas_id"))
+        ogr_sql(ddl_layer, "DROP INDEX ON ddl_poly USING eas_id")
+        assert ("ddl_poly", "eas_id") not in ATTRIBUTE_INDEXES
+        register_layer(ddl_layer, "ddl_tmp",
+                       ddl_layer.createDataFrame(fx.idlink_pandas()),
+                       fid_col="__none__", wkb_col=None)
+        ogr_sql(ddl_layer, "DROP TABLE ddl_tmp")
+        assert not ddl_layer.catalog.tableExists("ddl_tmp")
+
+    def test_ddl_errors(self, ddl_layer):
+        from gdal_spark.sql.ddl import DDLError
+        with pytest.raises(DDLError, match="no column"):
+            ogr_sql(ddl_layer, "ALTER TABLE ddl_poly DROP COLUMN ghost")
+        with pytest.raises(DDLError, match="unsupported OGR field type"):
+            ogr_sql(ddl_layer, "ALTER TABLE ddl_poly ADD COLUMN b BLOB")
+        with pytest.raises(DDLError, match="TO"):
+            ogr_sql(ddl_layer, "ALTER TABLE ddl_poly RENAME COLUMN fid x")
