@@ -359,6 +359,17 @@ def read_geotiff(data: bytes, return_overviews: bool = False):
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
     magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    if magic == 43 or _has_tile_tag(data, bo, magic):
+        # BigTIFF / tiled organization: delegate to the seek-based
+        # reader (main image only — these layouts carry no overview
+        # chain in our writer)
+        import io
+        f = io.BytesIO(data)
+        m = tiff_meta(f)
+        arr = read_tiff_rows(f, m, 0, m.h)
+        if not return_overviews:
+            return arr, m.gt, m.epsg, m.nodata
+        return arr, m.gt, m.epsg, m.nodata, []
     if magic != 42:
         raise ValueError("not a classic TIFF")
 
@@ -391,3 +402,367 @@ def read_geotiff(data: bytes, return_overviews: bool = False):
         ov, _t, _v, next_off = _read_ifd(data, bo, next_off)
         overviews.append(ov)
     return arr, gt, epsg, nodata, overviews
+
+
+# ---- extended organization: tiles, BigTIFF, seek-based range reads --------
+# TIFF 6.0 §15 tiled images (TileWidth 322 / TileLength 323 /
+# TileOffsets 324 / TileByteCounts 325, edge tiles padded to full
+# size) and the BigTIFF spec (magic 43, 8-byte offsets, LONG8 type
+# 16, 20-byte IFD entries) — the organizations GDAL's GTiff driver
+# reads block-wise (gcore/gdalrasterband.cpp block contract;
+# frmts/gtiff BigTIFF support).  The seek-based reader below is what
+# lets a multi-GB granule decode as (row-range) SPLITS across tasks
+# instead of one whole-file task.
+_TW, _TH, _TOFF, _TCNT = 322, 323, 324, 325
+_T_LONG8 = 16
+
+
+def write_geotiff_ext(arr: np.ndarray, geotransform=None,
+                      epsg: int | None = None, nodata: float | None = None,
+                      rows_per_strip: int | None = None,
+                      tile_size=None, compression: str | None = None,
+                      predictor: int = 1, bigtiff: bool = False) -> bytes:
+    """General-organization GeoTIFF writer: strips (default) or tiles
+    (``tile_size`` int or (tw, th) — multiples of 16 per TIFF 6.0
+    §15), classic or BigTIFF container.  Same dtype/geo tag surface
+    as write_geotiff; main image only (no overview chain)."""
+    a = np.ascontiguousarray(arr)
+    if a.ndim not in (2, 3):
+        raise ValueError("(h, w) or (h, w, bands) array expected")
+    if a.dtype.kind not in _FMT_OF_KIND:
+        raise ValueError(f"unsupported dtype {a.dtype}")
+    comp = {None: 1, "none": 1, "deflate": 8}.get(compression, -1)
+    if comp < 0:
+        raise ValueError(f"unsupported compression {compression!r}")
+    if predictor == 2 and a.dtype.kind == "f":
+        raise ValueError("predictor=2 is integer-only (TIFF 6.0 §14)")
+    if a.ndim == 3:
+        h, w, spp = a.shape
+    else:
+        (h, w), spp = a.shape, 1
+    le = a.astype(a.dtype.newbyteorder("<"), copy=False)
+
+    def _encode(block: np.ndarray) -> bytes:
+        if predictor == 2:
+            block = _hdiff(block)
+        raw = np.ascontiguousarray(block).tobytes()
+        if comp == 8:
+            import zlib
+            raw = zlib.compress(raw, 6)
+        return raw
+
+    blocks: list[bytes] = []
+    entries: list[tuple[int, int, int, object]] = [
+        (_W, _T_LONG, 1, w), (_H, _T_LONG, 1, h),
+        (_BPS, _T_SHORT, spp, [a.dtype.itemsize * 8] * spp),
+        (_COMP, _T_SHORT, 1, comp),
+        (_PHOT, _T_SHORT, 1, 2 if spp == 3 else 1),
+        (_SPP, _T_SHORT, 1, spp),
+        (_SFMT, _T_SHORT, spp, [_FMT_OF_KIND[a.dtype.kind]] * spp),
+    ]
+    if tile_size is not None:
+        tw, th = (tile_size if isinstance(tile_size, (tuple, list))
+                  else (tile_size, tile_size))
+        if tw % 16 or th % 16:
+            raise ValueError("tile dims must be multiples of 16 (§15)")
+        for ty0 in range(0, h, th):
+            for tx0 in range(0, w, tw):
+                t = le[ty0:ty0 + th, tx0:tx0 + tw]
+                if t.shape[0] != th or t.shape[1] != tw:
+                    pad = np.zeros((th, tw) + ((spp,) if spp > 1 else ()),
+                                   dtype=le.dtype)
+                    pad[:t.shape[0], :t.shape[1]] = t
+                    t = pad
+                blocks.append(_encode(t))
+        off_tag, cnt_tag = _TOFF, _TCNT
+        entries += [(_TW, _T_LONG, 1, tw), (_TH, _T_LONG, 1, th)]
+    else:
+        px_bytes = spp * a.dtype.itemsize
+        rps = rows_per_strip or max(1, 8192 // max(1, w * px_bytes))
+        rps = min(rps, h) if h else 1
+        for r0 in range(0, max(h, 1), rps):
+            blocks.append(_encode(le[r0:r0 + rps]))
+        off_tag, cnt_tag = _SOFF, _SCNT
+        entries.append((_RPS, _T_LONG, 1, rps))
+    nb = len(blocks)
+    off_typ = _T_LONG8 if bigtiff else _T_LONG
+    entries += [(off_tag, off_typ, nb, None),
+                (cnt_tag, _T_LONG, nb, [len(b) for b in blocks])]
+    if spp > 1:
+        entries.append((_PLANAR, _T_SHORT, 1, 1))
+    if predictor == 2:
+        entries.append((_PRED, _T_SHORT, 1, 2))
+    if geotransform is not None:
+        x0, dx, _r0, y0, _r1, ndy = geotransform
+        entries.append((_PSCALE, _T_DOUBLE, 3, [dx, -ndy, 0.0]))
+        entries.append((_TIEPOINT, _T_DOUBLE, 6,
+                        [0.0, 0.0, 0.0, x0, y0, 0.0]))
+    if epsg is not None:
+        geographic = epsg == 4326
+        keys = [1, 1, 0, 3, 1024, 0, 1, 2 if geographic else 1,
+                1025, 0, 1, 1,
+                (2048 if geographic else 3072), 0, 1, int(epsg)]
+        entries.append((_GEOKEYS, _T_SHORT, len(keys), keys))
+    if nodata is not None:
+        txt = (f"{nodata:.18g}").encode() + b"\x00"
+        entries.append((_NODATA, _T_ASCII, len(txt), txt))
+    entries.sort(key=lambda e: e[0])
+
+    inline_cap = 8 if bigtiff else 4
+    ent_sz = 20 if bigtiff else 12
+    hdr_sz = 16 if bigtiff else 8
+    ifd_sz = ((8 if bigtiff else 2) + ent_sz * len(entries)
+              + (8 if bigtiff else 4))
+    type_size = dict(_TYPE_SIZE)
+
+    def _pack_vals(typ, cnt, val) -> bytes:
+        if typ == _T_ASCII:
+            return bytes(val)
+        fmt = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d",
+               _T_LONG8: "Q"}[typ]
+        vals = val if isinstance(val, (list, tuple)) else [val]
+        return struct.pack(f"<{cnt}{fmt}", *vals)
+
+    # pass 1: external tag sizes -> block offsets
+    cursor = hdr_sz + ifd_sz
+    for tag, typ, cnt, val in entries:
+        size = type_size[typ] * cnt
+        if size > inline_cap:
+            cursor += size + (size & 1)
+    offs = []
+    for b in blocks:
+        offs.append(cursor)
+        cursor += len(b)
+
+    out = bytearray(
+        struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16) if bigtiff
+        else struct.pack("<2sHI", b"II", 42, 8))
+    out += (struct.pack("<Q", len(entries)) if bigtiff
+            else struct.pack("<H", len(entries)))
+    ext = bytearray()
+    ext_cursor = hdr_sz + ifd_sz
+    for tag, typ, cnt, val in entries:
+        if tag == off_tag:
+            val = offs
+        blob = _pack_vals(typ, cnt, val)
+        if bigtiff:
+            head = struct.pack("<HHQ", tag, typ, cnt)
+        else:
+            head = struct.pack("<HHI", tag, typ, cnt)
+        if len(blob) > inline_cap:
+            out += head + (struct.pack("<Q", ext_cursor) if bigtiff
+                           else struct.pack("<I", ext_cursor))
+            pad = len(blob) & 1
+            ext += blob + b"\x00" * pad
+            ext_cursor += len(blob) + pad
+        else:
+            out += head + blob.ljust(inline_cap, b"\x00")
+    out += struct.pack("<Q", 0) if bigtiff else struct.pack("<I", 0)
+    out += ext
+    for b in blocks:
+        out += b
+    return bytes(out)
+
+
+class TiffMeta:
+    """Parsed main-IFD metadata for seek-based range reads."""
+    __slots__ = ("bo", "big", "w", "h", "spp", "planar", "comp", "pred",
+                 "dtype", "tiled", "rps", "tw", "th", "offsets", "counts",
+                 "gt", "epsg", "nodata")
+
+
+def tiff_meta(f) -> TiffMeta:
+    """Parse the main IFD from a seekable file object WITHOUT reading
+    pixel data: classic (42) or BigTIFF (43), strip- or tile-
+    organized.  Only header + IFD + out-of-line tag values are read,
+    so a 100 GB granule costs a few KB of I/O."""
+    f.seek(0)
+    head = f.read(16)
+    if head[:2] == b"II":
+        bo = "<"
+    elif head[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    (magic,) = struct.unpack_from(bo + "H", head, 2)
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack_from(bo + "I", head, 4)
+    elif magic == 43:
+        big = True
+        osz, zero = struct.unpack_from(bo + "HH", head, 4)
+        if osz != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack_from(bo + "Q", head, 8)
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
+
+    f.seek(ifd_off)
+    if big:
+        (n_ent,) = struct.unpack(bo + "Q", f.read(8))
+        ent_raw = f.read(20 * n_ent)
+        ent_sz, cnt_fmt, inline = 20, "Q", 8
+    else:
+        (n_ent,) = struct.unpack(bo + "H", f.read(2))
+        ent_raw = f.read(12 * n_ent)
+        ent_sz, cnt_fmt, inline = 12, "I", 4
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    pending: list[tuple[int, int, int, int, int]] = []
+    for k in range(n_ent):
+        tag, typ = struct.unpack_from(bo + "HH", ent_raw, k * ent_sz)
+        (cnt,) = struct.unpack_from(bo + cnt_fmt, ent_raw, k * ent_sz + 4)
+        vpos = k * ent_sz + (12 if big else 8)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size <= inline:
+            tags[tag] = (typ, cnt, ent_raw[vpos:vpos + size])
+        else:
+            (voff,) = struct.unpack_from(bo + cnt_fmt, ent_raw, vpos)
+            pending.append((tag, typ, cnt, voff, size))
+    for tag, typ, cnt, voff, size in pending:
+        f.seek(voff)
+        tags[tag] = (typ, cnt, f.read(size))
+
+    def vals(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, raw = tags[tag]
+        if typ == _T_ASCII:
+            return raw.split(b"\x00")[0].decode()
+        fmt = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d",
+               _T_LONG8: "Q", 17: "q"}[typ]
+        return list(struct.unpack(bo + str(cnt) + fmt, raw))
+
+    m = TiffMeta()
+    m.bo, m.big = bo, big
+    m.w, m.h = vals(_W)[0], vals(_H)[0]
+    m.comp = vals(_COMP, [1])[0]
+    if m.comp not in (1, 5, 8):
+        raise ValueError(f"unsupported compression {m.comp}")
+    m.spp = vals(_SPP, [1])[0]
+    m.planar = vals(_PLANAR, [1])[0]
+    m.pred = vals(_PRED, [1])[0]
+    sfmts, bpss = vals(_SFMT, [1]), vals(_BPS, [8])
+    if len(set(sfmts)) > 1 or len(set(bpss)) > 1:
+        raise ValueError("heterogeneous per-band sample types")
+    kind = _KIND_OF_FMT.get(sfmts[0])
+    if kind is None:
+        raise ValueError(f"unsupported sample format {sfmts[0]}")
+    m.dtype = np.dtype(f"{bo}{kind}{bpss[0] // 8}")
+    m.tiled = _TOFF in tags
+    if m.tiled:
+        m.tw, m.th = vals(_TW)[0], vals(_TH)[0]
+        m.rps = None
+        m.offsets, m.counts = vals(_TOFF), vals(_TCNT)
+    else:
+        m.tw = m.th = None
+        m.rps = vals(_RPS, [m.h or 1])[0]
+        m.offsets, m.counts = vals(_SOFF), vals(_SCNT)
+    m.gt = None
+    if _PSCALE in tags and _TIEPOINT in tags:
+        dx, dy, _ = vals(_PSCALE)
+        i, j, _k, x, y, _z = vals(_TIEPOINT)[:6]
+        m.gt = (x - i * dx, dx, 0.0, y + j * dy, 0.0, -dy)
+    m.epsg = None
+    if _GEOKEYS in tags:
+        keys = vals(_GEOKEYS)
+        for k in range(4, len(keys), 4):
+            kid, loc, _cnt, v = keys[k:k + 4]
+            if kid in (2048, 3072) and loc == 0:
+                m.epsg = int(v)
+    nod = vals(_NODATA)
+    m.nodata = float(nod) if nod is not None else None
+    return m
+
+
+def _decompress(raw: bytes, comp: int) -> bytes:
+    if comp == 8:
+        import zlib
+        return zlib.decompress(raw)
+    if comp == 5:
+        return lzw_decode(raw)
+    return raw
+
+
+def read_tiff_rows(f, m: TiffMeta, row_lo: int, row_hi: int) -> np.ndarray:
+    """Decode image rows [row_lo, row_hi) by seeking ONLY the strips /
+    tile rows that intersect the range — GDAL's block-window access
+    pattern (gcore/gdalrasterband.cpp), which is what makes one
+    granule splittable across tasks.  Returns (rows, w) or
+    (rows, w, spp) in native byte order with predictor undone."""
+    row_lo, row_hi = max(0, row_lo), min(m.h, row_hi)
+    if row_hi <= row_lo:
+        base = (0, m.w) if m.spp == 1 else (0, m.w, m.spp)
+        return np.empty(base, dtype=m.dtype.newbyteorder("="))
+
+    def _fetch(idx: int) -> bytes:
+        f.seek(m.offsets[idx])
+        return _decompress(f.read(m.counts[idx]), m.comp)
+
+    if m.tiled:
+        if m.planar == 2 and m.spp > 1:
+            raise ValueError("planar tiled organization not supported")
+        ta = (m.w + m.tw - 1) // m.tw
+        ty_lo, ty_hi = row_lo // m.th, (row_hi + m.th - 1) // m.th
+        bands = []
+        for ty in range(ty_lo, ty_hi):
+            row_tiles = []
+            for tx in range(ta):
+                t = np.frombuffer(_fetch(ty * ta + tx), dtype=m.dtype,
+                                  count=m.th * m.tw * m.spp)
+                t = (t.reshape(m.th, m.tw) if m.spp == 1
+                     else t.reshape(m.th, m.tw, m.spp))
+                if m.pred == 2:
+                    t = _unhdiff(t)
+                row_tiles.append(t)
+            band = np.concatenate(row_tiles, axis=1)[:, :m.w]
+            bands.append(band)
+        arr = np.concatenate(bands, axis=0)
+        arr = arr[row_lo - ty_lo * m.th: row_hi - ty_lo * m.th]
+        return np.ascontiguousarray(arr.astype(m.dtype.newbyteorder("=")))
+
+    rps = m.rps
+    s_lo, s_hi = row_lo // rps, (row_hi + rps - 1) // rps
+    spb = (m.h + rps - 1) // rps          # strips per band (planar=2)
+
+    def _rows_of(strips: list[np.ndarray], width: int) -> np.ndarray:
+        buf = np.concatenate([s.reshape(-1) for s in strips])
+        n_rows = buf.size // width
+        return buf[:n_rows * width].reshape(n_rows, width)
+
+    if m.spp == 1 or m.planar == 1:
+        width = m.w * m.spp
+        strips = [np.frombuffer(_fetch(i), dtype=m.dtype)
+                  for i in range(s_lo, s_hi)]
+        rows = _rows_of(strips, width)
+        rows = rows[row_lo - s_lo * rps: row_hi - s_lo * rps]
+        arr = (rows.reshape(-1, m.w) if m.spp == 1
+               else rows.reshape(-1, m.w, m.spp))
+    else:                                  # planar=2: band-major strips
+        per_band = []
+        for b in range(m.spp):
+            strips = [np.frombuffer(_fetch(b * spb + i), dtype=m.dtype)
+                      for i in range(s_lo, s_hi)]
+            rows = _rows_of(strips, m.w)
+            per_band.append(rows[row_lo - s_lo * rps:
+                                 row_hi - s_lo * rps])
+        arr = np.stack(per_band, axis=2)
+    arr = arr.astype(m.dtype.newbyteorder("="))
+    if m.pred == 2:
+        arr = _unhdiff(arr)
+    return np.ascontiguousarray(arr)
+
+
+def _has_tile_tag(data: bytes, bo: str, magic: int) -> bool:
+    """Cheap main-IFD sniff for TileOffsets (324) on classic files."""
+    if magic != 42:
+        return False
+    try:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+        (n_ent,) = struct.unpack_from(bo + "H", data, ifd_off)
+        for k in range(n_ent):
+            (tag,) = struct.unpack_from(bo + "H", data, ifd_off + 2 + 12 * k)
+            if tag == _TOFF:
+                return True
+    except struct.error:
+        return False
+    return False

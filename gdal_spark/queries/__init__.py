@@ -166,7 +166,7 @@ _PRIORITY = [
     # queries whose implementation changed this round (ST overlay
     # batching touches st_measures above; explode M/ZM variants,
     # PNG decode, DDL dialect, strip-split GeoTIFF scan).
-    "media_decode_png", "explode_collections_zm",
+    "media_decode_png", "explode_collections_zm", "geotiff_scan_split",
 ]
 
 

@@ -256,6 +256,68 @@ def geotiff_scan_q(spark, sf_dir):
 
 
 @register(
+    "geotiff_scan_split",
+    sql="""
+    WITH px AS (
+      SELECT r.r, c.c,
+             (3 * r.r + 7 * c.c) % 251 AS v
+      FROM (SELECT unnest(generate_series(0, 119)) AS r) r
+      CROSS JOIN (SELECT unnest(generate_series(0, 89)) AS c) c
+    )
+    SELECT CAST(r // 16 AS INT) AS ty, CAST(c // 16 AS INT) AS tx,
+           CAST(COUNT(*) AS BIGINT) AS npx,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM px GROUP BY ty, tx ORDER BY ty, tx
+    """,
+    desc="GeoTIFF scan with IN-FILE parallelism (gdalrasterband.cpp "
+         "block-window role): a BigTIFF TILED granule (magic 43, "
+         "8-byte offsets, tags 322-325, deflate+predictor) is decoded "
+         "as row-range SPLITS — header-only manifest, then each task "
+         "seek-reads just its tile rows — with a tiny split target so "
+         "the one file becomes many real splits; per-tile aggregates "
+         "re-derived relationally by the oracle",
+)
+def geotiff_scan_split_q(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..kernels.tiff import write_geotiff_ext
+    from ..sources.geotiff import read_geotiff_tiles_split
+
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    path = os.path.join(_FIX_DIR, "scan_split.tif")
+    r, c = np.mgrid[0:120, 0:90]
+    img = ((3 * r + 7 * c) % 251).astype(np.uint8)
+    with open(path, "wb") as fh:
+        fh.write(write_geotiff_ext(
+            img, geotransform=(10.0, 0.5, 0, 100.0, 0, -0.5),
+            epsg=32601, tile_size=32, compression="deflate",
+            predictor=2, bigtiff=True))
+
+    # 16-px tiles, ~3-tile-row splits: the single granule plans
+    # into multiple genuine row-range splits
+    tiles = read_geotiff_tiles_split(spark, path, tile_size=16,
+                                     target_split_bytes=4096)
+
+    def _stats(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, rr in pdf.iterrows():
+                t = np.frombuffer(rr["px"], dtype=rr["dtype"]).astype(
+                    np.int64)
+                rows.append({"ty": int(rr["ty"]), "tx": int(rr["tx"]),
+                             "npx": int(t.size), "sum_v": int(t.sum()),
+                             "min_v": int(t.min()), "max_v": int(t.max())})
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        _stats, "ty int, tx int, npx long, sum_v long, min_v long, "
+                "max_v long").orderBy("ty", "tx")
+
+
+@register(
     "geotiff_roundtrip",
     sql="""
     WITH px AS (

@@ -383,3 +383,143 @@ def test_sink_anchors_cropped_tiles(spark, tmp_path):
     # origin = full origin shifted by one 16px tile in each axis
     assert gt == (100.0 + 16 * 2.0, 2.0, 0.0, 900.0 - 16 * 2.0, 0.0, -2.0)
     assert epsg == 32633
+
+
+# ---- extended organization: tiles, BigTIFF, range reads, split scan -------
+class TestExtendedOrg:
+    GT = (10.0, 0.5, 0.0, 100.0, 0.0, -0.5)
+
+    @pytest.mark.parametrize("bigtiff", [False, True])
+    @pytest.mark.parametrize("tile", [None, 32, (48, 16)])
+    @pytest.mark.parametrize("comp,pred", [(None, 1), ("deflate", 2)])
+    def test_ext_roundtrip_and_ranges(self, bigtiff, tile, comp, pred):
+        import io
+        from gdal_spark.kernels.tiff import (read_tiff_rows, tiff_meta,
+                                             write_geotiff_ext)
+        img = (7 * np.arange(100 * 73).reshape(100, 73) % 253).astype(
+            np.uint8)
+        blob = write_geotiff_ext(img, geotransform=self.GT, epsg=32601,
+                                 nodata=3.0, tile_size=tile,
+                                 compression=comp, predictor=pred,
+                                 bigtiff=bigtiff, rows_per_strip=9)
+        f = io.BytesIO(blob)
+        m = tiff_meta(f)
+        assert (m.big, m.tiled) == (bigtiff, tile is not None)
+        assert m.gt == self.GT and m.epsg == 32601 and m.nodata == 3.0
+        np.testing.assert_array_equal(read_tiff_rows(f, m, 0, m.h), img)
+        for lo, hi in [(0, 1), (13, 57), (95, 100), (31, 33)]:
+            np.testing.assert_array_equal(
+                read_tiff_rows(f, m, lo, hi), img[lo:hi])
+
+    def test_read_geotiff_delegates_bigtiff_tiled(self):
+        from gdal_spark.kernels.tiff import write_geotiff_ext
+        img = (np.arange(48 * 64).reshape(48, 64) % 200).astype(np.uint8)
+        for big, tile in [(True, None), (False, 16), (True, 32)]:
+            blob = write_geotiff_ext(img, geotransform=self.GT,
+                                     tile_size=tile, bigtiff=big,
+                                     compression="deflate")
+            arr, gt, _, _ = read_geotiff(blob)
+            np.testing.assert_array_equal(arr, img)
+            assert gt == self.GT
+
+    def test_planar2_range_read(self):
+        """Hand-built planar (band-major, MULTI-strip-per-band) file
+        decodes band-correct through the seek-based range reader."""
+        import io
+        from gdal_spark.kernels.tiff import read_tiff_rows, tiff_meta
+        h, w, b, rps = 10, 6, 3, 2
+        bands = np.arange(h * w * b, dtype=np.uint8).reshape(b, h, w)
+        spb = (h + rps - 1) // rps
+        ns = spb * b
+        entries = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 3, (8, 8, 8)),
+            (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, ns, None),
+            (277, 3, 1, b), (278, 4, 1, rps), (279, 4, ns, None),
+            (284, 3, 1, 2), (339, 3, 3, (1, 1, 1)),
+        ]
+        ifd_size = 2 + 12 * len(entries) + 4
+        ext0 = 8 + ifd_size
+        # external: bps(6B+pad), sfmt(6B+pad), soff(4*ns), scnt(4*ns)
+        bps_off, sfmt_off = ext0, ext0 + 8
+        soff_off, scnt_off = ext0 + 16, ext0 + 16 + 4 * ns
+        strip0 = scnt_off + 4 * ns
+        sbytes = rps * w
+        offs = [strip0 + i * sbytes for i in range(ns)]
+        out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if tag == 258:
+                out += struct.pack("<HHII", tag, typ, cnt, bps_off)
+            elif tag == 339:
+                out += struct.pack("<HHII", tag, typ, cnt, sfmt_off)
+            elif tag == 273:
+                out += struct.pack("<HHII", tag, typ, cnt, soff_off)
+            elif tag == 279:
+                out += struct.pack("<HHII", tag, typ, cnt, scnt_off)
+            else:
+                fmtc = {3: "H", 4: "I"}[typ]
+                vals_ = val if isinstance(val, tuple) else (val,)
+                blob = struct.pack(f"<{len(vals_)}{fmtc}", *vals_)
+                out += struct.pack("<HHI", tag, typ, cnt) \
+                    + blob.ljust(4, b"\x00")
+        out += struct.pack("<I", 0)
+        out += struct.pack("<3H", 8, 8, 8) + b"\x00\x00"
+        out += struct.pack("<3H", 1, 1, 1) + b"\x00\x00"
+        out += struct.pack(f"<{ns}I", *offs)
+        out += struct.pack(f"<{ns}I", *([sbytes] * ns))
+        for band in bands:
+            out += band.tobytes()
+        img = np.moveaxis(bands, 0, 2)
+        f = io.BytesIO(bytes(out))
+        m = tiff_meta(f)
+        assert m.planar == 2 and m.rps == rps
+        np.testing.assert_array_equal(read_tiff_rows(f, m, 0, h), img)
+        np.testing.assert_array_equal(read_tiff_rows(f, m, 3, 9), img[3:9])
+
+    def test_split_scan_matches_whole_file(self, spark, tmp_path):
+        """read_geotiff_tiles_split == read_geotiff_tiles on the same
+        files, across strip/tile/BigTIFF organizations, with splits
+        much smaller than the file so multiple real splits occur."""
+        from gdal_spark.kernels.tiff import write_geotiff_ext
+        from gdal_spark.sources.geotiff import (read_geotiff_tiles,
+                                                read_geotiff_tiles_split)
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 255, (130, 90), dtype=np.uint8)
+        variants = [
+            ("strips.tif", dict(rows_per_strip=7)),
+            ("tiled.tif", dict(tile_size=32)),
+            ("big.tif", dict(bigtiff=True, rows_per_strip=11,
+                             compression="deflate", predictor=2)),
+        ]
+        for name, kw in variants:
+            with open(tmp_path / name, "wb") as fh:
+                fh.write(write_geotiff_ext(img, geotransform=self.GT,
+                                           epsg=32601, **kw))
+        glob = str(tmp_path / "*.tif")
+        cols = ["path", "band", "tx", "ty", "w", "h", "px", "x0", "y0"]
+        whole = {tuple(r[c] for c in cols[:4]): r
+                 for r in read_geotiff_tiles(spark, glob, 16).collect()}
+        # 16-row tiles, 2-row-band splits -> 130/16 ceil = 9 tile rows,
+        # target_split_bytes tiny so every file gets many splits
+        split = {tuple(r[c] for c in cols[:4]): r
+                 for r in read_geotiff_tiles_split(
+                     spark, glob, 16, target_split_bytes=2000).collect()}
+        assert set(whole) == set(split)
+        for k, rw in whole.items():
+            rs = split[k]
+            for c in cols[4:]:
+                assert rw[c] == rs[c], (k, c)
+
+    def test_split_plan_bounds_task_bytes(self, spark, tmp_path):
+        from gdal_spark.kernels.tiff import write_geotiff_ext
+        from gdal_spark.sources.geotiff import plan_geotiff_splits
+        img = np.zeros((4096, 512), np.uint8)       # 2 MiB raw
+        p = tmp_path / "wide.tif"
+        with open(p, "wb") as fh:
+            fh.write(write_geotiff_ext(img, compression="deflate"))
+        plan = plan_geotiff_splits(spark, str(p), tile_size=256,
+                                   target_split_bytes=256 * 512 * 2).collect()
+        # 512 rows/split (aligned to 256), 8 splits
+        assert len(plan) == 8
+        assert all((r.row_hi - r.row_lo) == 512 for r in plan)
+        assert all(r.row_lo % 256 == 0 for r in plan)
