@@ -12,6 +12,7 @@ the negative cases of the reference's two-phase filter
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from . import register, t
@@ -692,6 +693,42 @@ def pip_join_s2_q(spark, sf_dir):
 
 from . import QUERIES as _Q  # noqa: E402
 _Q["pip_join_s2"].sql = _Q["pip_join"].sql
+
+
+@register(
+    "dialect_spatial_join",
+    sql=None,   # assigned below: byte-identical to pip_join's oracle
+    desc="ST_Intersects auto-rewrite (SURVEY §4.3 rule, sql/"
+         "spatial_rewrite.py): the dialect statement JOIN ... ON "
+         "ST_Intersects(p.geom, g.wkb) re-plans as the salted "
+         "two-phase cell join instead of Catalyst's CartesianProduct "
+         "+ per-pair UDF; oracle = pip_join's independent planar SQL "
+         "ray-cast, so the rewritten plan is value-exact with the "
+         "brute-force semantics",
+)
+def dialect_spatial_join(spark, sf_dir):
+    from ..kernels import wkb as kwkb
+    from ..sql import ogr_sql
+
+    @F.pandas_udf("binary")
+    def _pt_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series([kwkb.wkb_point(a, b) for a, b in zip(x, y)])
+
+    # the geometry column exists so the statement can name it; the
+    # rewritten plan never evaluates it (column pruning drops the UDF
+    # — the cell join keys on x/y directly)
+    pts = _points(spark, sf_dir).withColumn("geom", _pt_wkb("x", "y"))
+    pts.createOrReplaceTempView("dsj_pts")
+    spark.createDataFrame(fx.polygons_pandas()) \
+        .createOrReplaceTempView("dsj_polys")
+    return ogr_sql(
+        spark,
+        "SELECT p.doc_id, g.fid, g.eas_id FROM dsj_pts p "
+        "JOIN dsj_polys g ON ST_Intersects(p.geom, g.wkb) "
+        "ORDER BY p.doc_id, g.fid")
+
+
+_Q["dialect_spatial_join"].sql = _Q["pip_join"].sql
 
 
 # --------------------------------------------------- arc linearization

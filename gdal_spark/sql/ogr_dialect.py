@@ -310,6 +310,7 @@ def ogr_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     shared surface, pinned by tests/test_ogr_parser.py)."""
     from .ddl import try_execute_ddl
     from .parser import ParseError, emit, parse
+    from .spatial_rewrite import try_spatial_join_rewrite
 
     if try_execute_ddl(spark, sql):
         return None
@@ -317,6 +318,12 @@ def ogr_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         tree = parse(sql)
     except ParseError:
         return spark.sql(_legacy_rewrites(spark, sql))
+    # SURVEY §4.3 auto-rewrite: a JOIN ... ON ST_Intersects(a.g, b.g)
+    # statement re-plans as the salted two-phase cell join instead of
+    # Catalyst's CartesianProduct + per-pair UDF (spatial_rewrite.py)
+    rewritten = try_spatial_join_rewrite(spark, tree)
+    if rewritten is not None:
+        return rewritten
     return spark.sql(emit(tree, spark))
 
 
