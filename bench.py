@@ -99,7 +99,7 @@ HEADLINE = [
     "contour_polygons",
 ]
 
-BIG_JOIN_N = 8_000_000
+BIG_JOIN_N = int(os.environ.get("SPARK_GRAFT_BIGJOIN_N", 8_000_000))
 
 
 def big_join_docs_per_sec(spark):
