@@ -828,29 +828,20 @@ def _st_buffer(bs: pd.Series, dist: pd.Series) -> pd.Series:
 
 def _st_area_spheroid(bs: pd.Series) -> pd.Series:
     """ST_Area(geom, use_ellipsoid) role: lon/lat polygon area on the
-    WGS84 authalic sphere (m^2)."""
-    def one(b):
-        if b is None:
-            return 0.0
-        t, p = _parse(b)
-        if t == kwkb.POLYGON:
-            a = kgeom.geodesic_ring_area(p[0])
-            for hole in p[1:]:
-                a -= kgeom.geodesic_ring_area(hole)
-            return a
-        return 0.0
-    return bs.map(one)
+    WGS84 authalic sphere (m^2).  Batched: one trig pass over the whole
+    Arrow batch (kernels/batch_measures.py), headers-only Python loop."""
+    from ..kernels import batch_measures as kbm
+    return pd.Series(
+        kbm.batch_area_spheroid(bs, kgeom.WGS84_AUTHALIC_R),
+        index=bs.index)
 
 
 def _st_length_spheroid(bs: pd.Series) -> pd.Series:
-    def one(b):
-        if b is None:
-            return 0.0
-        t, p = _parse(b)
-        if t == kwkb.LINESTRING:
-            return kgeom.geodesic_length(p)
-        return 0.0
-    return bs.map(one)
+    """Great-circle LINESTRING length (m), batched like area above."""
+    from ..kernels import batch_measures as kbm
+    return pd.Series(
+        kbm.batch_length_spheroid(bs, kgeom.WGS84_AUTHALIC_R),
+        index=bs.index)
 
 
 def _st_curvetoline(bs: pd.Series) -> pd.Series:

@@ -312,6 +312,52 @@ def _chain_sums(vals: np.ndarray, starts: np.ndarray,
     return out
 
 
+def batch_area_spheroid(blobs, radius: float) -> np.ndarray:
+    """Batched twin of geom.geodesic_ring_area composed per the scalar
+    _st_area_spheroid contract: POLYGON rows only (|outer| - sum|holes|
+    on the authalic sphere of ``radius``), 0.0 for every other type and
+    NULL.  Per-edge Chamberlain & Duquette terms, one trig pass over
+    the whole batch, per-ring fold via _chain_sums."""
+    coords, starts, counts, role, cgeom, gtypes = decode_chains_batch(blobs)
+    if len(cgeom) == 0:
+        return np.zeros(len(gtypes))
+    lon = np.radians(coords[:, 0])
+    lat = np.radians(coords[:, 1])
+    slat = np.sin(lat)
+    term = (lon[1:] - lon[:-1]) * (2.0 + slat[1:] + slat[:-1])
+    ring_s = _chain_sums(term, starts, counts)
+    ring_area = np.abs(ring_s) / 2.0 * radius * radius
+    sign = np.where(role == _OUTER, 1.0, -1.0)
+    areal = (role == _OUTER) | (role == _HOLE)
+    want = gtypes == kw.POLYGON
+    contrib = np.where(areal & want[cgeom], sign * ring_area, 0.0)
+    return np.bincount(cgeom, weights=contrib,
+                       minlength=len(gtypes)).astype(np.float64)
+
+
+def batch_length_spheroid(blobs, radius: float) -> np.ndarray:
+    """Batched twin of geom.geodesic_length per the scalar
+    _st_length_spheroid contract: LINESTRING rows only (haversine
+    great-circle chain length, m), 0.0 otherwise."""
+    coords, starts, counts, role, cgeom, gtypes = decode_chains_batch(blobs)
+    if len(cgeom) == 0:
+        return np.zeros(len(gtypes))
+    lon = np.radians(coords[:, 0])
+    lat = np.radians(coords[:, 1])
+    dlon = lon[1:] - lon[:-1]
+    dlat = lat[1:] - lat[:-1]
+    h = (np.sin(dlat / 2.0) ** 2
+         + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2.0) ** 2)
+    term = np.arcsin(np.sqrt(h))
+    chain_s = _chain_sums(term, starts, counts)
+    lineal = role == _LINE
+    want = gtypes == kw.LINESTRING
+    contrib = np.where(lineal & want[cgeom],
+                       2.0 * radius * chain_s, 0.0)
+    return np.bincount(cgeom, weights=contrib,
+                       minlength=len(gtypes)).astype(np.float64)
+
+
 def batch_area(blobs) -> np.ndarray:
     """OGRPolygon::get_Area per blob: |outer| - sum|holes|, summed over
     multi parts; 0.0 for non-areal types and NULL."""

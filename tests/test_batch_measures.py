@@ -258,3 +258,39 @@ def test_encode_polygons_uniform_bitmatch():
     got = bm.encode_polygons_uniform(rings)
     for i in range(5):
         assert got[i] == kw.wkb_polygon([rings[i]])
+
+
+def test_spheroid_batch_matches_scalar():
+    """batch_area_spheroid / batch_length_spheroid vs the scalar
+    geodesic kernels under the _st_*_spheroid contract: POLYGON-only
+    area (holes subtract), LINESTRING-only length, 0.0 for every other
+    type / NULL, and an empty chain in the final slot (the ADVICE
+    reduceat edge)."""
+    rng = np.random.default_rng(11)
+    blobs = _mixed_blobs(seed=11, n=140) + [
+        kw.wkb_linestring(np.empty((0, 2))), kw.wkb_polygon([])]
+    R = kgeom.WGS84_AUTHALIC_R
+
+    def ref_area(b):
+        if b is None:
+            return 0.0
+        t, p = kw.parse_wkb(b)
+        if t != kw.POLYGON:
+            return 0.0
+        a = kgeom.geodesic_ring_area(p[0]) if len(p) else 0.0
+        for hole in p[1:]:
+            a -= kgeom.geodesic_ring_area(hole)
+        return a
+
+    def ref_len(b):
+        if b is None:
+            return 0.0
+        t, p = kw.parse_wkb(b)
+        return kgeom.geodesic_length(p) if t == kw.LINESTRING and len(p) > 1 \
+            else 0.0
+
+    got_a = bm.batch_area_spheroid(blobs, R)
+    got_l = bm.batch_length_spheroid(blobs, R)
+    for i, b in enumerate(blobs):
+        assert got_a[i] == pytest.approx(ref_area(b), rel=1e-12, abs=1e-6)
+        assert got_l[i] == pytest.approx(ref_len(b), rel=1e-12, abs=1e-9)
