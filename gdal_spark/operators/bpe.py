@@ -37,6 +37,7 @@ fully independent of this code.
 
 from __future__ import annotations
 
+from .parallelism import fan_out
 from pyspark.sql import Column, DataFrame, functions as F
 
 SEP = "\x1f"
@@ -47,7 +48,7 @@ _REMAT_EVERY = 8
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct-word frequency table (word, freq) — the only pass
     over the full corpus."""
-    words = docs.select(F.explode(
+    words = fan_out(docs).select(F.explode(
         F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
     ).alias("word"))
     return words.groupBy("word").agg(F.count("*").alias("freq"))

@@ -20,6 +20,7 @@ signatures.
 
 from __future__ import annotations
 
+from .parallelism import fan_out
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -63,7 +64,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """Per-doc MinHash signature: minhash_i = min(md5(shingle||'#'||i))
     over the doc's 3-token shingles (string min == hash min; md5 is
     identical across engines).  Returns (id, m0..m7, band0..band3)."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("shingle")
     )
     aggs = [
@@ -171,7 +172,7 @@ def simhash(df: DataFrame, text_col: str = "text",
     Explode + conditional sums: one shuffle keyed by id, partial
     aggregation map-side.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
@@ -207,7 +208,7 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     cand = minhash_band_pairs(df, text_col, id_col).filter(
         F.col("shared_bands") >= min_shared_bands
     )
-    sh = shingles if shingles is not None else df.select(
+    sh = shingles if shingles is not None else fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(F.col(text_col))).alias("shingle"),
     ).distinct()
@@ -398,7 +399,7 @@ def contamination(docs: DataFrame, bench: DataFrame, n: int = 13,
             .select(id_col, F.md5("_gram").alias("_dig"))
 
     bench_grams = grams(bench).select("_dig").distinct()
-    hits = grams(docs).join(F.broadcast(bench_grams), "_dig")
+    hits = grams(fan_out(docs)).join(F.broadcast(bench_grams), "_dig")
     return (hits.groupBy(id_col)
             .agg(F.count("*").alias("n_hits"),
                  F.countDistinct("_dig").alias("n_distinct_grams")))

@@ -14,6 +14,7 @@ the catalog's oracle-checked demos.
 
 from __future__ import annotations
 
+from .parallelism import fan_out
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -137,6 +138,7 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
                         (count desc, bigram asc ties)
       top_bigram_frac = occurrences * len(bigram) / len(text)
     """
+    df = fan_out(df)
     toks = tokens_col(F.col(text_col))
     base = df.select(F.col(id_col), F.col(text_col).alias("_t"),
                      toks.alias("_toks"))
@@ -180,8 +182,9 @@ def bm25_topk(df: DataFrame, text_col: str = "text",
     expression are integers, so the score is engine-reproducible.
     Returns (doc_id, term, score) with ties (score desc, term asc).
     """
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens_col(F.col(text_col))).alias("term"))
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     dft = tf.groupBy("term").agg(F.count("*").alias("dft"))
@@ -236,7 +239,7 @@ def charlm_train(df: DataFrame, text_col: str = "text") -> tuple:
     two map-side-combined shuffles and scores with zero corpus-side
     shuffle before the final per-doc aggregate.
     """
-    grams = df.select(F.explode(
+    grams = fan_out(df).select(F.explode(
         char_bigrams_col(F.col(text_col))).alias("gram"))
     # ONE corpus scan: the aggregates are charset^2-bounded, so
     # collect them and rebuild local DFs — the broadcasts at score
@@ -268,7 +271,7 @@ def charlm_score(df: DataFrame, model: tuple, text_col: str = "text",
     Returns (doc_id, n_bigrams, avg_nll).
     """
     c2, c1, vocab = model
-    grams = df.select(
+    grams = fan_out(df).select(
         F.col(id_col),
         F.explode(char_bigrams_col(F.col(text_col))).alias("gram"))
     grams = grams.withColumn("ctx", F.substring("gram", 1, 1))
@@ -344,6 +347,7 @@ def hashed_gram_rows(df: DataFrame, text_col: str = "text",
     DSIR_BUCKETS buckets.  Map-only explode; the bucket space is
     fixed, so every aggregate over it is O(buckets) regardless of
     corpus size."""
+    df = fan_out(df)
     toks = tokens_col(F.col(text_col))
     uni = df.select(F.col(id_col), F.explode(toks).alias("g"))
     big_arr = F.when(
@@ -485,6 +489,7 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
     digest groupBy is one shuffle with map-side partials, and the
     rejoin hits only duplicated digests — the digest exchange is
     the single wide stage, like minhash banding."""
+    df = fan_out(df)
     txt = F.col(text_col)
     offs = F.when(
         F.length(txt) >= win,
@@ -669,7 +674,8 @@ def build_vocab(df: DataFrame, size: int, text_col: str = "text") -> DataFrame:
 
     Returns (token_id, term, n) with token_id = 0-based rank.
     """
-    counts = (df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+    counts = (fan_out(df)
+              .select(F.explode(tokens_col(F.col(text_col))).alias("term"))
               .groupBy("term").agg(F.count("*").alias("n")))
     # orderBy + limit is a distributed TakeOrdered (per-partition
     # top-k, tiny driver merge) — the global row_number window runs
@@ -686,8 +692,9 @@ def oov_stats(df: DataFrame, vocab: DataFrame, text_col: str = "text",
     """Per-document out-of-vocabulary statistics against a (small,
     broadcast) vocabulary: explode -> broadcast left join -> per-doc
     reaggregate.  Returns (id, n_tokens, n_oov, oov_rate)."""
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens_col(F.col(text_col))).alias("term"))
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("term"))
     v = vocab.select("term", F.lit(1).alias("_in_v"))
     joined = toks.join(F.broadcast(v), "term", "left")
     return (joined.groupBy(id_col).agg(
@@ -724,7 +731,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     (min h, rightmost pos) — reproducible verbatim in the SQL oracle.
     Returns (id, pos, h) distinct fingerprints.
     """
-    grams = df.select(
+    grams = fan_out(df).select(
         F.col(id_col),
         F.explode(F.expr(
             f"transform(sequence(1, greatest(length({text_col}) - {k - 1},"
@@ -760,7 +767,7 @@ CT_N = 3        # char n-gram width
 def char_ngram_rows(df: DataFrame, text_col: str, id_cols: list[str],
                     n: int = CT_N) -> DataFrame:
     """(id_cols..., g) rows of lowercased char n-grams — JVM explode."""
-    return df.select(
+    return fan_out(df).select(
         *id_cols,
         F.explode(F.expr(
             f"transform(sequence(1, greatest(length({text_col}) - {n - 1},"

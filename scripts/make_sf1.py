@@ -71,8 +71,13 @@ def main():
             big = big.withColumn(
                 k, (F.col(k) + F.col("__rep") * F.lit(STRIDE))
                 .cast(dict(df.dtypes)[k]))
-        big.select(*cols).write.mode("overwrite").parquet(
-            f"{out_dir}/{name}.parquet")
+        # Write ``factor`` part files: the driver's sf tables are one
+        # compact file each, and a single 10x-bigger-but-still-small
+        # file would give every downstream scan exactly ONE split
+        # (bytes-based splitting can't cut inside a row group) — the
+        # rehearsal would then measure layout, not the engine.
+        big.select(*cols).repartition(factor).write.mode(
+            "overwrite").parquet(f"{out_dir}/{name}.parquet")
         n = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
         print(f"{name}: {n} rows")
 
