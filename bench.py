@@ -138,7 +138,7 @@ def big_join_docs_per_sec(spark):
     return round(BIG_JOIN_N / dt, 1), round(dt, 3)
 
 
-N_RUNS = 3
+N_RUNS = int(os.environ.get("SPARK_GRAFT_NRUNS", "3"))
 
 
 def run(spark, sf_dir, names, queries):
@@ -158,6 +158,9 @@ def run(spark, sf_dir, names, queries):
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.time() - t0)
         times[name] = round(min(samples), 3)
+        # progress to stderr: a scale rehearsal that stalls must name
+        # the query it stalled on (stdout stays one JSON line)
+        print(f"[bench] {name}: {times[name]}s", file=sys.stderr, flush=True)
         spread[name] = round(max(samples) / min(samples), 2)
     return times, spread
 
