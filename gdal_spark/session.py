@@ -25,6 +25,19 @@ def get_spark(app_name: str = "gdal_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # This engine's shuffle stages carry compute fan-out far out
+        # of proportion to their byte size: a few MB of minhash/simhash
+        # signatures expand to 10^8 candidate pairs inside the
+        # following self-join stage, and a few MB of WKB drives heavy
+        # geometry kernels.  AQE's coalescing is shuffle-BYTE-based
+        # (default floor 1 MB/partition), which folded those stages to
+        # 2-3 tasks at the sf1 rehearsal (observed: simhash_pairs'
+        # candidate aggregate spilling for minutes on 2 tasks while 30
+        # cores idled).  Lower the floor so parallelism-first sizing
+        # keeps fan-out stages wide; at real 100 TB scale shuffles are
+        # GBs and this floor never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
