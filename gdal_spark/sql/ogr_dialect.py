@@ -60,12 +60,17 @@ _GEOM_TYPE_NAMES = {
 
 
 def register_layer(spark: SparkSession, name: str, df: DataFrame,
-                   fid_col: str = "fid", wkb_col: str | None = "wkb") -> None:
+                   fid_col: str = "fid", wkb_col: str | None = "wkb",
+                   style_col: str | None = "ogr_style") -> None:
     """Expose a DataFrame as an OGR layer with the dialect's special
     fields (ogr/ogr_p.h:167-174): FID, OGR_GEOMETRY (type name, read
     JVM-side from the WKB header byte), OGR_GEOM_WKT, OGR_GEOM_AREA,
-    OGR_STYLE (NULL — no style table in the engine, matching OGR's
-    NULL for unstyled features); then registers a temp view."""
+    OGR_STYLE.  OGR_STYLE mirrors OGRFeature::GetStyleString
+    (ogr/ogrfeature.cpp:6985-7024): the per-feature style string when
+    the layer carries one (``style_col``, e.g. ``PEN(c:#FF0000,w:2px)``
+    strings ingested from a styled source), NULL otherwise — OGR
+    likewise returns NULL for unstyled features.  Then registers a
+    temp view."""
     out = df
     if fid_col in df.columns and "FID" not in df.columns:
         out = out.withColumn("FID", F.col(fid_col))
@@ -99,8 +104,29 @@ def register_layer(spark: SparkSession, name: str, df: DataFrame,
             .withColumn("OGR_GEOM_AREA", _area(F.col(wkb_col)))
             .withColumn("OGR_GEOM_WKT", _wkt(F.col(wkb_col)))
         )
-    out = out.withColumn("OGR_STYLE", F.lit(None).cast("string"))
+    if style_col and style_col in df.columns:
+        out = out.withColumn("OGR_STYLE", F.col(style_col).cast("string"))
+    else:
+        out = out.withColumn("OGR_STYLE", F.lit(None).cast("string"))
     out.createOrReplaceTempView(name)
+
+
+def style_tool_param_col(style, tool: str, param: str):
+    """Extract one tool parameter from an OGR feature-style string —
+    the OGRStyleTool::GetParamStr read path (ogr/ogr_featurestyle.cpp,
+    OGRStyleMgr part split + param lookup) as pure Column regexps, so
+    a styled layer can be filtered/projected on e.g. its PEN color
+    JVM-side with no Python in the plan.
+
+    ``style_tool_param_col(F.col("OGR_STYLE"), "PEN", "c")`` over
+    ``PEN(c:#FF0000,w:2px);BRUSH(fc:#0000FF)`` -> ``#FF0000``; NULL
+    when the tool or param is absent (OGR returns a not-found flag).
+    Tools: PEN/BRUSH/SYMBOL/LABEL (ogr_featurestyle.h:77-82)."""
+    style = F.col(style) if isinstance(style, str) else style
+    part = F.regexp_extract(style, re.escape(tool) + r"\(([^)]*)\)", 1)
+    val = F.regexp_extract(part, r"(?:^|,)" + re.escape(param)
+                           + r":([^,]*)", 1)
+    return F.nullif(val, F.lit(""))
 
 
 _PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")

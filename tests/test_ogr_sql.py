@@ -144,6 +144,47 @@ def test_special_fields_ogr_geometry_style_wkt(spark):
     assert all(r["OGR_GEOM_WKT"].startswith("POLYGON (") for r in rows)
 
 
+def test_ogr_style_passthrough_and_tool_params(spark):
+    """A layer with a style column surfaces it as OGR_STYLE
+    (OGRFeature::GetStyleString role), and style_tool_param_col reads
+    tool params JVM-side (OGRStyleTool::GetParamStr role)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.sql.ogr_dialect import (ogr_sql, register_layer,
+                                            style_tool_param_col)
+
+    df = spark.createDataFrame(
+        [(1, "PEN(c:#FF0000,w:2px);BRUSH(fc:#0000FF)"),
+         (2, "LABEL(f:\"Arial\",s:12pt)"),
+         (3, None)],
+        "fid int, ogr_style string")
+    register_layer(spark, "styled", df, wkb_col=None)
+    rows = (ogr_sql(spark, "SELECT FID, OGR_STYLE FROM styled "
+                           "ORDER BY FID").collect())
+    assert rows[0]["OGR_STYLE"].startswith("PEN(")
+    assert rows[2]["OGR_STYLE"] is None
+
+    got = (spark.table("styled")
+           .select("fid",
+                   style_tool_param_col("OGR_STYLE", "PEN", "c").alias("c"),
+                   style_tool_param_col("OGR_STYLE", "PEN", "w").alias("w"),
+                   style_tool_param_col("OGR_STYLE", "BRUSH", "fc").alias("fc"),
+                   style_tool_param_col(F.col("OGR_STYLE"), "LABEL",
+                                        "s").alias("s"))
+           .orderBy("fid").collect())
+    assert (got[0]["c"], got[0]["w"], got[0]["fc"]) \
+        == ("#FF0000", "2px", "#0000FF")
+    assert got[0]["s"] is None          # tool absent -> NULL
+    assert got[1]["s"] == "12pt"
+    assert got[1]["c"] is None
+    assert got[2]["c"] is None          # unstyled feature -> NULL
+
+    # explicit opt-out keeps the unstyled contract
+    register_layer(spark, "styled_off", df, wkb_col=None, style_col=None)
+    assert all(r["OGR_STYLE"] is None
+               for r in spark.table("styled_off").collect())
+
+
 def test_multi_left_join_first_match(spark):
     """Two depth-0 LEFT JOINs each get the first-match wrapper."""
     from gdal_spark.sql.ogr_dialect import ogr_sql, register_layer
