@@ -97,6 +97,11 @@ HEADLINE = [
     "geotiff_scan",
     "geotiff_roundtrip",
     "contour_polygons",
+    # round 5 additions
+    "media_decode_png",
+    "explode_collections_zm",
+    "geotiff_scan_split",
+    "dialect_spatial_join",
 ]
 
 BIG_JOIN_N = int(os.environ.get("SPARK_GRAFT_BIGJOIN_N", 8_000_000))

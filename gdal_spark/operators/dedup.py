@@ -29,7 +29,10 @@ from .text import tokens_col
 N_MINHASH = 8
 N_BANDS = 4          # 2 minhashes per band
 SHINGLE = 3
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60   # Manku et al. (WWW'07) use 64-bit f, hamming <= 3;
+                    # 60 keeps the md5-derived token hash in one signed long
+SIMHASH_BAND_BITS = 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
@@ -166,7 +169,7 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash: per token, a 60-bit md5-derived integer; bit j
+    """60-bit SimHash: per token, a 60-bit md5-derived integer; bit j
     contributes +1/-1; fingerprint sets bit j where the sum is > 0.
 
     Explode + conditional sums: one shuffle keyed by id, partial
@@ -285,7 +288,7 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
                     (F.col(id_col) == F.col("comp")).alias("keep")))
 
 
-SIMHASH_BANDS = 4  # 16 bits -> 4 bands of 4
+SIMHASH_BANDS = 4  # 60 bits -> 4 bands of 15
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
@@ -294,20 +297,29 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """SimHash near-dup pairs: banded hamming candidate join + exact
     popcount verify.
 
-    The 16-bit fingerprint splits into 4 bands of 4 bits; by
+    The 60-bit fingerprint splits into 4 bands of 15 bits (the
+    Manku et al. WWW'07 web-dedup configuration, modulo 64->60 to
+    stay in one signed long); by
     pigeonhole any pair within hamming distance 3 agrees on >= 1
     band, so the band equi-join (salted, like MinHash banding) has
     EXACT recall at the default threshold while enumerating only
     same-band candidates — never all pairs.  Verification is one
     bit_count(xor) per candidate, JVM-side.
     Returns (id_a, id_b, hamming).
+
+    Band width is the scale lever: 15-bit bands give 32768 buckets
+    per band, so random-collision candidates grow ~ 4 * n^2 / 2^15
+    instead of the 4 * n^2 / 2^4 a 4-bit banding produces — the
+    difference between near-linear and frankly quadratic growth at
+    10x data (observed 140x suite time at sf1 before widening).
     """
     sh = simhash(df, text_col, id_col)
     bands = sh.select(
         F.col(id_col).alias("id"), "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("bi"))
     bands = bands.withColumn(
-        "bv", F.expr("shiftright(simhash, bi * 4) & 15"))
+        "bv", F.expr(f"shiftright(simhash, bi * {SIMHASH_BAND_BITS})"
+                     f" & {SIMHASH_BAND_MASK}"))
     cand = (salted_self_pairs(bands.select("id", "bi", "bv", "simhash"),
                               ["bi", "bv"], "id")
             .select("id_a", "id_b", "simhash_a", "simhash_b").distinct())

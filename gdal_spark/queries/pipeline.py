@@ -242,7 +242,7 @@ _SIMHASH_FP = " + ".join(
     s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
     SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM s ORDER BY doc_id
     """,
-    desc="16-bit SimHash fingerprint: explode + conditional sums, "
+    desc="60-bit SimHash fingerprint: explode + conditional sums, "
          "map-side combined",
 )
 def simhash(spark, sf_dir):
@@ -797,7 +797,8 @@ def stratified_sample_q(spark, sf_dir):
     s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
     fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM s),
     bands AS (
-      SELECT doc_id, b.i AS bi, (simhash >> (b.i * 4)) & 15 AS bv
+      SELECT doc_id, b.i AS bi,
+             (simhash >> (b.i * {dd.SIMHASH_BAND_BITS})) & {dd.SIMHASH_BAND_MASK} AS bv
       FROM fp, generate_series(0, 3) b(i)
     ),
     cand AS (
@@ -813,7 +814,7 @@ def stratified_sample_q(spark, sf_dir):
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY id_a, id_b
     """,
-    desc="SimHash near-dup pairs: 4x4-bit banded hamming join (exact "
+    desc="SimHash near-dup pairs: 4x15-bit banded hamming join (exact "
          "recall at distance <= 3 by pigeonhole), salted buckets, "
          "bit_count(xor) verify — never all-pairs",
 )
