@@ -15,6 +15,10 @@ kernels only, no Spark overhead in either number, best-of-3 warm.
   per-pair overlay kernel run for every pair.  Outputs asserted
   equal.
 
+* Round-5 ST tail (astext/issimple/isvalid/geomfromwkb/boundary):
+  chains-batch path vs per-row, forced via _chains_by_row -> None;
+  outputs asserted identical (BENCH.md "Batched ST tail" table).
+
 Run: python scripts/bench_st_overlay.py [n_buffer] [n_pairs]
 """
 
@@ -108,6 +112,43 @@ def bench_intersection(n: int):
     return t_fast, t_slow, n_hit
 
 
+def bench_tail(n_pts: int, n_poly: int):
+    """Round-5 ST tail (astext/issimple/isvalid/geomfromwkb/boundary):
+    chains-batch fast path vs the per-row path, forced by
+    monkeypatching _chains_by_row to decline every batch.  Outputs
+    asserted identical."""
+    rng = np.random.default_rng(3)
+    pts = pd.Series([kwkb.wkb_point(float(x), float(y))
+                     for x, y in rng.uniform(-10, 10, (n_pts, 2))],
+                    dtype=object)
+    quads = []
+    for cx, cy in rng.uniform(-10, 10, (n_poly, 2)):
+        ring = np.array([[cx, cy], [cx + 1, cy], [cx + 1, cy + 1],
+                         [cx, cy + 1], [cx, cy]])
+        quads.append(kwkb.wkb_polygon([ring]))
+    quads = pd.Series(quads, dtype=object)
+
+    cases = [
+        ("st_astext", fst._st_astext, pts),
+        ("st_geomfromwkb", fst._st_geomfromwkb, pts),
+        ("st_issimple", fst._st_issimple, quads),
+        ("st_isvalid", fst._st_isvalid, quads),
+        ("st_boundary", fst._st_boundary, quads),
+    ]
+    for name, fn, s in cases:
+        t_fast, fast = best_of(lambda: fn(s))
+        orig = fst._chains_by_row
+        fst._chains_by_row = lambda *a, **k: None
+        try:
+            t_slow, slow = best_of(lambda: fn(s), n=1)
+        finally:
+            fst._chains_by_row = orig
+        assert list(fast) == list(slow), f"{name} diverged"
+        kind = "points" if s is pts else "quads"
+        print(f"{name} {len(s)} {kind}: batched {t_fast:.3f}s vs "
+              f"per-row {t_slow:.3f}s -> {t_slow/t_fast:.1f}x")
+
+
 def main():
     n_buf = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_pair = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -122,6 +163,8 @@ def main():
           f"prefiltered {ti_fast:.2f}s ({n_pair/ti_fast/1e6:.2f}M pairs/s) "
           f"vs unfiltered {ti_slow:.2f}s ({n_pair/ti_slow/1e6:.2f}M pairs/s)"
           f" -> {ti_slow/ti_fast:.1f}x")
+
+    bench_tail(n_pts=200_000, n_poly=20_000)
 
 
 if __name__ == "__main__":
