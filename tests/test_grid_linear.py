@@ -55,6 +55,16 @@ def test_bowyer_watson_matches_enumeration(n, salt):
     assert len(bw) == 2 * n - 2 - hull
 
 
+@pytest.mark.parametrize("n,salt", [(50, 11), (200, 12), (700, 13)])
+def test_vectorized_scan_matches_scalar(n, salt):
+    """The numpy-vectorized bad-triangle scan must produce the
+    bit-identical facet list of the scalar Bowyer-Watson it replaced
+    (same IEEE expression, same insertion order)."""
+    from gdal_spark.kernels.delaunay import _delaunay_triangles_scalar
+    xs, ys = _pts(n, salt)
+    assert delaunay_triangles(xs, ys) == _delaunay_triangles_scalar(xs, ys)
+
+
 def test_degenerate_inputs():
     assert delaunay_triangles([0.0, 1.0], [0.0, 1.0]) == []
     tris = delaunay_triangles([0.0, 4.0, 0.0], [0.0, 0.0, 4.0])
