@@ -980,6 +980,28 @@ def _st_crosses(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _st_convexhull(bs: pd.Series) -> pd.Series:
+    dec = _chains_by_row(bs.tolist())
+    if dec is not None:
+        # batch path: ONE coordinate materialization; Andrew monotone
+        # chain then runs per geometry on contiguous numpy slices
+        # instead of re-parsed tuple trees
+        coords, starts, counts, role, gtype, rows = dec
+        out = []
+        for gi, t in enumerate(gtype.tolist()):
+            if t == 0:
+                out.append(None)
+                continue
+            cis = rows[gi]
+            if len(cis) == 1:
+                s = starts[cis[0]]
+                pts = coords[s:s + counts[cis[0]]]
+            else:
+                pts = np.concatenate(
+                    [coords[starts[ci]:starts[ci] + counts[ci]]
+                     for ci in cis])
+            out.append(kwkb.wkb_polygon([kgeom.convex_hull(pts)]))
+        return pd.Series(out, index=bs.index, dtype=object)
+
     def one(b):
         if b is None:
             return None
@@ -990,6 +1012,33 @@ def _st_convexhull(bs: pd.Series) -> pd.Series:
 
 
 def _st_simplify(bs: pd.Series, tol: pd.Series) -> pd.Series:
+    vals = bs.tolist()
+    dec = _chains_by_row(vals)
+    if dec is not None:
+        # batch path: Douglas-Peucker per chain on numpy slices; types
+        # other than LINESTRING/POLYGON pass through unchanged (scalar
+        # semantics)
+        coords, starts, counts, role, gtype, rows = dec
+        tols = tol.tolist()
+        out = []
+        for gi, t in enumerate(gtype.tolist()):
+            if t == 0:
+                out.append(None)
+            elif t == kwkb.LINESTRING:
+                s = starts[rows[gi][0]]
+                c = counts[rows[gi][0]]
+                out.append(kwkb.wkb_linestring(
+                    kgeom.simplify_ring(coords[s:s + c],
+                                        float(tols[gi]))))
+            elif t == kwkb.POLYGON:
+                out.append(kwkb.wkb_polygon(
+                    [kgeom.simplify_ring(
+                        coords[starts[ci]:starts[ci] + counts[ci]],
+                        float(tols[gi])) for ci in rows[gi]]))
+            else:
+                out.append(vals[gi])
+        return pd.Series(out, index=bs.index, dtype=object)
+
     def one(b, t_):
         if b is None:
             return None

@@ -410,3 +410,47 @@ def test_polygonize(st):
     assert pt == kwkb.POLYGON
     from gdal_spark.kernels.geom import polygon_area
     assert polygon_area(rings) == 6.0
+
+
+def test_convexhull_simplify_batch_matches_scalar(monkeypatch):
+    """The _chains_by_row batch paths of _st_convexhull/_st_simplify
+    return byte-identical WKB to the per-row fallback (and the
+    scalar-arithmetic convex_hull rewrite is pinned bit-identical to
+    the np.cross formulation by construction — same IEEE expression)."""
+    import random
+
+    import pandas as pd
+
+    import gdal_spark.functions.st as stm
+
+    random.seed(7)
+    rng = np.random.default_rng(7)
+
+    def rnd_poly():
+        cx, cy = rng.uniform(-50, 50, 2)
+        ang = np.sort(rng.uniform(0, 2 * math.pi, rng.integers(3, 9)))
+        r = rng.uniform(1, 3, len(ang))
+        ring = np.column_stack([cx + r * np.cos(ang),
+                                cy + r * np.sin(ang)])
+        return kwkb.wkb_polygon([np.vstack([ring, ring[:1]])])
+
+    def rnd_line():
+        return kwkb.wkb_linestring(
+            rng.uniform(-50, 50, (int(rng.integers(2, 12)), 2)))
+
+    blobs = [rnd_poly() if rng.random() < 0.5 else rnd_line()
+             for _ in range(200)] + [None]
+    s = pd.Series(blobs, dtype=object)
+    tol = pd.Series([0.5] * len(s))
+
+    hull_b = stm._st_convexhull(s)
+    simp_b = stm._st_simplify(s, tol)
+    monkeypatch.setattr(stm, "_chains_by_row", lambda *a, **k: None)
+    hull_s = stm._st_convexhull(s)
+    simp_s = stm._st_simplify(s, tol)
+    for a, b in zip(hull_b, hull_s):
+        assert (a is None) == (b is None)
+        assert a is None or bytes(a) == bytes(b)
+    for a, b in zip(simp_b, simp_s):
+        assert (a is None) == (b is None)
+        assert a is None or bytes(a) == bytes(b)
