@@ -46,6 +46,44 @@ def delaunay_triangles(xs, ys) -> list[tuple[int, int, int]]:
     ascending (i, j, k) vertex-index triples in lexicographic
     order.
 
+    Wraps the vectorized core (``_bw_core``) in an adaptive
+    super-triangle loop: a FINITE super-triangle silently loses any
+    true hull-sliver facet whose circumdisk reaches a super vertex
+    (the facet's cavity connects to the super vertices instead of
+    closing the sliver), while every facet the core does emit is
+    empty-circumdisk against all real points by the algorithm's own
+    invariant.  So the core can only UNDER-produce, and the exact
+    facet count is known a priori — Euler: 2n - 2 - h for h
+    convex-hull vertices.  The wrapper re-runs with the super
+    vertices pushed 8x further until the count is reached, the facet
+    set stops changing (degenerate input: duplicates, collinear or
+    cocircular sets — best effort, same as the fixed-scale behavior),
+    or the scale cap where float64 incircle precision would degrade.
+    Uniform random data typically needs one re-run; the lattice-free
+    hashed layouts the engine grids need none."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    n = len(xs)
+    if n < 3:
+        return []
+    out = _bw_core(xs, ys, 30.0)
+    from .geom import convex_hull
+    h = len(convex_hull(np.column_stack([xs, ys]))) - 1
+    expect = 2 * n - 2 - h
+    scale = 30.0
+    while len(out) < expect and scale < 2.0e5:
+        scale *= 8.0
+        nxt = _bw_core(xs, ys, scale)
+        if nxt == out:
+            break
+        out = nxt
+    return out
+
+
+def _bw_core(xs, ys, scale: float) -> list[tuple[int, int, int]]:
+    """One vectorized Bowyer-Watson run with super vertices at
+    ``scale`` x span.
+
     The per-insertion bad-triangle scan is vectorized: all live
     triangles' incircle determinants evaluate in one numpy pass per
     inserted point, with the triangle orientation precomputed at
@@ -58,22 +96,20 @@ def delaunay_triangles(xs, ys) -> list[tuple[int, int, int]]:
     Python-level determinant calls to well under a second).  Work is
     still O(n^2) overall — within MAX_DRIVER_TIN_POINTS this is the
     reference's own serial-qhull place in the plan
-    (alg/delaunay.c:107); a tiled build + boundary merge is the
-    eventual distributed path."""
-    xs = np.asarray(xs, dtype=np.float64)
-    ys = np.asarray(ys, dtype=np.float64)
+    (alg/delaunay.c:107); operators/delaunay_dist.py is the tiled
+    distributed path."""
     n = len(xs)
-    if n < 3:
-        return []
     minx, maxx = float(xs.min()), float(xs.max())
     miny, maxy = float(ys.min()), float(ys.max())
     span = max(maxx - minx, maxy - miny, 1.0)
     midx, midy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
-    # super-triangle far outside the data (indices n, n+1, n+2)
-    px = np.concatenate([xs, [midx - 30.0 * span, midx,
-                              midx + 30.0 * span]])
-    py = np.concatenate([ys, [midy - 20.0 * span, midy + 30.0 * span,
-                              midy - 20.0 * span]])
+    # super-triangle far outside the data (indices n, n+1, n+2);
+    # scale=30 keeps the historical 30/20/30 proportions
+    px = np.concatenate([xs, [midx - scale * span, midx,
+                              midx + scale * span]])
+    py = np.concatenate([ys, [midy - scale * span * (2.0 / 3.0),
+                              midy + scale * span,
+                              midy - scale * span * (2.0 / 3.0)]])
 
     # triangle store: growing parallel arrays in creation order
     # (compaction preserves that order, matching the list semantics
@@ -143,10 +179,13 @@ def delaunay_triangles(xs, ys) -> list[tuple[int, int, int]]:
     return out
 
 
-def _delaunay_triangles_scalar(xs, ys) -> list[tuple[int, int, int]]:
+def _delaunay_triangles_scalar(xs, ys,
+                               scale: float = 30.0
+                               ) -> list[tuple[int, int, int]]:
     """The pre-vectorization scalar Bowyer-Watson, kept verbatim as
     the bit-equivalence reference for the vectorized scan (the test
-    asserts identical facet lists on random inputs)."""
+    asserts identical facet lists on random inputs); the
+    super-triangle placement expression matches _bw_core exactly."""
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     n = len(xs)
@@ -156,10 +195,11 @@ def _delaunay_triangles_scalar(xs, ys) -> list[tuple[int, int, int]]:
     miny, maxy = float(ys.min()), float(ys.max())
     span = max(maxx - minx, maxy - miny, 1.0)
     midx, midy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
-    px = np.concatenate([xs, [midx - 30.0 * span, midx,
-                              midx + 30.0 * span]])
-    py = np.concatenate([ys, [midy - 20.0 * span, midy + 30.0 * span,
-                              midy - 20.0 * span]])
+    px = np.concatenate([xs, [midx - scale * span, midx,
+                              midx + scale * span]])
+    py = np.concatenate([ys, [midy - scale * span * (2.0 / 3.0),
+                              midy + scale * span,
+                              midy - scale * span * (2.0 / 3.0)]])
 
     tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
     for p in range(n):

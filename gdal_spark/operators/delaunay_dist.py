@@ -1,0 +1,314 @@
+"""Distributed tiled Delaunay triangulation with certified merge.
+
+The driver-side Bowyer-Watson (kernels/delaunay.py) fills the
+reference's serial-qhull role (GDALTriangulationCreateDelaunay,
+/root/reference/alg/delaunay.c:107) and is bounded by
+MAX_DRIVER_TIN_POINTS.  This operator is the scale path past that
+cap: a tile + halo local-TIN build whose kept facets are PROVABLY
+globally Delaunay, plus an explicitly verified patch for the
+boundary-dominated residue.
+
+Algorithm (the classic certified-tile scheme, cf. Blelloch et al.
+"Design and implementation of a practical parallel Delaunay
+algorithm" and the halo construction of streaming-Delaunay work):
+
+1. one stats pass picks a tile size T targeting ``target_per_tile``
+   points per tile, and a halo radius H (default T/2);
+2. every point replicates to each tile whose core square it lies
+   within L-inf distance H of (bounded fan-out: (1 + 2H/T)^2 ~ 4x);
+3. each tile triangulates its core + halo points locally
+   (``applyInPandas`` -> the vectorized Bowyer-Watson kernel) and
+   keeps a facet iff (a) the facet's smallest-pid vertex lies in the
+   tile CORE (unique ownership -> no duplicates) and (b) its
+   circumradius r <= H/2.  Certification proof: the circumdisk has
+   center within r of the owned vertex, so it lies inside
+   core (+) 2r <= core (+) H — a region the tile saw COMPLETELY;
+   locally empty therefore means globally empty, and an
+   empty-circumdisk facet over points of S is a facet of DT(S).
+4. the residue — core vertices incident to an uncertified local
+   facet, plus core vertices on the tile's local convex hull (a
+   point whose local star is complete and fully certified provably
+   has its true global star, so only these can be wrong) — is
+   collected (bounded by the same driver cap, it is
+   boundary-dominated) and re-triangulated on the driver;
+5. every patch facet not already certified is VERIFIED distributedly:
+   one broadcast pass drops any facet whose circumdisk strictly
+   contains a point of S (DT(U)-only artifacts that cross certified
+   regions fail exactly this test; true global facets of the residue
+   pass it, since a facet of DT(S) is empty against all of S).
+6. optional completeness certificate (``verify=True``): facet count
+   must equal the Euler bound 2n - 2 - h (h = global convex-hull
+   vertices, computed by a per-partition-hull -> driver-merge pass).
+   Empty-disk facets over S cannot overlap one another, so a correct
+   count certifies the exact triangulation for inputs in general
+   position.
+
+Determinism: every floating-point predicate is the same IEEE-double
+expression as the driver kernel, so for inputs in general position
+(no four cocircular points — the kernel's own contract) the facet
+set equals ``delaunay_triangles`` on the same points exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernels.delaunay import _bw_core, delaunay_triangles
+from ..kernels.geom import convex_hull
+
+# bounded driver materializations (mirrors similarity.MAX_DRIVER_CENTROIDS
+# and grid_interp.MAX_DRIVER_TIN_POINTS)
+MAX_DRIVER_PATCH_POINTS = 2_000_000
+_TRI_SCHEMA = "pa long, pb long, pc long"
+_EMIT_SCHEMA = "kind int, pa long, pb long, pc long"
+
+
+def _circumcircles(px, py, tri):
+    """Vectorized circumcenter + radius for index-triple array tri
+    (K, 3) over coordinate arrays.  Standard closed form."""
+    ax, ay = px[tri[:, 0]], py[tri[:, 0]]
+    bx, by = px[tri[:, 1]], py[tri[:, 1]]
+    cx, cy = px[tri[:, 2]], py[tri[:, 2]]
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+        uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    r = np.hypot(ax - ux, ay - uy)
+    r[~np.isfinite(r)] = np.inf        # degenerate: never certifies
+    return ux, uy, r
+
+
+def _local_tin(pdf: pd.DataFrame, half_halo: float) -> pd.DataFrame:
+    """Per-tile worker: local TIN over core+halo points; emit
+    certified owned facets (kind 0) and residue core vertices
+    (kind 1, pid in pa).
+
+    Uses ONE fixed-scale ``_bw_core`` run, not the adaptive-exact
+    wrapper: every facet the core emits is empty-circumdisk against
+    all local points by the Bowyer-Watson invariant (so certified
+    facets are sound regardless of super-triangle artifacts), and
+    incompleteness is detected structurally — any edge incident to
+    exactly ONE facet bounds either the local hull or a
+    missing-sliver gap, so flagging once-edge endpoints (instead of
+    re-running the O(n^2) core at larger super scales) preserves the
+    star-completeness argument: an unflagged core vertex has an
+    edge-closed, fully-certified star, hence its true global star."""
+    pids = pdf["pid"].to_numpy()
+    xs = pdf["x"].to_numpy(dtype=np.float64)
+    ys = pdf["y"].to_numpy(dtype=np.float64)
+    core = pdf["core"].to_numpy()
+    tris = _bw_core(xs, ys, 30.0) if len(xs) >= 3 else []
+    if not tris:
+        flagged = pids[core]
+        return pd.DataFrame({
+            "kind": np.ones(len(flagged), dtype=np.int32),
+            "pa": flagged,
+            "pb": np.zeros(len(flagged), dtype=np.int64),
+            "pc": np.zeros(len(flagged), dtype=np.int64)})
+    tri = np.asarray(tris, dtype=np.int64)          # sorted index triples
+    _, _, r = _circumcircles(xs, ys, tri)
+    tp = pids[tri]                                  # (K, 3) pids
+    tp.sort(axis=1)
+    # ownership: the facet's smallest-pid vertex; find its local index
+    min_is = tri[np.arange(len(tri)),
+                 np.argmin(pids[tri], axis=1)]
+    owned = core[min_is]
+    cert = r <= half_halo
+    keep = owned & cert
+
+    # residue: core vertices of uncertified facets + endpoints of
+    # once-edges (local hull AND missing-sliver gap boundaries)
+    flag = np.zeros(len(pids), dtype=bool)
+    bad_vertices = np.unique(tri[~cert].ravel())
+    flag[bad_vertices] = True
+    m = len(pids) + 1
+    edges = np.concatenate([
+        tri[:, 0] * m + tri[:, 1],
+        tri[:, 1] * m + tri[:, 2],
+        tri[:, 0] * m + tri[:, 2]])     # triples are index-sorted
+    uniq, cnt = np.unique(edges, return_counts=True)
+    once = uniq[cnt == 1]
+    flag[once // m] = True
+    flag[once % m] = True
+    flagged = np.unique(pids[flag & core])
+
+    out_tri = tp[keep]
+    fl = flagged.astype(np.int64)
+    return pd.DataFrame({
+        "kind": np.concatenate([
+            np.zeros(len(out_tri), dtype=np.int32),
+            np.ones(len(fl), dtype=np.int32)]),
+        "pa": np.concatenate([out_tri[:, 0], fl]),
+        "pb": np.concatenate([out_tri[:, 1],
+                              np.zeros(len(fl), dtype=np.int64)]),
+        "pc": np.concatenate([out_tri[:, 2],
+                              np.zeros(len(fl), dtype=np.int64)]),
+    })
+
+
+def _global_hull_count(points: DataFrame, id_col: str) -> int:
+    """Global convex-hull vertex count: per-partition hulls (a few
+    dozen points each) merged on the driver — one narrow pass."""
+
+    def part_hull(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pts = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+            if len(pts) < 3:
+                yield pdf[["x", "y"]]
+                continue
+            ring = convex_hull(pts)
+            yield pd.DataFrame({"x": ring[:-1, 0], "y": ring[:-1, 1]})
+
+    local = points.select("x", "y").mapInPandas(
+        part_hull, "x double, y double").collect()
+    if not local:
+        return 0
+    pts = np.array([(r["x"], r["y"]) for r in local], dtype=np.float64)
+    if len(pts) < 3:
+        return len(pts)
+    return len(convex_hull(pts)) - 1
+
+
+def delaunay_tiled(points: DataFrame, id_col: str = "pid",
+                   target_per_tile: int = 3000,
+                   halo: float | None = None,
+                   verify: bool = True) -> DataFrame:
+    """Distributed Delaunay facets of (id_col, x, y) as ascending
+    (pa, pb, pc) pid triples — the same canonical form as
+    kernels/delaunay.delaunay_triangles.  Points must be distinct and
+    in general position (the kernel's own contract)."""
+    spark = points.sparkSession
+    pts = points.select(F.col(id_col).cast("long").alias("pid"),
+                        F.col("x").cast("double"),
+                        F.col("y").cast("double"))
+    st = pts.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+                 F.count("*")).collect()[0]
+    n = st[4]
+    if n < 3:
+        return spark.createDataFrame([], _TRI_SCHEMA)
+    minx, maxx, miny, maxy = (float(st[0]), float(st[1]),
+                              float(st[2]), float(st[3]))
+
+    if n <= target_per_tile:
+        # small input: the driver kernel IS the bounded path
+        rows = pts.orderBy("pid").collect()
+        tris = delaunay_triangles([r["x"] for r in rows],
+                                  [r["y"] for r in rows])
+        pid = [r["pid"] for r in rows]
+        trip = sorted(tuple(sorted((pid[i], pid[j], pid[k])))
+                      for i, j, k in tris)
+        return spark.createDataFrame(trip or [], _TRI_SCHEMA)
+
+    span = max(maxx - minx, maxy - miny, 1e-12)
+    ntiles = max(2, math.ceil(math.sqrt(n / float(target_per_tile))))
+    tsz = span / ntiles
+    H = float(halo) if halo is not None else tsz / 2.0
+    nx = max(1, math.ceil((maxx - minx) / tsz))
+    ny = max(1, math.ceil((maxy - miny) / tsz))
+
+    tx = F.least(F.lit(nx - 1), F.greatest(F.lit(0), F.floor(
+        (F.col("x") - F.lit(minx)) / F.lit(tsz)).cast("int")))
+    ty = F.least(F.lit(ny - 1), F.greatest(F.lit(0), F.floor(
+        (F.col("y") - F.lit(miny)) / F.lit(tsz)).cast("int")))
+    def _tix(c, off, mn, nn):
+        return F.least(F.lit(nn - 1), F.greatest(F.lit(0), F.floor(
+            (c + F.lit(off) - F.lit(mn)) / F.lit(tsz)).cast("int")))
+
+    rep = (pts
+           .withColumn("htx", tx).withColumn("hty", ty)
+           .withColumn("rtx", F.explode(F.sequence(
+               _tix(F.col("x"), -H, minx, nx),
+               _tix(F.col("x"), H, minx, nx))))
+           .withColumn("rty", F.explode(F.sequence(
+               _tix(F.col("y"), -H, miny, ny),
+               _tix(F.col("y"), H, miny, ny))))
+           .select("pid", "x", "y", "rtx", "rty",
+                   ((F.col("rtx") == F.col("htx"))
+                    & (F.col("rty") == F.col("hty"))).alias("core")))
+
+    half_halo = H / 2.0
+    emitted = (rep.groupBy("rtx", "rty").applyInPandas(
+        lambda pdf: _local_tin(pdf, half_halo), _EMIT_SCHEMA)
+        .persist())
+    try:
+        # ownership (smallest-pid vertex's unique core tile) makes
+        # certified facets exactly-once — no distinct, no extra shuffle
+        certified = (emitted.filter(F.col("kind") == 0)
+                     .select("pa", "pb", "pc"))
+        flagged = (emitted.filter(F.col("kind") == 1)
+                   .select(F.col("pa").alias("pid")).distinct())
+
+        u = (pts.join(flagged, "pid")
+             .limit(MAX_DRIVER_PATCH_POINTS + 1).collect())
+        if len(u) > MAX_DRIVER_PATCH_POINTS:
+            raise ValueError(
+                "delaunay_tiled residue exceeds MAX_DRIVER_PATCH_POINTS="
+                f"{MAX_DRIVER_PATCH_POINTS}: the boundary/sparse residue "
+                "is not boundary-dominated at this halo — raise `halo` "
+                "(more certified facets) or target_per_tile")
+        u.sort(key=lambda r: r["pid"])
+        uxs = [r["x"] for r in u]
+        uys = [r["y"] for r in u]
+        upid = [r["pid"] for r in u]
+        ptris = delaunay_triangles(uxs, uys)
+        patch = [tuple(sorted((upid[i], upid[j], upid[k])))
+                 for i, j, k in ptris]
+        if patch:
+            pux, puy, pur = _circumcircles(
+                np.asarray(uxs), np.asarray(uys),
+                np.asarray(ptris, dtype=np.int64))
+            cand = spark.createDataFrame(
+                [(a, b, c, float(x), float(y), float(r))
+                 for (a, b, c), x, y, r in zip(patch, pux, puy, pur)],
+                _TRI_SCHEMA + ", ccx double, ccy double, ccr double")
+            cand = cand.join(certified, ["pa", "pb", "pc"],
+                             "left_anti")
+            # distributed empty-circumdisk verification: drop any
+            # patch facet strictly containing a point of S (those are
+            # DT(residue)-only artifacts crossing certified regions)
+            viol = (pts.join(
+                F.broadcast(cand),
+                (F.col("x") >= F.col("ccx") - F.col("ccr"))
+                & (F.col("x") <= F.col("ccx") + F.col("ccr"))
+                & (F.col("y") >= F.col("ccy") - F.col("ccr"))
+                & (F.col("y") <= F.col("ccy") + F.col("ccr"))
+                & (F.col("pid") != F.col("pa"))
+                & (F.col("pid") != F.col("pb"))
+                & (F.col("pid") != F.col("pc"))
+                & ((F.col("x") - F.col("ccx"))
+                   * (F.col("x") - F.col("ccx"))
+                   + (F.col("y") - F.col("ccy"))
+                   * (F.col("y") - F.col("ccy"))
+                   < F.col("ccr") * F.col("ccr")))
+                .select("pa", "pb", "pc").distinct())
+            kept = cand.select("pa", "pb", "pc").join(
+                viol, ["pa", "pb", "pc"], "left_anti")
+            # kept is anti-joined against certified -> disjoint union
+            out = certified.unionByName(kept)
+        else:
+            out = certified
+        out = out.persist()
+        total = out.count()
+
+        if verify and total:
+            h = _global_hull_count(pts, "pid")
+            expect = 2 * n - 2 - h
+            if total != expect:
+                raise ValueError(
+                    f"delaunay_tiled completeness certificate failed: "
+                    f"{total} facets != Euler bound 2n-2-h = {expect} "
+                    f"(n={n}, hull={h}) — input is degenerate "
+                    "(duplicate or cocircular points) or the halo is "
+                    "too small; raise `halo`")
+        return out
+    finally:
+        emitted.unpersist()

@@ -263,10 +263,9 @@ def grid_linear(points: DataFrame, grid: TileGrid, zoom: int,
     pids = [r[id_col] for r in rows]
     tris = delaunay_triangles(xs, ys)
 
-    ts = grid.tile_span(zoom)
     nmax = (1 << zoom) - 1
     tri_rows = []
-    for tid, (i, j, k) in enumerate(tris):
+    for i, j, k in tris:
         x1, y1, z1 = xs[i], ys[i], zs[i]
         x2, y2, z2 = xs[j], ys[j], zs[j]
         x3, y3, z3 = xs[k], ys[k], zs[k]
@@ -277,16 +276,34 @@ def grid_linear(points: DataFrame, grid: TileGrid, zoom: int,
             zoom, min(x1, x2, x3), min(y1, y2, y3),
             max(x1, x2, x3), max(y1, y2, y3))
         tri_rows.append((
-            tid, (y2 - y3) / denom, (x3 - x2) / denom,
+            int(pids[i]), int(pids[j]), int(pids[k]),
+            (y2 - y3) / denom, (x3 - x2) / denom,
             (y3 - y1) / denom, (x1 - x3) / denom, x3, y3,
             float(z1), float(z2), float(z3),
             int(tx0), int(ty0), int(tx1), int(ty1)))
-    tdf = spark.createDataFrame(
-        tri_rows,
-        "tid long, m1x double, m1y double, m2x double, m2y double, "
-        "cstx double, csty double, z1 double, z2 double, z3 double, "
-        "tx0 int, ty0 int, tx1 int, ty1 int")
+    tdf = spark.createDataFrame(tri_rows, _FACET_SCHEMA)
+    pdf = spark.createDataFrame(
+        list(zip(pids, xs, ys, [float(z) for z in zs])),
+        f"{id_col} long, x double, y double, v double")
+    return _facet_grid(spark, tdf, grid, zoom, fallback,
+                       F.broadcast(pdf), id_col)
 
+
+_FACET_SCHEMA = (
+    "pa long, pb long, pc long, "
+    "m1x double, m1y double, m2x double, m2y double, "
+    "cstx double, csty double, z1 double, z2 double, z3 double, "
+    "tx0 int, ty0 int, tx1 int, ty1 int")
+
+
+def _facet_grid(spark, tdf: DataFrame, grid: TileGrid, zoom: int,
+                fallback: str, near_pts, id_col: str) -> DataFrame:
+    """Cell side of grid_linear, shared by the driver-TIN and tiled
+    engines: facet table -> bbox-cell explode -> JVM barycentric
+    containment -> (pa, pb, pc)-lexicographic tie-break -> fused
+    interpolation Column; the same order the SQL oracle's
+    ROW_NUMBER() OVER (ORDER BY i, j, k) uses."""
+    ts = grid.tile_span(zoom)
     cand = (tdf
             .select("*", F.explode(F.sequence("tx0", "tx1")).alias("ctx"))
             .select("*", F.explode(F.sequence("ty0", "ty1")).alias("cty")))
@@ -299,7 +316,8 @@ def grid_linear(points: DataFrame, grid: TileGrid, zoom: int,
               .withColumn("l1", l1).withColumn("l2", l2).withColumn("l3", l3)
               .filter((F.col("l1") >= -BARY_EPS) & (F.col("l2") >= -BARY_EPS)
                       & (F.col("l3") >= -BARY_EPS)))
-    win = Window.partitionBy("ctx", "cty").orderBy(F.col("tid").asc())
+    win = Window.partitionBy("ctx", "cty").orderBy(
+        F.col("pa").asc(), F.col("pb").asc(), F.col("pc").asc())
     tinned = (inside.withColumn("_rn", F.row_number().over(win))
               .filter(F.col("_rn") == 1)
               .select("ctx", "cty",
@@ -318,12 +336,9 @@ def grid_linear(points: DataFrame, grid: TileGrid, zoom: int,
                      (F.col("id") / side).cast("int").alias("cty")))
     missing = cells.join(tinned.select("ctx", "cty"), ["ctx", "cty"],
                          "left_anti")
-    pdf = spark.createDataFrame(
-        list(zip(pids, xs, ys, [float(z) for z in zs])),
-        f"{id_col} long, x double, y double, v double")
     mcx = F.lit(grid.top_left_x) + (F.col("ctx").cast("double") + 0.5) * F.lit(ts)
     mcy = F.lit(grid.top_left_y) - (F.col("cty").cast("double") + 0.5) * F.lit(ts)
-    scored = missing.join(F.broadcast(pdf)).withColumn(
+    scored = missing.join(near_pts).withColumn(
         "d2", (F.col("x") - mcx) * (F.col("x") - mcx)
         + (F.col("y") - mcy) * (F.col("y") - mcy))
     nwin = Window.partitionBy("ctx", "cty").orderBy(
@@ -333,3 +348,76 @@ def grid_linear(points: DataFrame, grid: TileGrid, zoom: int,
                .select("ctx", "cty", F.col("v").alias("linear"),
                        F.lit(False).alias("in_hull")))
     return tinned.unionByName(nearest)
+
+
+def grid_linear_tiled(points: DataFrame, grid: TileGrid, zoom: int,
+                      value_col: str = "v", id_col: str = "pid",
+                      fallback: str = "nearest",
+                      target_per_tile: int = 3000,
+                      halo: float | None = None,
+                      verify: bool = True) -> DataFrame:
+    """grid_linear's scale engine: the TIN comes from the certified
+    tiled Delaunay (operators/delaunay_dist.py) instead of the
+    driver Bowyer-Watson, so the point layer is unbounded — no
+    MAX_DRIVER_TIN_POINTS cap, no driver collect of the corpus.
+    Output is identical to grid_linear for inputs in general
+    position (both TINs are the exact Delaunay triangulation and the
+    tie-break key is the same (pa, pb, pc) facet order).
+
+    The facet table is built with three shuffle joins of the facet
+    triples against the point layer (each keyed on one vertex pid).
+    The ``fallback="nearest"`` hull-exterior pass broadcasts the
+    point table — fine for gridding-sized layers; pass
+    ``fallback="none"`` at corpus scale (hull-exterior cells are a
+    raster-edge concern, reference dfRadius==0 branch)."""
+    from .delaunay_dist import delaunay_tiled
+
+    spark = points.sparkSession
+    tris = delaunay_tiled(points, id_col=id_col,
+                          target_per_tile=target_per_tile,
+                          halo=halo, verify=verify)
+    p = points.select(F.col(id_col).cast("long").alias("_pid"),
+                      F.col("x").cast("double").alias("_x"),
+                      F.col("y").cast("double").alias("_y"),
+                      F.col(value_col).cast("double").alias("_v"))
+    t = tris
+    for v, pre in (("pa", "1"), ("pb", "2"), ("pc", "3")):
+        t = (t.join(p, F.col(v) == F.col("_pid"))
+             .drop("_pid")
+             .withColumnRenamed("_x", f"x{pre}")
+             .withColumnRenamed("_y", f"y{pre}")
+             .withColumnRenamed("_v", f"z{pre}"))
+    x1, y1 = F.col("x1"), F.col("y1")
+    x2, y2 = F.col("x2"), F.col("y2")
+    x3, y3 = F.col("x3"), F.col("y3")
+    denom = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+    ts = grid.tile_span(zoom)
+    nmax = (1 << zoom) - 1
+
+    def _clx(c):
+        return F.least(F.lit(nmax), F.greatest(F.lit(0), F.floor(
+            (c - F.lit(grid.top_left_x)) / F.lit(ts)).cast("int")))
+
+    def _cly(c):
+        return F.least(F.lit(nmax), F.greatest(F.lit(0), F.floor(
+            (F.lit(grid.top_left_y) - c) / F.lit(ts)).cast("int")))
+
+    tdf = (t.withColumn("_den", denom)
+           .filter(F.abs(F.col("_den")) >= 1e-5)
+           .select(
+               "pa", "pb", "pc",
+               ((y2 - y3) / F.col("_den")).alias("m1x"),
+               ((x3 - x2) / F.col("_den")).alias("m1y"),
+               ((y3 - y1) / F.col("_den")).alias("m2x"),
+               ((x1 - x3) / F.col("_den")).alias("m2y"),
+               x3.alias("cstx"), y3.alias("csty"),
+               "z1", "z2", "z3",
+               _clx(F.least(x1, x2, x3)).alias("tx0"),
+               _cly(F.greatest(y1, y2, y3)).alias("ty0"),
+               _clx(F.greatest(x1, x2, x3)).alias("tx1"),
+               _cly(F.least(y1, y2, y3)).alias("ty1")))
+    near = F.broadcast(p.select(F.col("_pid").alias(id_col),
+                                F.col("_x").alias("x"),
+                                F.col("_y").alias("y"),
+                                F.col("_v").alias("v")))
+    return _facet_grid(spark, tdf, grid, zoom, fallback, near, id_col)

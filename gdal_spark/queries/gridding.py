@@ -226,9 +226,7 @@ _INCIRC = """
 _ORIENT = "((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x))"
 
 
-@register(
-    "grid_linear",
-    sql=f"""
+_GRID_LINEAR_SQL = f"""
     WITH pts AS ({_LIN_PTS_SQL}),
     tris AS (
       SELECT a.pid i, b.pid j, c.pid k,
@@ -298,7 +296,12 @@ _ORIENT = "((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x))"
            in_hull
     FROM (SELECT * FROM tin UNION ALL SELECT * FROM near)
     ORDER BY ctx, cty
-    """,
+"""
+
+
+@register(
+    "grid_linear",
+    sql=_GRID_LINEAR_SQL,
     desc="gdal_grid -a linear (GDALGridLinear, gdalgrid.cpp:2459): "
          "driver Bowyer-Watson + distributed barycentric Column "
          "interpolation; the oracle re-derives the Delaunay "
@@ -307,6 +310,29 @@ _ORIENT = "((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x))"
 )
 def grid_linear_q(spark, sf_dir):
     out = gi.grid_linear(_lin_pts(spark, sf_dir), dv.GRID, LZ)
+    return out.select(
+        F.col("ctx").cast("long").alias("ctx"),
+        F.col("cty").cast("long").alias("cty"),
+        F.floor(F.col("linear") * F.lit(LSCALE) + F.lit(0.5))
+        .cast("long").alias("slin"),
+        "in_hull",
+    ).orderBy("ctx", "cty")
+
+
+@register(
+    "grid_linear_tiled",
+    sql=_GRID_LINEAR_SQL,
+    desc="grid_linear's scale engine: certified tiled Delaunay "
+         "(operators/delaunay_dist.py — tile+halo local TINs, "
+         "r<=H/2 certification, verified driver patch, Euler "
+         "completeness certificate) instead of the driver "
+         "Bowyer-Watson; identical output, unbounded point layer. "
+         "target_per_tile=16 forces multi-tile + patch even at "
+         "gate scale; the oracle is grid_linear's, unchanged",
+)
+def grid_linear_tiled_q(spark, sf_dir):
+    out = gi.grid_linear_tiled(_lin_pts(spark, sf_dir), dv.GRID, LZ,
+                               target_per_tile=16)
     return out.select(
         F.col("ctx").cast("long").alias("ctx"),
         F.col("cty").cast("long").alias("cty"),

@@ -60,9 +60,16 @@ def test_vectorized_scan_matches_scalar(n, salt):
     """The numpy-vectorized bad-triangle scan must produce the
     bit-identical facet list of the scalar Bowyer-Watson it replaced
     (same IEEE expression, same insertion order)."""
-    from gdal_spark.kernels.delaunay import _delaunay_triangles_scalar
+    import numpy as np
+
+    from gdal_spark.kernels.delaunay import (_bw_core,
+                                             _delaunay_triangles_scalar)
     xs, ys = _pts(n, salt)
-    assert delaunay_triangles(xs, ys) == _delaunay_triangles_scalar(xs, ys)
+    xa = np.asarray(xs, dtype=np.float64)
+    ya = np.asarray(ys, dtype=np.float64)
+    for scale in (30.0, 240.0):
+        assert (_bw_core(xa, ya, scale)
+                == _delaunay_triangles_scalar(xs, ys, scale))
 
 
 def test_degenerate_inputs():
