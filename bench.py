@@ -102,6 +102,7 @@ HEADLINE = [
     "explode_collections_zm",
     "geotiff_scan_split",
     "dialect_spatial_join",
+    "grid_linear_tiled",
 ]
 
 BIG_JOIN_N = int(os.environ.get("SPARK_GRAFT_BIGJOIN_N", 8_000_000))

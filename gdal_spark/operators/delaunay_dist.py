@@ -120,7 +120,10 @@ def _local_tin(pdf: pd.DataFrame, half_halo: float) -> pd.DataFrame:
     min_is = tri[np.arange(len(tri)),
                  np.argmin(pids[tri], axis=1)]
     owned = core[min_is]
-    cert = r <= half_halo
+    # 1e-9 relative shave: a facet whose circumdisk grazes the halo
+    # boundary within FP noise goes to the (verified) residue instead
+    # of being certified on an expression-order technicality
+    cert = r <= half_halo * (1.0 - 1e-9)
     keep = owned & cert
 
     # residue: core vertices of uncertified facets + endpoints of
@@ -263,32 +266,58 @@ def delaunay_tiled(points: DataFrame, id_col: str = "pid",
         patch = [tuple(sorted((upid[i], upid[j], upid[k])))
                  for i, j, k in ptris]
         if patch:
-            pux, puy, pur = _circumcircles(
-                np.asarray(uxs), np.asarray(uys),
-                np.asarray(ptris, dtype=np.int64))
+            npx = np.asarray(uxs)
+            npy = np.asarray(uys)
+            ntri = np.asarray(ptris, dtype=np.int64)
+            pux, puy, pur = _circumcircles(npx, npy, ntri)
             cand = spark.createDataFrame(
-                [(a, b, c, float(x), float(y), float(r))
-                 for (a, b, c), x, y, r in zip(patch, pux, puy, pur)],
-                _TRI_SCHEMA + ", ccx double, ccy double, ccr double")
+                [(a, b, c, float(x), float(y), float(r),
+                  float(npx[i]), float(npy[i]), float(npx[j]),
+                  float(npy[j]), float(npx[k]), float(npy[k]))
+                 for (a, b, c), x, y, r, (i, j, k)
+                 in zip(patch, pux, puy, pur, ptris)],
+                _TRI_SCHEMA + ", ccx double, ccy double, ccr double"
+                ", ax double, ay double, bx double, by double"
+                ", cx double, cy double")
             cand = cand.join(certified, ["pa", "pb", "pc"],
                              "left_anti")
             # distributed empty-circumdisk verification: drop any
             # patch facet strictly containing a point of S (those are
-            # DT(residue)-only artifacts crossing certified regions)
+            # DT(residue)-only artifacts crossing certified regions).
+            # The bbox on the circumcircle is a PREFILTER only
+            # (widened by 1e-9 relative so FP error in the
+            # circumcenter cannot hide a violator); the decision is
+            # the SAME orientation-signed incircle determinant the
+            # Bowyer-Watson kernel evaluates
+            # (kernels/delaunay._circumcircle_contains), over the
+            # facet's own vertex coordinates — a different FP
+            # expression (distance-to-center) disagrees on
+            # near-cocircular neighbors and killed a true facet in a
+            # 100k-point run.
+            adx = F.col("ax") - F.col("x")
+            ady = F.col("ay") - F.col("y")
+            bdx = F.col("bx") - F.col("x")
+            bdy = F.col("by") - F.col("y")
+            cdx = F.col("cx") - F.col("x")
+            cdy = F.col("cy") - F.col("y")
+            det = ((adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+                   - (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
+                   + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady))
+            orient = ((F.col("bx") - F.col("ax"))
+                      * (F.col("cy") - F.col("ay"))
+                      - (F.col("by") - F.col("ay"))
+                      * (F.col("cx") - F.col("ax")))
+            rr = F.col("ccr") * F.lit(1.0 + 1e-9) + F.lit(1e-12)
             viol = (pts.join(
                 F.broadcast(cand),
-                (F.col("x") >= F.col("ccx") - F.col("ccr"))
-                & (F.col("x") <= F.col("ccx") + F.col("ccr"))
-                & (F.col("y") >= F.col("ccy") - F.col("ccr"))
-                & (F.col("y") <= F.col("ccy") + F.col("ccr"))
+                (F.col("x") >= F.col("ccx") - rr)
+                & (F.col("x") <= F.col("ccx") + rr)
+                & (F.col("y") >= F.col("ccy") - rr)
+                & (F.col("y") <= F.col("ccy") + rr)
                 & (F.col("pid") != F.col("pa"))
                 & (F.col("pid") != F.col("pb"))
                 & (F.col("pid") != F.col("pc"))
-                & ((F.col("x") - F.col("ccx"))
-                   * (F.col("x") - F.col("ccx"))
-                   + (F.col("y") - F.col("ccy"))
-                   * (F.col("y") - F.col("ccy"))
-                   < F.col("ccr") * F.col("ccr")))
+                & (det * orient > F.lit(0.0)))
                 .select("pa", "pb", "pc").distinct())
             kept = cand.select("pa", "pb", "pc").join(
                 viol, ["pa", "pb", "pc"], "left_anti")
