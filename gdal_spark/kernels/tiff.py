@@ -766,3 +766,130 @@ def _has_tile_tag(data: bytes, bo: str, magic: int) -> bool:
     except struct.error:
         return False
     return False
+
+
+# ---- header-only strip writer: the distributed-sink building block --------
+def geotiff_strip_header(w: int, h: int, dtype,
+                         strip_byte_counts: list[int],
+                         rows_per_strip: int, spp: int = 1,
+                         geotransform=None, epsg: int | None = None,
+                         nodata: float | None = None,
+                         compression: str | None = None,
+                         predictor: int = 1,
+                         bigtiff: bool = False):
+    """Header + IFD bytes for a strip-organized GeoTIFF whose strip
+    DATA is written externally (by other tasks) at the returned
+    offsets.  This is what lets ONE output granule be produced by
+    many executors: each strip band is assembled + compressed where
+    its tiles are, only the per-strip byte counts come to the single
+    writer, which emits this header and lets executors pwrite their
+    strips into the pre-sized file at disjoint offsets (reference
+    role: frmts/gtiff streamed strip writing; object-store mapping:
+    one multipart-upload part per strip run).
+
+    ``strip_byte_counts`` is ordered band-major (all of band 1's
+    strips top-to-bottom, then band 2's, ...) — PlanarConfiguration=2
+    when spp > 1, matching _read_ifd's planar branch.  Returns
+    (header_bytes, strip_offsets); strip k's data belongs at absolute
+    file offset strip_offsets[k], and the file's total size is
+    strip_offsets[-1] + strip_byte_counts[-1]."""
+    dt = np.dtype(dtype)
+    if dt.kind not in _FMT_OF_KIND:
+        raise ValueError(f"unsupported dtype {dt}")
+    comp = {None: 1, "none": 1, "deflate": 8}.get(compression, -1)
+    if comp < 0:
+        raise ValueError(f"unsupported compression {compression!r}")
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("predictor=2 is integer-only (TIFF 6.0 §14)")
+    nb = len(strip_byte_counts)
+    per_band = max(1, (h + rows_per_strip - 1) // rows_per_strip)
+    if nb != per_band * spp:
+        raise ValueError(
+            f"expected {per_band * spp} strip counts "
+            f"(ceil({h}/{rows_per_strip}) x {spp} bands), got {nb}")
+
+    entries: list[tuple[int, int, int, object]] = [
+        (_W, _T_LONG, 1, w), (_H, _T_LONG, 1, h),
+        (_BPS, _T_SHORT, spp, [dt.itemsize * 8] * spp),
+        (_COMP, _T_SHORT, 1, comp),
+        (_PHOT, _T_SHORT, 1, 2 if spp == 3 else 1),
+        (_SPP, _T_SHORT, 1, spp),
+        (_SFMT, _T_SHORT, spp, [_FMT_OF_KIND[dt.kind]] * spp),
+        (_RPS, _T_LONG, 1, rows_per_strip),
+        (_SOFF, _T_LONG8 if bigtiff else _T_LONG, nb, None),
+        (_SCNT, _T_LONG, nb, list(strip_byte_counts)),
+    ]
+    if spp > 1:
+        entries.append((_PLANAR, _T_SHORT, 1, 2))
+    if predictor == 2:
+        entries.append((_PRED, _T_SHORT, 1, 2))
+    if geotransform is not None:
+        x0, dx, _r0, y0, _r1, ndy = geotransform
+        entries.append((_PSCALE, _T_DOUBLE, 3, [dx, -ndy, 0.0]))
+        entries.append((_TIEPOINT, _T_DOUBLE, 6,
+                        [0.0, 0.0, 0.0, x0, y0, 0.0]))
+    if epsg is not None:
+        geographic = epsg == 4326
+        keys = [1, 1, 0, 3, 1024, 0, 1, 2 if geographic else 1,
+                1025, 0, 1, 1,
+                (2048 if geographic else 3072), 0, 1, int(epsg)]
+        entries.append((_GEOKEYS, _T_SHORT, len(keys), keys))
+    if nodata is not None:
+        txt = (f"{nodata:.18g}").encode() + b"\x00"
+        entries.append((_NODATA, _T_ASCII, len(txt), txt))
+    entries.sort(key=lambda e: e[0])
+
+    inline_cap = 8 if bigtiff else 4
+    ent_sz = 20 if bigtiff else 12
+    hdr_sz = 16 if bigtiff else 8
+    ifd_sz = ((8 if bigtiff else 2) + ent_sz * len(entries)
+              + (8 if bigtiff else 4))
+
+    def _pack_vals(typ, cnt, val) -> bytes:
+        if typ == _T_ASCII:
+            return bytes(val)
+        fmt = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d",
+               _T_LONG8: "Q"}[typ]
+        vals = val if isinstance(val, (list, tuple)) else [val]
+        return struct.pack(f"<{cnt}{fmt}", *vals)
+
+    # pass 1: external tag sizes -> strip offsets
+    cursor = hdr_sz + ifd_sz
+    for tag, typ, cnt, val in entries:
+        size = _TYPE_SIZE[typ] * cnt
+        if size > inline_cap:
+            cursor += size + (size & 1)
+    offs = []
+    for c in strip_byte_counts:
+        offs.append(cursor)
+        cursor += int(c)
+    if not bigtiff and cursor > 0xFFFFFFFF:
+        raise ValueError(
+            f"total file size {cursor} exceeds the classic-TIFF 4 GB "
+            "offset space; pass bigtiff=True")
+
+    out = bytearray(
+        struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16) if bigtiff
+        else struct.pack("<2sHI", b"II", 42, 8))
+    out += (struct.pack("<Q", len(entries)) if bigtiff
+            else struct.pack("<H", len(entries)))
+    ext = bytearray()
+    ext_cursor = hdr_sz + ifd_sz
+    for tag, typ, cnt, val in entries:
+        if tag == _SOFF:
+            val = offs
+        blob = _pack_vals(typ, cnt, val)
+        head = (struct.pack("<HHQ", tag, typ, cnt) if bigtiff
+                else struct.pack("<HHI", tag, typ, cnt))
+        if len(blob) > inline_cap:
+            out += head + (struct.pack("<Q", ext_cursor) if bigtiff
+                           else struct.pack("<I", ext_cursor))
+            pad = len(blob) & 1
+            ext += blob + b"\x00" * pad
+            ext_cursor += len(blob) + pad
+        else:
+            out += head + blob.ljust(inline_cap, b"\x00")
+    out += struct.pack("<Q", 0) if bigtiff else struct.pack("<I", 0)
+    out += ext
+    assert len(out) == hdr_sz + ifd_sz + len(ext)
+    return bytes(out), offs

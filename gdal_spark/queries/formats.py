@@ -377,3 +377,77 @@ def geotiff_roundtrip_q(spark, sf_dir):
              F.sum("sum_sq").alias("sum_sq"))
     return agg.select(F.lit(int(n_files)).cast("int").alias("n_files"),
                       "npx", "sum_v", "sum_sq")
+
+
+@register(
+    "geotiff_sink_single",
+    sql="""
+    WITH px AS (
+      SELECT r.r, c.c,
+             CASE WHEN c.c // 16 = 2 AND r.r // 16 = 1 THEN 0
+                  ELSE (5 * r.r + 11 * c.c) % 241 END AS v
+      FROM (SELECT unnest(generate_series(0, 47)) AS r) r
+      CROSS JOIN (SELECT unnest(generate_series(16, 79)) AS c) c
+    )
+    SELECT CAST(64 AS INT) AS w, CAST(48 AS INT) AS h,
+           CAST(3 AS INT) AS n_strips,
+           CAST(COUNT(*) AS BIGINT) AS npx,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq
+    FROM px
+    """,
+    desc="DISTRIBUTED single-granule GeoTIFF sink (write_geotiff_single"
+         " — strip stage where the tiles are, driver writes only the "
+         "IFD from per-strip byte counts, executors pwrite disjoint "
+         "ranges; bounded task memory at ANY raster size): formula "
+         "tiles minus the tx=0 column (crop anchoring) minus one "
+         "interior tile (zero-filled hole) -> one deflate+predictor "
+         "GeoTIFF -> row-range split re-scan -> whole-image "
+         "aggregates; the oracle re-derives the cropped, holed "
+         "formula relationally",
+)
+def geotiff_sink_single_q(spark, sf_dir):
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from ..kernels.tiff import write_geotiff
+    from ..sources.geotiff import (read_geotiff_tiles,
+                                   read_geotiff_tiles_split,
+                                   write_geotiff_single)
+
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    src = os.path.join(_FIX_DIR, "sink_src.tif")
+    r, c = np.mgrid[0:48, 0:80]
+    img = ((5 * r + 11 * c) % 241).astype(np.uint8)
+    with open(src, "wb") as fh:
+        fh.write(write_geotiff(img,
+                               geotransform=(0.0, 1.0, 0, 48.0, 0, -1.0),
+                               epsg=32601))
+    tiles = read_geotiff_tiles(spark, src, tile_size=16)
+    crop = tiles.filter(
+        (F.col("tx") >= 1)
+        & ~((F.col("tx") == 2) & (F.col("ty") == 1)))
+    out = os.path.join(_FIX_DIR, "sink_single.tif")
+    info = write_geotiff_single(crop, out, tile_size=16)
+    back = read_geotiff_tiles_split(spark, out, tile_size=16,
+                                    target_split_bytes=2048)
+
+    def _stats(batches):
+        for pdf in batches:
+            rows = []
+            for _, rr_ in pdf.iterrows():
+                t = np.frombuffer(rr_["px"], dtype=rr_["dtype"]).astype(
+                    np.int64)
+                rows.append({"npx": int(t.size), "sum_v": int(t.sum()),
+                             "sum_sq": int((t * t).sum())})
+            yield pd.DataFrame(rows)
+
+    agg = back.mapInPandas(_stats, "npx long, sum_v long, sum_sq long") \
+        .agg(F.sum("npx").alias("npx"), F.sum("sum_v").alias("sum_v"),
+             F.sum("sum_sq").alias("sum_sq"))
+    return agg.select(
+        F.lit(int(info["w"])).cast("int").alias("w"),
+        F.lit(int(info["h"])).cast("int").alias("h"),
+        F.lit(int(info["n_strips"])).cast("int").alias("n_strips"),
+        "npx", "sum_v", "sum_sq")

@@ -34,7 +34,16 @@ def main():
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--split-mb", type=int, default=64)
     ap.add_argument("--path", default="/tmp/gdal_spark_big_smoke.tif")
+    ap.add_argument("--compress", action="store_true",
+                    help="sink mode: DEFLATE strips (parallel across "
+                    "tasks; a serial writer compresses single-threaded)")
+    ap.add_argument("--mode", choices=["scan", "sink"], default="scan",
+                    help="scan: serial write + split scan; sink: "
+                    "DISTRIBUTED write (write_geotiff_single, no task "
+                    "holds the granule) + split scan")
     args = ap.parse_args()
+    if args.mode == "sink":
+        return sink_mode(args)
 
     from gdal_spark.kernels.tiff import write_geotiff_ext
     from gdal_spark.session import get_spark
@@ -100,6 +109,107 @@ def main():
         "write_sec": round(write_sec, 2),
         "scan_sec": round(scan_sec, 2),
         "scan_mb_per_sec": round(nbytes / 2**20 / scan_sec, 1),
+    }))
+    os.unlink(args.path)
+
+
+def sink_mode(args):
+    """Distributed 2 GB granule WRITE: tiles generated in Spark from
+    the same formula (the granule never exists as one array anywhere),
+    written by write_geotiff_single (strip stage -> header -> pwrite),
+    then split-scanned back to an exact checksum."""
+    from gdal_spark.session import get_spark
+    from gdal_spark.sources.geotiff import (read_geotiff_tiles_split,
+                                            write_geotiff_single)
+
+    h = w = args.side
+    ts = 256
+    col = (np.arange(w, dtype=np.uint32) * 2654435761) >> 16
+    # independent driver truth, one row vector at a time
+    truth = np.uint64(0)
+    for r in range(h):
+        truth += ((col + np.uint32(r * 40503))
+                  & np.uint32(0xFFFF)).sum(dtype=np.uint64)
+    truth = int(truth)
+
+    spark = get_spark("big_sink", cores=args.cores, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    nx = (w + ts - 1) // ts
+    ny = (h + ts - 1) // ts
+    manifest = (spark.range(nx * ny)
+                .select((F.col("id") % nx).cast("int").alias("tx"),
+                        (F.col("id") / nx).cast("int").alias("ty"))
+                .repartition(64))
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                x0 = r.tx * ts
+                y0 = r.ty * ts
+                tw = min(ts, w - x0)
+                th = min(ts, h - y0)
+                cc = (np.arange(x0, x0 + tw, dtype=np.uint32)
+                      * np.uint32(2654435761)) >> np.uint32(16)
+                rr = (np.arange(y0, y0 + th, dtype=np.uint32)
+                      * np.uint32(40503))[:, None]
+                t = (cc[None, :] + rr) & np.uint32(0xFFFF)
+                rows.append({
+                    "path": "synthetic", "band": 1,
+                    "tx": int(r.tx), "ty": int(r.ty),
+                    "w": tw, "h": th, "px": t.tobytes(),
+                    "dtype": "uint32",
+                    "x0": float(x0), "y0": float(-y0),
+                    "dx": 1.0, "dy": -1.0,
+                    "epsg": 32633, "nodata": None,
+                })
+            yield pd.DataFrame(rows)
+
+    from gdal_spark.sources.geotiff import TILE_SCHEMA
+    tiles = manifest.mapInPandas(_gen, TILE_SCHEMA)
+
+    t0 = time.time()
+    info = write_geotiff_single(
+        tiles, args.path, tile_size=ts,
+        compression="deflate" if args.compress else None)
+    write_sec = time.time() - t0
+
+    t0 = time.time()
+    got = read_geotiff_tiles_split(
+        spark, args.path, tile_size=ts,
+        target_split_bytes=args.split_mb << 20)
+
+    def _psum(batches):
+        for pdf in batches:
+            s = np.uint64(0)
+            npx = 0
+            for r in pdf.itertuples():
+                t = np.frombuffer(r.px, dtype=np.dtype(r.dtype))
+                s += t.sum(dtype=np.uint64)
+                npx += t.size
+            yield pd.DataFrame({"s": [int(s)], "npx": [npx]})
+
+    agg = (got.mapInPandas(_psum, "s long, npx long")
+           .agg(F.sum("s").alias("s"), F.sum("npx").alias("npx"))
+           .collect()[0])
+    scan_sec = time.time() - t0
+    raw = w * h * 4
+
+    print(json.dumps({
+        "mode": "sink",
+        "compression": "deflate" if args.compress else None,
+        "file_gb": round(os.path.getsize(args.path) / 2**30, 3),
+        "raw_gb": round(raw / 2**30, 3),
+        "cores": args.cores,
+        "strips": info["n_strips"],
+        "pixels": int(agg["npx"]),
+        "checksum_match": int(agg["s"]) == truth,
+        "distributed_write_sec": round(write_sec, 2),
+        "write_mb_per_sec": round(raw / 2**20 / write_sec, 1),
+        "scan_sec": round(scan_sec, 2),
     }))
     os.unlink(args.path)
 
