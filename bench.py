@@ -103,6 +103,7 @@ HEADLINE = [
     "geotiff_scan_split",
     "dialect_spatial_join",
     "grid_linear_tiled",
+    "geotiff_sink_single",
 ]
 
 BIG_JOIN_N = int(os.environ.get("SPARK_GRAFT_BIGJOIN_N", 8_000_000))
