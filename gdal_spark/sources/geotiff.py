@@ -256,7 +256,9 @@ def read_geotiff_tiles_split(spark: SparkSession, path_glob: str,
 def write_geotiff_single(tiles: DataFrame, out_path: str,
                          tile_size: int = 256,
                          compression: str | None = "deflate",
-                         bigtiff: bool | None = None) -> dict:
+                         bigtiff: bool | None = None,
+                         lineage_dir: str | None = None,
+                         run_id: str = "r0") -> dict:
     """Write ONE (possibly multi-GB) strip-organized GeoTIFF from a
     TILE_SCHEMA DataFrame with BOUNDED task memory — the distributed
     complement of write_geotiff_part_files, which assembles a whole
@@ -284,6 +286,16 @@ def write_geotiff_single(tiles: DataFrame, out_path: str,
     auto-selects when the payload approaches the classic 4 GB offset
     space.  Requires ``out_path`` on a filesystem every executor can
     open (local/NFS; object stores want the multipart mapping).
+
+    With ``lineage_dir`` set, every placed strip appends a lineage
+    record (unit, byte count, blake2b checksum) AFTER its bytes land
+    — the operators/lineage contract — and a re-run with the same
+    arguments resumes exactly: committed strips are anti-joined out
+    BEFORE the wide exchange (their tiles never shuffle again), their
+    byte counts come from lineage, and only missing strips recompute
+    and place.  Strip bytes are deterministic (same tiles -> same
+    zlib stream), so the recomputed IFD offsets match the first
+    run's placement.
 
     Returns {"out_path", "w", "h", "bands", "n_strips", "bytes"}."""
     import zlib
@@ -341,11 +353,32 @@ def write_geotiff_single(tiles: DataFrame, out_path: str,
                               "cnt": len(raw)}])
 
     keyed = tiles.withColumn("_si", F.col("ty") - F.lit(tymin))
+
+    # exact resume (north-rule lineage): committed strips are skipped
+    # BEFORE the wide exchange — their tiles never shuffle again; the
+    # strip bytes are deterministic (same tiles -> same zlib stream),
+    # so the recomputed IFD offsets match the first run's placement
+    _STAGE = "geotiff_strips"
+    committed: dict[tuple[int, int], int] = {}
+    if lineage_dir is not None:
+        from ..operators.lineage import read_lineage
+        for r in (read_lineage(spark, lineage_dir)
+                  .filter(F.col("stage") == _STAGE)
+                  .select("input_split", "row_count").collect()):
+            b_, si_ = (int(v) for v in str(r["input_split"]).split(","))
+            committed[(b_, si_)] = int(r["row_count"])
+        if committed:
+            done = spark.createDataFrame(
+                [(b_, si_) for b_, si_ in committed],
+                "band int, _si int")
+            keyed = keyed.join(done, ["band", "_si"], "left_anti")
+
     strips = keyed.groupBy("band", "_si").applyInPandas(
         _strip, "band int, si int, data binary, cnt long").persist()
     try:
         sizes = {(int(r["band"]), int(r["si"])): int(r["cnt"])
                  for r in strips.select("band", "si", "cnt").collect()}
+        sizes.update(committed)
 
         # driver-filled zero strips for (band, si) holes, one at a time
         zero_cache: dict[int, bytes] = {}
@@ -380,7 +413,12 @@ def write_geotiff_single(tiles: DataFrame, out_path: str,
                 off_of[(b, si)] = offs[k]
                 k += 1
         total = offs[-1] + counts[-1]
-        with open(out_path, "wb") as fh:
+        # r+b on resume: keep already-placed strip bytes; truncate to
+        # the (identical) total is a no-op for them
+        mode = ("r+b" if committed and os.path.exists(out_path)
+                else "wb")
+        with open(out_path, mode) as fh:
+            fh.seek(0)
             fh.write(hdr)
             fh.truncate(total)
             for b, si in holes:
@@ -389,15 +427,48 @@ def write_geotiff_single(tiles: DataFrame, out_path: str,
 
         off_b = spark.sparkContext.broadcast(off_of)
         path = out_path
+        ldir = lineage_dir
+        rid = run_id
 
         def _place(rows_iter):
+            import hashlib
             import os as _os
+            import time as _t
+
             fd = _os.open(path, _os.O_WRONLY)
             try:
                 for r in rows_iter:
-                    _os.pwrite(fd, bytes(r["data"]),
-                               off_b.value[(int(r["band"]),
-                                            int(r["si"]))])
+                    data = bytes(r["data"])
+                    b_, si_ = int(r["band"]), int(r["si"])
+                    _os.pwrite(fd, data, off_b.value[(b_, si_)])
+                    if ldir is not None:
+                        # data strictly before lineage: a task killed
+                        # between the pwrite and this record leaves
+                        # the strip uncommitted and resume redoes it
+                        import pyarrow as pa
+                        import pyarrow.parquet as pq
+                        ck = int.from_bytes(
+                            hashlib.blake2b(data, digest_size=8)
+                            .digest(), "little", signed=True)
+                        lp = _os.path.join(ldir, "_lineage")
+                        _os.makedirs(lp, exist_ok=True)
+                        pq.write_table(pa.table({
+                            "run_id": pa.array([rid], pa.string()),
+                            "stage": pa.array([_STAGE], pa.string()),
+                            "unit": pa.array(
+                                [b_ * 1_000_000 + si_], pa.int64()),
+                            "input_split": pa.array(
+                                [f"{b_},{si_}"], pa.string()),
+                            "cell_min": pa.array([0], pa.int64()),
+                            "cell_max": pa.array([0], pa.int64()),
+                            "row_count": pa.array(
+                                [len(data)], pa.int64()),
+                            "checksum": pa.array([ck], pa.int64()),
+                            "committed_at": pa.array(
+                                [_t.time()], pa.float64()),
+                        }), _os.path.join(
+                            lp, f"{_STAGE}_b{b_}_s{si_}.parquet"))
+
             finally:
                 _os.close(fd)
 

@@ -123,3 +123,52 @@ def test_bigtiff_and_raw(spark, tmp_path, compression):
     assert blob[:4] == b"II+\x00"          # BigTIFF magic 43
     a2, gt, _, _ = read_geotiff(blob)
     assert (a2 == arr).all() and gt == GT
+
+
+def test_lineage_resume_exact(spark, tmp_path):
+    """Exact resume: a strip whose lineage record exists is NOT
+    re-placed (its corrupted bytes stay corrupted — proving the skip),
+    a strip whose record was lost IS recomputed and re-placed."""
+    import glob
+    import os
+
+    rng = np.random.default_rng(12)
+    arr = rng.integers(1, 250, size=(192, 64), dtype=np.uint8)
+    tiles = _tiles_of(spark, arr, tmp_path, "in.tif")
+    out = str(tmp_path / "out.tif")
+    ldir = str(tmp_path / "lin")
+    info = write_geotiff_single(tiles, out, tile_size=64,
+                                compression=None, lineage_dir=ldir)
+    assert info["n_strips"] == 3
+    recs = sorted(glob.glob(os.path.join(ldir, "_lineage", "*.parquet")))
+    assert len(recs) == 3
+    a1, _, _, _ = read_geotiff(open(out, "rb").read())
+    assert (a1 == arr).all()
+
+    # simulate a crash: strip s1's lineage record lost (uncommitted),
+    # strip s2 committed; corrupt BOTH strips' bytes in the file
+    from gdal_spark.kernels.tiff import tiff_meta
+    with open(out, "rb") as fh:
+        m = tiff_meta(fh)
+    lost = [p for p in recs if "_s1" in p]
+    assert len(lost) == 1
+    os.unlink(lost[0])
+    with open(out, "r+b") as fh:
+        for si in (1, 2):
+            fh.seek(m.offsets[si])
+            fh.write(b"\xee" * m.counts[si])
+
+    write_geotiff_single(tiles, out, tile_size=64,
+                         compression=None, lineage_dir=ldir)
+    a2, _, _, _ = read_geotiff(open(out, "rb").read())
+    # s1 (uncommitted) was recomputed and fixed
+    assert (a2[64:128] == arr[64:128]).all()
+    # s0 untouched and still right
+    assert (a2[0:64] == arr[0:64]).all()
+    # s2 (committed) was SKIPPED — still corrupted: resume recomputes
+    # exactly the uncommitted units, nothing else
+    assert (a2[128:192] == 0xEE).all()
+    # and its lineage record survives; s1's was re-appended
+    recs2 = sorted(glob.glob(os.path.join(ldir, "_lineage",
+                                          "*.parquet")))
+    assert len(recs2) == 3
