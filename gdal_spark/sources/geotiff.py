@@ -310,7 +310,7 @@ def write_geotiff_single(tiles: DataFrame, out_path: str,
         F.min("tx").alias("txmin"), F.min("ty").alias("tymin"),
         F.max(F.col("tx") * ts + F.col("w")).alias("xext"),
         F.max(F.col("ty") * ts + F.col("h")).alias("yext"),
-        F.first("dtype").alias("dtype"),
+        F.sort_array(F.collect_set("dtype")).alias("dtypes"),
         F.sort_array(F.collect_set("band")).alias("bands"),
         F.min(F.struct("tx", "ty", "x0", "y0", "dx", "dy")).alias("a"),
         F.first("epsg").alias("epsg"),
@@ -319,7 +319,11 @@ def write_geotiff_single(tiles: DataFrame, out_path: str,
     txmin, tymin = int(m["txmin"]), int(m["tymin"])
     W = int(m["xext"]) - txmin * ts
     H = int(m["yext"]) - tymin * ts
-    dt = np.dtype(m["dtype"])
+    if len(m["dtypes"]) != 1:
+        raise ValueError(
+            f"mixed tile dtypes {list(m['dtypes'])}: one GeoTIFF has "
+            "one sample format — cast the tile table first")
+    dt = np.dtype(m["dtypes"][0])
     band_ids = [int(b) for b in m["bands"]]
     spp = len(band_ids)
     a = m["a"]
