@@ -68,16 +68,91 @@ def delaunay_triangles(xs, ys) -> list[tuple[int, int, int]]:
         return []
     out = _bw_core(xs, ys, 30.0)
     from .geom import convex_hull
-    h = len(convex_hull(np.column_stack([xs, ys]))) - 1
+    ring = convex_hull(np.column_stack([xs, ys]))[:-1]
+    h = len(ring)
     expect = 2 * n - 2 - h
     scale = 30.0
     while len(out) < expect and scale < 2.0e5:
         scale *= 8.0
         nxt = _bw_core(xs, ys, scale)
         if nxt == out:
+            # identical incomplete sets at consecutive scales: the
+            # missing facet's circumdisk still reaches the super
+            # vertices (a flat hull sliver can have circumradius
+            # thousands of spans — chasing it with ever-larger scales
+            # degrades incircle precision instead).  Fall through to
+            # the structural repair below.
             break
         out = nxt
+    if len(out) < expect:
+        out = _repair_gaps(xs, ys, out, expect, ring)
     return out
+
+
+def _repair_gaps(xs, ys, out, expect: int,
+                 ring) -> list[tuple[int, int, int]]:
+    """Structural completion of an under-produced Bowyer-Watson run.
+
+    A missing facet leaves a footprint: its region's boundary edges
+    appear in exactly ONE kept facet instead of two (or are hull
+    edges covered zero times), and a fully-swallowed vertex appears
+    in no facet at all.  Gap repair re-triangulates just that vertex
+    set (brute-force enumeration — gaps are slivers, a handful of
+    points) and accepts a candidate only if its circumdisk is empty
+    against ALL points under the kernel's own incircle expression —
+    a triangle that passes IS a facet of DT(S) by definition, so the
+    repair is sound regardless of how the gap arose; completeness
+    comes from the Euler count ``expect`` the caller checks.  Best
+    effort on genuinely degenerate inputs (duplicates / cocircular):
+    bounded rounds, stops when no candidate verifies."""
+    n = len(xs)
+    hull_edges = set()
+    hidx = [int(np.nonzero((xs == vx) & (ys == vy))[0][0])
+            for vx, vy in ring]
+    for i in range(len(hidx)):
+        a, b = hidx[i], hidx[(i + 1) % len(hidx)]
+        hull_edges.add((a, b) if a < b else (b, a))
+
+    out = list(out)
+    for _ in range(8):
+        if len(out) >= expect:
+            break
+        edge_count: dict[tuple[int, int], int] = {}
+        seen = set()
+        for a, b, c in out:
+            seen.update((a, b, c))
+            for e in ((a, b), (b, c), (a, c)):
+                edge_count[e] = edge_count.get(e, 0) + 1
+        defect = {e for e, cnt in edge_count.items() if cnt == 1}
+        defect ^= hull_edges          # true once-edges ARE hull edges
+        vgap = {v for e in defect for v in e}
+        vgap |= set(range(n)) - seen
+        vgap = sorted(vgap)
+        if len(vgap) < 3 or len(vgap) > 256:
+            break
+        sub = brute_force_delaunay(xs[vgap], ys[vgap])
+        have = set(out)
+        cand = [tuple(sorted((vgap[i], vgap[j], vgap[k])))
+                for i, j, k in sub]
+        cand = [t for t in cand if t not in have]
+        added = 0
+        for a, b, c in cand:
+            adx, ady = xs[a] - xs, ys[a] - ys
+            bdx, bdy = xs[b] - xs, ys[b] - ys
+            cdx, cdy = xs[c] - xs, ys[c] - ys
+            det = ((adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+                   - (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
+                   + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady))
+            orient = ((xs[b] - xs[a]) * (ys[c] - ys[a])
+                      - (ys[b] - ys[a]) * (xs[c] - xs[a]))
+            inside = det * orient > 0.0
+            inside[[a, b, c]] = False
+            if not inside.any():
+                out.append((a, b, c))
+                added += 1
+        if not added:
+            break
+    return sorted(out)
 
 
 def _bw_core(xs, ys, scale: float) -> list[tuple[int, int, int]]:

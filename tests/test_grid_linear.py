@@ -130,3 +130,32 @@ def test_driver_tin_guard(spark, monkeypatch):
         gi.grid_linear(pts, GRID, Z)
     monkeypatch.setattr(gi, "MAX_DRIVER_TIN_POINTS", 20)
     assert gi.grid_linear(pts, GRID, Z).count() > 0
+
+
+def test_hull_sliver_gap_repair():
+    """Regression (round-5 sf0.1 bench): a flat hull sliver whose
+    circumdisk reaches the super vertices at EVERY adaptive scale is
+    silently dropped by the Bowyer-Watson core — two consecutive
+    scales return the same incomplete set, the old loop broke early,
+    and the facet count missed Euler's 2n-2-h by one.  The structural
+    gap repair must recover it: the coordinates are the actual
+    sf0.1 triple (circumradius ~6.3e6 over a ~4,700 span)."""
+    import numpy as np
+
+    from gdal_spark.kernels.delaunay import (_bw_core,
+                                             brute_force_delaunay,
+                                             delaunay_triangles)
+    from gdal_spark.kernels.geom import convex_hull
+
+    xs = np.array([481267.02691329, 479180.27941379, 479966.231992,
+                   479500.0, 480800.0, 480200.0, 479900.0])
+    ys = np.array([4765593.52817608, 4765606.39391357,
+                   4765601.46660985, 4762000.0, 4762500.0,
+                   4763800.0, 4761700.0])
+    h = len(convex_hull(np.column_stack([xs, ys]))) - 1
+    expect = 2 * len(xs) - 2 - h
+    # the premise: the raw core really does under-produce here
+    assert len(_bw_core(xs, ys, 30.0)) < expect
+    got = delaunay_triangles(xs, ys)
+    assert len(got) == expect
+    assert sorted(got) == sorted(brute_force_delaunay(xs, ys))
