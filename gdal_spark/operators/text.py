@@ -638,12 +638,20 @@ def quality_classifier(df: DataFrame, text_col: str = "text",
     buckets, one integer weight per bucket, logit = mean bucket
     weight + bias.  The whole score is ONE aggregate() fold over the
     token array — zero shuffle, zero explode, exact int64 arithmetic
-    until the final division (rounded to 6), so a 10^12-doc corpus
-    scores in a single map stage and the DuckDB twin hash-matches.
+    until the final division, so a 10^12-doc corpus scores in a
+    single map stage and the DuckDB twin hash-matches.
 
-    Returns (id, n_tokens, logit_num, score, keep):
+    Returns (id, n_tokens, logit_num, score_u, keep):
       logit_num = sum of token weights + BIAS * n_tokens   (exact)
-      score     = logit_num / (n_tokens * QC_WEIGHT_SPAN)  (rounded)
+      score_u   = micro-score: floor(logit_num * 1e6
+                  / (n_tokens * QC_WEIGHT_SPAN) + 0.5) as int64 — the
+                  engine's scaled-integer convention, NOT round(x, 6):
+                  a logit like -1021/16 lands EXACTLY on a decimal
+                  half (-0.0638125), where Spark's HALF_UP on the
+                  shortest decimal and DuckDB's binary-double
+                  rounding disagree by one micro (found by the sf0.1
+                  oracle sweep); floor(+0.5) is the same IEEE
+                  expression in both engines
       keep      = logit_num > 0
     """
     toks = tokens_col(F.col(text_col))
@@ -656,8 +664,9 @@ def quality_classifier(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         num.alias("logit_num"),
-        F.round(num.cast("double")
-                / (n.cast("double") * QC_WEIGHT_SPAN), 6).alias("score"),
+        F.floor(num.cast("double") * F.lit(1000000.0)
+                / (n.cast("double") * QC_WEIGHT_SPAN)
+                + F.lit(0.5)).cast("long").alias("score_u"),
         (num > 0).alias("keep"))
 
 

@@ -1404,15 +1404,17 @@ def gopher_rules_q(spark, sf_dir):
                 % {tx.QC_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT
              % {2 * tx.QC_WEIGHT_SPAN + 1} - {tx.QC_WEIGHT_SPAN}))::BIGINT
            + {tx.QC_BIAS} * len(string_split(text, ' ')) AS logit_num,
-           ROUND(CAST(list_sum(list_transform(string_split(text, ' '),
+           CAST(FLOOR(CAST(list_sum(list_transform(string_split(text, ' '),
              tok ->
              ('0x' || substr(md5('qw:' || CAST(
                 ('0x' || substr(md5('qc:' || tok), 1, 15))::BIGINT
                 % {tx.QC_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT
              % {2 * tx.QC_WEIGHT_SPAN + 1} - {tx.QC_WEIGHT_SPAN}))
              + {tx.QC_BIAS} * len(string_split(text, ' ')) AS DOUBLE)
-             / (len(string_split(text, ' ')) * {tx.QC_WEIGHT_SPAN}), 6)
-             AS score,
+             * 1000000.0
+             / (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                * {float(tx.QC_WEIGHT_SPAN)}) + 0.5) AS BIGINT)
+             AS score_u,
            list_sum(list_transform(string_split(text, ' '), tok ->
              ('0x' || substr(md5('qw:' || CAST(
                 ('0x' || substr(md5('qc:' || tok), 1, 15))::BIGINT
@@ -1424,7 +1426,9 @@ def gopher_rules_q(spark, sf_dir):
     desc="fastText-style hashing-trick linear quality scorer (CCNet/"
          "RedPajama model-filter role): md5 bucket -> md5 integer "
          "weight, logit = one aggregate() fold over the token array — "
-         "zero shuffle, exact int64 until the final rounded division",
+         "zero shuffle, exact int64 into a scaled-integer micro-score "
+         "(floor(x*1e6+0.5): round(x,6) ties at exact decimal halves "
+         "split Spark HALF_UP vs DuckDB binary rounding — sf0.1 find)",
 )
 def quality_classifier_q(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
