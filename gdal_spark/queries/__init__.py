@@ -168,6 +168,10 @@ _PRIORITY = [
     # PNG decode, DDL dialect, strip-split GeoTIFF scan).
     "media_decode_png", "explode_collections_zm", "geotiff_scan_split",
     "dialect_spatial_join", "grid_linear_tiled", "geotiff_sink_single",
+    # changed this session: score_u scaled-integer convention (the
+    # sf0.1 sweep find); grid_linear (gap-repaired TIN) is already in
+    # the never-driver-checked block above
+    "quality_classifier",
 ]
 
 
