@@ -8,6 +8,7 @@ sorted), predicting the driver's value-hash verdict.
 from __future__ import annotations
 
 import math
+import os
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -20,9 +21,15 @@ def connect_oracle(sf_dir: str):
 
     con = duckdb.connect()
     for tname in TABLES:
+        path = f"{sf_dir}/{tname}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table directory (e.g. the sf1 rehearsal
+            # data from scripts/make_sf1.py) vs the driver's single
+            # files — DuckDB needs the part-file glob for the former
+            path = f"{path}/*.parquet"
         con.execute(
             f"CREATE VIEW {tname} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{tname}.parquet')"
+            f"read_parquet('{path}')"
         )
     return con
 
