@@ -25,6 +25,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+# segment lengths quantize to 2^20 units/meter BEFORE accumulation:
+# prefix sums of exact integers are order-independent, so Spark's
+# left-to-right running window and any reassociating engine (DuckDB's
+# running frame is a segment tree) agree bit-for-bit — the same
+# scaled-integer convention as charlm's integer logs.  One unit is
+# ~1 micron of arc length; parametric positions shift by < 1e-9
+# relative vs true-length parametrization (immaterial for the
+# ogrlineref roles), and in exchange cum/total/fraction arithmetic is
+# EXACT at any accumulation order — the property that matters at
+# cluster scale, where summation order is never guaranteed.
+LENGTH_QUANT = 1048576.0
+
 
 def _segments(lines: DataFrame) -> DataFrame:
     """(line_id, si, ax, ay, bx, by, seglen, cum_before, total)."""
@@ -41,14 +53,18 @@ def _segments(lines: DataFrame) -> DataFrame:
         F.col("s.bx").alias("bx"), F.col("s.by").alias("by"))
     seg = seg.withColumn(
         "seglen",
-        F.sqrt((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
-               + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))))
+        F.floor(
+            F.sqrt((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+                   + (F.col("by") - F.col("ay"))
+                   * (F.col("by") - F.col("ay")))
+            * F.lit(LENGTH_QUANT) + F.lit(0.5)).cast("long"))
     w = Window.partitionBy("line_id").orderBy("si")
     wall = Window.partitionBy("line_id")
     return (seg.withColumn(
         "cum_before",
         F.coalesce(F.sum("seglen").over(
-            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)))
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long")))
         .withColumn("total", F.sum("seglen").over(wall)))
 
 
@@ -81,9 +97,10 @@ def locate_point(lines: DataFrame, points: DataFrame) -> DataFrame:
     j = seg.join(points, "line_id")
     dx = F.col("bx") - F.col("ax")
     dy = F.col("by") - F.col("ay")
+    # projection denominator is the TRUE squared length (dx^2 + dy^2),
+    # not the quantized arc-length unit
     raw_t = ((F.col("px") - F.col("ax")) * dx
-             + (F.col("py") - F.col("ay")) * dy) \
-        / (F.col("seglen") * F.col("seglen"))
+             + (F.col("py") - F.col("ay")) * dy) / (dx * dx + dy * dy)
     t = F.when(F.col("seglen") > 0,
                F.least(F.greatest(raw_t, F.lit(0.0)), F.lit(1.0))) \
         .otherwise(F.lit(0.0))
@@ -131,8 +148,10 @@ def line_substring(lines: DataFrame, d0: float, d1: float,
         t0 = F.lit(float(d0)) * F.col("total")
         t1 = F.lit(float(d1)) * F.col("total")
     else:
-        t0 = F.lit(float(d0))
-        t1 = F.lit(float(d1))
+        # absolute distances are meters: express them in the
+        # quantized arc-length units cum_before/total live in
+        t0 = F.lit(float(d0) * LENGTH_QUANT)
+        t1 = F.lit(float(d1) * LENGTH_QUANT)
     t0 = F.greatest(t0, F.lit(0.0))
     t1 = F.least(t1, F.col("total"))
     seg = seg.withColumn("_t0", t0).withColumn("_t1", t1)

@@ -109,10 +109,14 @@ def like_ilike(spark, sf_dir):
            CAST(l_shipdate AS DATE)    AS ship_day
     FROM lineitem
     WHERE l_linenumber = 1
-    ORDER BY l_orderkey
+    ORDER BY l_orderkey, qty_int, ship_day
     LIMIT 50
     """,
-    desc="CAST to INTEGER/CHARACTER/DATE (SWQCastEvaluator, ogr_swq.h:309-313)",
+    desc="CAST to INTEGER/CHARACTER/DATE (SWQCastEvaluator, "
+         "ogr_swq.h:309-313); the sort is TOTAL (key, qty, date) so "
+         "the LIMIT cut stays deterministic when keys repeat — the "
+         "sf1 rehearsal's key-shifted replication surfaced an "
+         "ambiguous top-50 under ORDER BY l_orderkey alone",
 )
 def cast_types(spark, sf_dir):
     return (
@@ -124,7 +128,7 @@ def cast_types(spark, sf_dir):
             F.col("l_orderkey").cast("string").alias("key_str"),
             F.col("l_shipdate").cast("date").alias("ship_day"),
         )
-        .orderBy("l_orderkey")
+        .orderBy("l_orderkey", "qty_int", "ship_day")
         .limit(50)
     )
 

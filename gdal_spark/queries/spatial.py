@@ -241,14 +241,19 @@ _LINES_SQL = f"""
       FROM pts QUALIFY bx IS NOT NULL
     ),
     segl AS (
-      SELECT *, sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+      -- arc length quantized to 2^20 units/m BEFORE accumulation:
+      -- integer prefix sums are order-independent, so the windowed
+      -- SUM below (a reassociating segment tree in DuckDB) agrees
+      -- bit-for-bit with Spark's sequential running sum
+      SELECT *, CAST(FLOOR(sqrt((bx - ax) * (bx - ax)
+                 + (by - ay) * (by - ay)) * 1048576.0 + 0.5) AS BIGINT)
                AS seglen
       FROM seg
     ),
     segc AS (
       SELECT *,
              COALESCE(SUM(seglen) OVER (PARTITION BY line_id ORDER BY si
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before,
              SUM(seglen) OVER (PARTITION BY line_id) AS total
       FROM segl
@@ -318,7 +323,8 @@ def lineref_interpolate(spark, sf_dir):
              CASE WHEN s.seglen > 0
                   THEN LEAST(GREATEST(((p.px - s.ax) * (s.bx - s.ax)
                        + (p.py - s.ay) * (s.by - s.ay))
-                       / (s.seglen * s.seglen), 0.0), 1.0)
+                       / ((s.bx - s.ax) * (s.bx - s.ax)
+                          + (s.by - s.ay) * (s.by - s.ay)), 0.0), 1.0)
                   ELSE 0.0 END AS t,
              p.px, p.py, s.ax, s.ay, s.bx, s.by
       FROM segc s JOIN probe p ON p.line_id = s.line_id
@@ -394,7 +400,8 @@ def lineref_locate(spark, sf_dir):
     SELECT line_id,
            ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY ord, sub) - 1
              AS vi,
-           ROUND(x, 6) AS x, ROUND(y, 6) AS y
+           CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT) AS x_u,
+           CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT) AS y_u
     FROM verts ORDER BY line_id, vi
     """,
     desc="getSubLine between 20% and 70% of each polyline "
@@ -407,9 +414,17 @@ def line_substring_q(spark, sf_dir):
     from ..operators.lineref import line_substring
 
     out = line_substring(_lines_df(spark, sf_dir), 0.2, 0.7)
-    return out.select("line_id", F.col("vi").cast("long").alias("vi"),
-                      F.round("x", 6).alias("x"),
-                      F.round("y", 6).alias("y")).orderBy("line_id", "vi")
+    return out.select(
+        "line_id", F.col("vi").cast("long").alias("vi"),
+        # micro-int coordinates, NOT round(x, 6): interpolated UTM
+        # coordinates land on exact decimal halves at sf1 volume,
+        # where Spark HALF_UP and DuckDB binary rounding split by one
+        # micro; floor(x*1e6 + 0.5) is the same IEEE expression in
+        # both engines (sf1 oracle-sweep find)
+        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("x_u"),
+        F.floor(F.col("y") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("y_u")).orderBy("line_id", "vi")
 
 
 @register(
@@ -472,7 +487,8 @@ def line_substring_q(spark, sf_dir):
     )
     SELECT line_id,
            CAST(CASE WHEN rev THEN cnt - 1 - fwd ELSE fwd END AS INT) AS vi,
-           ROUND(x, 6) AS x, ROUND(y, 6) AS y
+           CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT) AS x_u,
+           CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT) AS y_u
     FROM idxd ORDER BY line_id, vi
     """,
     desc="OGRSimpleCurve::segmentize maxlen=400 "
@@ -484,9 +500,13 @@ def segmentize_q(spark, sf_dir):
     from ..operators.lineref import segmentize
 
     out = segmentize(_lines_df(spark, sf_dir), 400.0)
-    return out.select("line_id", F.col("vi").cast("int").alias("vi"),
-                      F.round("x", 6).alias("x"),
-                      F.round("y", 6).alias("y")).orderBy("line_id", "vi")
+    # micro-int coordinates (same rationale as line_substring)
+    return out.select(
+        "line_id", F.col("vi").cast("int").alias("vi"),
+        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("x_u"),
+        F.floor(F.col("y") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("y_u")).orderBy("line_id", "vi")
 
 
 # --------------------------------------------------------------- S2 cells
