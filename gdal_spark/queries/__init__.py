@@ -172,6 +172,10 @@ _PRIORITY = [
     # sf0.1 sweep find); grid_linear (gap-repaired TIN) is already in
     # the never-driver-checked block above
     "quality_classifier",
+    # changed this session: quantized arc-length accumulation +
+    # micro-int coordinates + total cast_types sort (sf1 sweep finds)
+    "line_substring", "segmentize", "lineref_locate",
+    "lineref_interpolate", "cast_types",
 ]
 
 
