@@ -3,9 +3,11 @@ uncompressed BMP (both public byte layouts: RIFF/WAVE spec, Windows
 BITMAPINFOHEADER spec).
 
 These upgrade the multimodal pipeline from "honest stub" to REAL
-decode for the two formats a no-dependency container can parse —
-struct + numpy only, no PIL/ffmpeg.  Compressed codecs (jpeg/mp4)
-remain behind the stub (operators/multimodal.py), clearly flagged.
+decode for the formats a no-dependency container can parse — struct +
+zlib + numpy only, no PIL/ffmpeg.  PNG (spec-written inflate+filter
+pipeline) and baseline JPEG (spec-written ITU-T T.81 codec, below)
+are real too; video containers (mp4) remain behind the stub
+(operators/multimodal.py), clearly flagged.
 
 Encoders exist so fixtures can synthesize deterministic media from
 formulas; the catalog oracle then re-derives the decoded features
@@ -288,6 +290,644 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def png_features(payload: bytes) -> dict:
     a = decode_png(payload)
+    if a.ndim == 2:
+        a = a[:, :, None].repeat(3, axis=2)
+    return {
+        "width": int(a.shape[1]),
+        "height": int(a.shape[0]),
+        "mean_r": float(a[:, :, 0].mean()),
+        "mean_g": float(a[:, :, 1].mean()),
+        "mean_b": float(a[:, :, 2].mean()),
+    }
+
+
+# ---- JPEG (baseline sequential DCT, written from ITU-T T.81) --------------
+# Full spec-written codec: SOI/APP0/DQT/SOF0/DHT/SOS/DRI/RSTn/EOI
+# marker layout, canonical Huffman coding (T.81 Annex C code
+# construction, Annex F entropy coding), zigzag + uniform quantization
+# (Annex A), 2-D 8x8 DCT-II/III as an orthonormal matrix product, JFIF
+# YCbCr <-> RGB with 4:4:4 and 4:2:0 chroma layouts.  Reference
+# parity: GDAL's JPEG driver reads the same baseline streams via
+# libjpeg (frmts/jpeg/jpgdataset.cpp); here the codec is written
+# straight from the public spec like the TIFF (kernels/tiff.py) and
+# PNG codecs above — stdlib struct + numpy only.
+#
+# Exact-fixture property used by the catalog oracle: with unit
+# quantization tables (quality=None) an image that is CONSTANT within
+# each aligned 8x8 block has only a DC coefficient per block
+# (8*(v-128), an exact integer), so quantize -> entropy -> dequantize
+# -> IDCT reproduces every pixel EXACTLY despite the pipeline being
+# lossy in general.  Fixtures built that way prove the whole marker /
+# Huffman / zigzag / DCT path bit-for-bit against a pure SQL formula.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# T.81 Annex K.1 luminance / K.2 chrominance quantization tables
+# (row-major, natural order)
+_QT_LUMA_K1 = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_QT_CHROMA_K2 = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# T.81 Annex K.3 typical Huffman tables: (bits[1..16] counts, values).
+# Encoder and decoder never assume these — the decoder always builds
+# its tables from the stream's own DHT segments, so any valid baseline
+# JPEG decodes regardless of what tables produced it.
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix T: S = T @ b @ T.T is the T.81
+    Annex A.3.3 FDCT (and T.T @ S @ T the IDCT)."""
+    x = np.arange(8, dtype=np.float64)
+    u = x[:, None]
+    t = 0.5 * np.cos((2.0 * x[None, :] + 1.0) * u * np.pi / 16.0)
+    t[0, :] = 0.5 / np.sqrt(2.0)
+    return t
+
+
+_DCT_T = _dct_matrix()
+
+
+def _huff_codes(bits, values):
+    """T.81 Annex C canonical code assignment: (value -> (code, len))."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:            # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self):
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)   # 1-fill per spec
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:          # stuffed
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt - 0xD0)
+            else:                    # EOI or another marker: 1-fill
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self):
+        """Drop to a byte boundary and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF:
+            self.pos += 1
+        while self.data[self.pos] == 0xFF and \
+                self.data[self.pos + 1] == 0xFF:
+            self.pos += 1
+        m = self.data[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RSTn, found FF{m:02X}")
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, n):
+        self.n = n
+
+
+def _quality_tables(quality):
+    """quality=None -> unit tables (numerically lossless for
+    block-constant fixtures); else the public IJG scaling of the
+    Annex K tables (quality 1..100)."""
+    if quality is None:
+        one = np.ones(64, dtype=np.int64)
+        return one, one
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    lum = np.clip((_QT_LUMA_K1 * scale + 50) // 100, 1, 255)
+    chr_ = np.clip((_QT_CHROMA_K2 * scale + 50) // 100, 1, 255)
+    return lum, chr_
+
+
+def _csize(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """uint8 plane -> (nby, nbx, 8, 8) float64 blocks, edge-replicated
+    to multiples of 8."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    return (plane.reshape(hh // 8, 8, ww // 8, 8)
+            .transpose(0, 2, 1, 3).astype(np.float64))
+
+
+def _fdct_quant(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial blocks -> (n, 64) zigzagged quantized coeffs.
+    AC clamped to the T.81 8-bit-precision coefficient range."""
+    s = np.einsum("ux,nxy,vy->nuv", _DCT_T, blocks - 128.0, _DCT_T)
+    q = np.round(s.reshape(-1, 64) / qtab.astype(np.float64))
+    q = np.clip(q, -2047, 2047)
+    q[:, 1:] = np.clip(q[:, 1:], -1023, 1023)
+    return q[:, _ZIGZAG].astype(np.int64)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    diff = int(zz[0]) - pred
+    sz = _csize(diff)
+    code, ln = dc_tab[sz]
+    bw.put(code, ln)
+    if sz:
+        bw.put(diff if diff >= 0 else diff + (1 << sz) - 1, sz)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]      # ZRL
+            bw.put(code, ln)
+            run -= 16
+        sz = _csize(v)
+        code, ln = ac_tab[(run << 4) | sz]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << sz) - 1, sz)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]          # EOB
+        bw.put(code, ln)
+    return int(zz[0])
+
+
+def _rgb_to_ycbcr(img: np.ndarray):
+    """JFIF full-range YCbCr, rounded + clamped to uint8 planes."""
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    out = []
+    for p in (y, cb, cr):
+        out.append(np.clip(np.round(p), 0, 255).astype(np.uint8))
+    return out
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.stack([np.clip(np.round(c), 0, 255).astype(np.uint8)
+                     for c in (r, g, b)], axis=2)
+
+
+def _dht_segment(tclass: int, tid: int, bits, values) -> bytes:
+    body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values)
+    return b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray, quality=None, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """uint8 (H,W) gray / (H,W,3) RGB -> baseline sequential JPEG.
+
+    quality=None writes unit quantization tables (exact for aligned-
+    block-constant fixtures); 1..100 uses the IJG scaling of the
+    Annex K tables.  subsampling: "444" or "420" (ignored for gray).
+    restart_interval > 0 writes DRI + RSTn markers every that many
+    MCUs."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    qlum, qchr = _quality_tables(quality)
+    qlum_z, qchr_z = qlum[_ZIGZAG], qchr[_ZIGZAG]
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(img)
+        if subsampling == "420":
+            # pad to even dims with edge replication, then 2x2 mean
+            cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+            crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+            hh, ww = cbp.shape
+            def _down(p):
+                p4 = p.reshape(hh // 2, 2, ww // 2, 2).astype(np.float64)
+                return np.clip(np.round(p4.mean(axis=(1, 3))), 0,
+                               255).astype(np.uint8)
+            planes = [y, _down(cbp), _down(crp)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # per-component zigzag blocks, MCU-padded
+    comp_zz = []
+    comp_nbx = []
+    for ci, p in enumerate(planes):
+        sh, sv = samp[ci]
+        # plane dims padded so the MCU grid is complete
+        need_h = -p.shape[0] % (8 * sv)
+        need_w = -p.shape[1] % (8 * sh)
+        if need_h or need_w:
+            p = np.pad(p, ((0, need_h), (0, need_w)), mode="edge")
+        blocks = _plane_blocks(p)
+        nby, nbx = blocks.shape[:2]
+        zz = _fdct_quant(blocks.reshape(-1, 8, 8),
+                         qlum if qsel[ci] == 0 else qchr)
+        comp_zz.append(zz.reshape(nby, nbx, 64))
+        comp_nbx.append((nby, nbx))
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # entropy coding
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    ac_c = _huff_codes(*_AC_CHROMA)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * len(planes)
+            for ci in range(len(planes)):
+                sh, sv = samp[ci]
+                dct = dc_l if qsel[ci] == 0 else dc_c
+                act = ac_l if qsel[ci] == 0 else ac_c
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = comp_zz[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(
+                            bw, zz, preds[ci], dct, act)
+            mcu_count += 1
+    bw.pad_to_byte()
+    # ---- markers ----
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+            + bytes([0, 0]))                           # APP0
+    out += (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0x00])
+            + bytes(qlum_z.astype(np.uint8)))          # DQT 0
+    if not gray:
+        out += (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0x01])
+                + bytes(qchr_z.astype(np.uint8)))      # DQT 1
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      qsel[ci]])
+    out += b"\xFF\xC0" + struct.pack(">H", len(sof) + 2) + sof  # SOF0
+    out += _dht_segment(0, 0, *_DC_LUMA)
+    out += _dht_segment(1, 0, *_AC_LUMA)
+    if not gray:
+        out += _dht_segment(0, 1, *_DC_CHROMA)
+        out += _dht_segment(1, 1, *_AC_CHROMA)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for ci in range(nc):
+        tid = 0 if qsel[ci] == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos  # SOS
+    out += bw.buf
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+def _huff_decode_table(bits, values):
+    """(length, code) -> value map — same Annex C canonical assignment
+    as _huff_codes, keyed for stream decoding."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_huff(br: "_BitReader", tab: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        v = tab.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in JPEG entropy stream")
+
+
+def _extend(v: int, sz: int) -> int:
+    """T.81 F.2.2.1 EXTEND: sz-bit magnitude -> signed value."""
+    if sz == 0:
+        return 0
+    return v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+
+
+def _decode_block(br: "_BitReader", dc_tab: dict, ac_tab: dict) -> np.ndarray:
+    """One 8x8 block's zigzag coefficients (DC as the DIFF value —
+    caller applies the predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    sz = _read_huff(br, dc_tab)
+    zz[0] = _extend(br.bits(sz), sz) if sz else 0
+    k = 1
+    while k < 64:
+        rs = _read_huff(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:          # ZRL: 16 zeros
+                k += 16
+                continue
+            break                # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(br.bits(s), s)
+        k += 1
+    return zz
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG -> uint8 (H,W) gray / (H,W,3) RGB.
+
+    Written from ITU-T T.81: marker parse (tables always taken from
+    the stream's own DQT/DHT, never assumed), Annex F Huffman + DIFF
+    decoding, RSTn restart handling, dequantize, inverse zigzag,
+    8x8 IDCT (orthonormal matrix product), chroma upsampling by
+    sample replication, JFIF YCbCr->RGB.
+    """
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}     # id -> natural-order int64[64]
+    htabs: dict[tuple, dict] = {}         # (class, id) -> decode table
+    frame = None
+    dri = 0
+    scan = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while payload[pos + 1] == 0xFF:   # fill bytes
+            pos += 1
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:                     # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + ln]
+        nxt = pos + ln
+        if m == 0xDB:                     # DQT (1+ tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tab = np.frombuffer(
+                        body[i:i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                else:                     # 16-bit precision
+                    tab = np.frombuffer(
+                        body[i:i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZIGZAG] = tab        # DQT is in zigzag order
+                qtabs[tq] = nat
+        elif m == 0xC4:                   # DHT (1+ tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                bits = list(body[i:i + 16])
+                i += 16
+                n = sum(bits)
+                vals = list(body[i:i + n])
+                i += n
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+        elif m in (0xC0, 0xC1):           # SOF0 / SOF1 (both Huffman seq.)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"only 8-bit precision (got {prec})")
+            comps = []
+            for ci in range(nc):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                tq = body[8 + 3 * ci]
+                comps.append([cid, hv >> 4, hv & 0x0F, tq])
+            frame = (h, w, comps)
+        elif 0xC2 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(
+                f"unsupported SOF FF{m:02X}: baseline sequential only")
+        elif m == 0xDD:                   # DRI
+            (dri,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA:                   # SOS
+            ns = body[0]
+            scomps = []
+            i = 1
+            for _ in range(ns):
+                cs, tt = body[i], body[i + 1]
+                i += 2
+                scomps.append((cs, tt >> 4, tt & 0x0F))
+            scan = (scomps, nxt)
+            break
+        # APPn / COM / anything else: skip
+        pos = nxt
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    h, w, comps = frame
+    scomps, data_pos = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c[0]: c for c in comps}
+    order = []                            # (comp, dc_tab, ac_tab) per scan
+    for cs, td, ta in scomps:
+        order.append((by_id[cs], htabs[(0, td)], htabs[(1, ta)]))
+    coeff = {c[0]: np.zeros((mcus_y * c[2], mcus_x * c[1], 64),
+                            dtype=np.int64) for c in comps}
+    br = _BitReader(payload, data_pos)
+    preds = {c[0]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.align_restart()
+                preds = {c[0]: 0 for c in comps}
+            for comp, dct, act in order:
+                cid, sh, sv = comp[0], comp[1], comp[2]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = _decode_block(br, dct, act)
+                        zz[0] += preds[cid]
+                        preds[cid] = int(zz[0])
+                        coeff[cid][my * sv + by, mx * sh + bx] = zz
+            mcu_count += 1
+    # dequantize + IDCT per component (batched einsum), then upsample
+    planes = []
+    for comp in comps:
+        cid, sh, sv, tq = comp
+        zz = coeff[cid].reshape(-1, 64)
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz              # inverse zigzag
+        s = (nat * qtabs[tq][None, :]).astype(np.float64).reshape(-1, 8, 8)
+        blocks = np.einsum("xu,nuv,yv->nxy", _DCT_T.T, s, _DCT_T.T) + 128.0
+        nby, nbx = mcus_y * sv, mcus_x * sh
+        plane = (blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(nby * 8, nbx * 8))
+        plane = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+        if sh < hmax or sv < vmax:        # sample replication upsample
+            plane = plane.repeat(vmax // sv, axis=0).repeat(
+                hmax // sh, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    return _ycbcr_to_rgb(*planes)
+
+
+def jpeg_features(payload: bytes) -> dict:
+    a = decode_jpeg(payload)
     if a.ndim == 2:
         a = a[:, :, None].repeat(3, axis=2)
     return {

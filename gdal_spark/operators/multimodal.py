@@ -108,9 +108,11 @@ def decode_media_real(df: DataFrame, id_col: str = "doc_id",
                       kind_col: str = "kind",
                       payload_col: str = "payload") -> DataFrame:
     """REAL media decode for the stdlib-parsable formats: canonical
-    PCM WAV and 24-bit uncompressed BMP (kernels/media.py — struct +
-    numpy, no external codec).  Compressed formats stay behind
-    decode_media_stub, clearly flagged.
+    PCM WAV, 24-bit uncompressed BMP, PNG (zlib + 5 filters) and
+    baseline JPEG (spec-written T.81 codec) — kernels/media.py,
+    struct + zlib + numpy, no external codec.  Remaining compressed
+    formats (mp4/webp/...) stay behind decode_media_stub, clearly
+    flagged.
 
     One Arrow pass; per-kind feature columns (0 where not
     applicable): rate, n_samples, duration_ms, rms, peak for audio;
@@ -133,6 +135,8 @@ def decode_media_real(df: DataFrame, id_col: str = "doc_id",
                     base.update(km.bmp_features(bytes(payload)))
                 elif kind == "png":
                     base.update(km.png_features(bytes(payload)))
+                elif kind == "jpeg":
+                    base.update(km.jpeg_features(bytes(payload)))
                 else:
                     raise ValueError(
                         f"no stdlib codec for kind={kind!r}; "
@@ -171,6 +175,37 @@ def synth_media_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                          % 256).astype(np.uint8)
                     rows.append({"doc_id": did, "kind": "bmp",
                                  "payload": km.encode_bmp(a)})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        _mk, "doc_id long, kind string, payload binary")
+
+
+def synth_jpeg_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture builder for the JPEG decode path: deterministic
+    grayscale baseline JPEGs from pure doc_id formulas.  Pixels are
+    CONSTANT within each aligned 8x8 block and the encoder writes unit
+    quantization tables, so the lossy pipeline (DCT -> quantize ->
+    Huffman -> dequantize -> IDCT) reproduces every pixel EXACTLY and
+    the oracle can restate the features from the generating block
+    formula in SQL.  Dims vary per doc (including non-multiples of 8,
+    exercising MCU edge padding) and the restart interval cycles
+    doc_id % 4 (0 = no DRI), exercising RSTn resync + predictor
+    resets under the value-exact gate."""
+    from ..kernels import media as km
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 9 + did % 16, 9 + did % 12
+                rr, cc = np.mgrid[0:h, 0:w]
+                a = ((did * 7 + (rr // 8) * 13 + (cc // 8) * 3)
+                     % 256).astype(np.uint8)
+                rows.append({"doc_id": did, "kind": "jpeg",
+                             "payload": km.encode_jpeg(
+                                 a, restart_interval=did % 4)})
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(

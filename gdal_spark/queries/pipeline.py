@@ -637,6 +637,50 @@ def media_decode_png(spark, sf_dir):
 
 
 @register(
+    "media_decode_jpeg",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, 9 + doc_id % 16 AS w, 9 + doc_id % 12 AS h
+      FROM documents
+    ),
+    rws AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS r FROM d
+    ),
+    cells AS (
+      SELECT doc_id, w, h, r, unnest(generate_series(0, w - 1)) AS c
+      FROM rws
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             CAST((doc_id * 7 + (r // 8) * 13 + (c // 8) * 3) % 256
+                  AS DOUBLE) AS v
+      FROM cells
+    )
+    SELECT doc_id, 'jpeg' AS kind,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           SUM(v) / (MAX(w) * MAX(h)) AS mean_r,
+           SUM(v) / (MAX(w) * MAX(h)) AS mean_g,
+           SUM(v) / (MAX(w) * MAX(h)) AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="REAL baseline JPEG decode, codec written from ITU-T T.81 "
+         "(kernels/media.py: markers, canonical Huffman, zigzag+quant, "
+         "8x8 DCT, RSTn restarts cycled by doc_id).  Fixtures are "
+         "aligned-block-constant with unit quantization tables, so the "
+         "lossy pipeline is numerically EXACT and the oracle re-derives "
+         "every pixel from the generating block formula — one wrong bit "
+         "anywhere in the entropy stream breaks the hash",
+)
+def media_decode_jpeg(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_jpeg_col_rows(docs)
+    return (mm.decode_media_real(media)
+            .select("doc_id", "kind", "width", "height",
+                    "mean_r", "mean_g", "mean_b")
+            .orderBy("doc_id"))
+
+
+@register(
     "frame_sample",
     sql="""
     WITH d AS (SELECT doc_id, 1 + (doc_id % 120) AS nf FROM documents)

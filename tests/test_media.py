@@ -95,7 +95,7 @@ def test_decode_media_real_rejects_unknown_kind(spark):
     from gdal_spark.operators import multimodal as mm
 
     df = spark.createDataFrame(
-        [(1, "jpeg", bytearray(b"\xff\xd8junk"))],
+        [(1, "mp4", bytearray(b"\x00\x00\x00 ftypisom"))],
         "doc_id long, kind string, payload binary")
     with pytest.raises(Exception, match="no stdlib codec"):
         mm.decode_media_real(df).collect()
