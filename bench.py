@@ -104,6 +104,8 @@ HEADLINE = [
     "dialect_spatial_join",
     "grid_linear_tiled",
     "geotiff_sink_single",
+    "media_decode_jpeg",
+    "media_decode_avi",
 ]
 
 BIG_JOIN_N = int(os.environ.get("SPARK_GRAFT_BIGJOIN_N", 8_000_000))

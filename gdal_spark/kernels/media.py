@@ -5,9 +5,11 @@ BITMAPINFOHEADER spec).
 These upgrade the multimodal pipeline from "honest stub" to REAL
 decode for the formats a no-dependency container can parse — struct +
 zlib + numpy only, no PIL/ffmpeg.  PNG (spec-written inflate+filter
-pipeline) and baseline JPEG (spec-written ITU-T T.81 codec, below)
-are real too; video containers (mp4) remain behind the stub
-(operators/multimodal.py), clearly flagged.
+pipeline), baseline JPEG (spec-written ITU-T T.81 codec) and AVI
+video (RIFF container, uncompressed DIB frames) are real too — every
+modality (audio/image/video) now has at least one fully decoded
+format; only externally-compressed containers (mp4) remain behind the
+stub (operators/multimodal.py), clearly flagged.
 
 Encoders exist so fixtures can synthesize deterministic media from
 formulas; the catalog oracle then re-derives the decoded features
@@ -936,4 +938,138 @@ def jpeg_features(payload: bytes) -> dict:
         "mean_r": float(a[:, :, 0].mean()),
         "mean_g": float(a[:, :, 1].mean()),
         "mean_b": float(a[:, :, 2].mean()),
+    }
+
+
+# ---- AVI (RIFF 'AVI ', uncompressed DIB video frames) ----------------------
+# Spec-written from the public RIFF/AVI layout (Microsoft "AVI RIFF
+# File Reference"): LIST hdrl (avih MainAVIHeader + LIST strl with
+# strh/strf), LIST movi with one '00db' DIB chunk per frame (the same
+# bottom-up BGR row-padded pixel layout as BMP above), and an idx1
+# old-style index.  This makes VIDEO a real decoded modality — frame
+# extraction reads actual container bytes instead of a doc_id formula.
+# GDAL has no video driver; parity anchor is the frmts/bmp DIB pixel
+# layout (frmts/bmpdataset.cpp:378-394) reused per frame.
+
+def _dib_frame(rgb: np.ndarray) -> bytes:
+    """HxWx3 RGB -> bottom-up BGR DIB pixel block, rows padded to 4."""
+    h, w, _ = rgb.shape
+    pad = (-(w * 3)) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):
+        body += rgb[r, :, ::-1].tobytes()
+        body += b"\x00" * pad
+    return bytes(body)
+
+
+def encode_avi(frames: np.ndarray, rate: int = 10, scale: int = 1) -> bytes:
+    """(N,H,W,3) uint8 RGB frames -> uncompressed 24-bit DIB AVI.
+
+    fps = rate/scale.  Every frame is a keyframe ('00db', BI_RGB).
+    """
+    n, h, w, _ = frames.shape
+    pad = (-(w * 3)) % 4
+    frame_sz = (w * 3 + pad) * h
+    usec = int(round(1_000_000 * scale / rate))
+    avih = struct.pack("<IIIIIIIIII4I", usec, frame_sz * rate // scale,
+                       0, 0x10, n, 0, 1, frame_sz, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " +
+            struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, scale, rate, 0, n,
+                        frame_sz, 0, 0) +
+            struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz,
+                       0, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            out += b"\x00"
+        return out
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for fi in range(n):
+        # old-style index offsets are relative to the 'movi' fourcc
+        idx += b"00db" + struct.pack("<III", 0x10,
+                                     len(movi_body), frame_sz)
+        movi_body += chunk(b"00db", _dib_frame(frames[fi]))
+    movi = chunk(b"LIST", bytes(movi_body))
+    idx1 = chunk(b"idx1", bytes(idx))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes):
+    """Uncompressed DIB AVI -> (rate, scale, frames (N,H,W,3) RGB).
+
+    RIFF chunk walk tolerant of unknown chunks (same approach as the
+    WAV reader); only biCompression == 0 (BI_RGB) 24-bit streams are
+    supported — anything else raises."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = None
+    rate = scale = None
+    n_declared = 0
+    frames = []
+
+    def walk(pos: int, end: int):
+        nonlocal w, h, rate, scale, n_declared
+        while pos + 8 <= end:
+            tag = payload[pos:pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + ln)
+            elif tag == b"avih":
+                flds = struct.unpack("<10I", payload[body_start:
+                                                     body_start + 40])
+                n_declared, w, h = flds[4], flds[8], flds[9]
+            elif tag == b"strh":
+                fcc = payload[body_start:body_start + 4]
+                if fcc == b"vids":
+                    flds = struct.unpack_from(
+                        "<IHHIII", payload, body_start + 8)
+                    scale, rate = flds[4], flds[5]
+            elif tag == b"strf":
+                bits, comp = struct.unpack(
+                    "<HI", payload[body_start + 14:body_start + 20])
+                if bits != 24 or comp != 0:
+                    raise ValueError(
+                        f"only 24-bit BI_RGB DIB video supported "
+                        f"(bits={bits}, compression={comp})")
+            elif tag in (b"00db", b"00dc"):
+                frames.append((body_start, ln))
+            pos = body_start + ln + (ln % 2)
+
+    walk(12, 8 + struct.unpack("<I", payload[4:8])[0])
+    if w is None or not frames:
+        raise ValueError("missing avih header or frame chunks")
+    pad = (-(w * 3)) % 4
+    stride = w * 3 + pad
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for fi, (off, ln) in enumerate(frames):
+        if ln != stride * h:
+            raise ValueError(f"frame {fi} size {ln} != {stride * h}")
+        a = np.frombuffer(payload, dtype=np.uint8, count=ln, offset=off)
+        a = a.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        out[fi] = a[::-1, :, ::-1]            # bottom-up BGR -> RGB
+    return int(rate), int(scale), out
+
+
+def avi_features(payload: bytes) -> dict:
+    rate, scale, frames = decode_avi(payload)
+    return {
+        "width": int(frames.shape[2]),
+        "height": int(frames.shape[1]),
+        "n_frames": int(frames.shape[0]),
+        "rate": int(rate),
+        "duration_ms": int(frames.shape[0] * 1000 * scale // rate),
+        "mean_r": float(frames[:, :, :, 0].mean()),
+        "mean_g": float(frames[:, :, :, 1].mean()),
+        "mean_b": float(frames[:, :, :, 2].mean()),
     }

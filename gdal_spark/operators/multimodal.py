@@ -3,13 +3,11 @@
 Media payloads are opaque ``binary`` columns with typed metadata —
 the Spark-side contract a 100 TB interleaved corpus needs: schema,
 partitioning, Arrow batch shape, and UDF signatures are real and
-tested; the actual codec step is a clearly-marked STUB because no
-image/audio library ships in this container.
-
-The deterministic fake decoder derives "features" from the payload
-bytes themselves (numpy over Arrow batches in mapInPandas), so the
-whole pipeline — binary column in, feature columns out — runs and is
-oracle-checkable end-to-end.
+tested.  Decode is REAL for every modality via the spec-written
+stdlib codecs in kernels/media.py (WAV audio; BMP/PNG/baseline-JPEG
+images; AVI video with per-frame sampling); only externally-
+compressed containers (mp4) stay behind the clearly-marked stub,
+since no codec library ships in this container.
 """
 
 from __future__ import annotations
@@ -175,6 +173,69 @@ def synth_media_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                          % 256).astype(np.uint8)
                     rows.append({"doc_id": did, "kind": "bmp",
                                  "payload": km.encode_bmp(a)})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        _mk, "doc_id long, kind string, payload binary")
+
+
+def frame_sample_real(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload",
+                      stride: int = 2) -> DataFrame:
+    """REAL video frame sampling: decode AVI container bytes
+    (kernels/media.py — RIFF walk + per-frame DIB decode), emit every
+    ``stride``-th frame with its timestamp and per-frame channel
+    means.  One Arrow pass; the per-doc frame explode happens inside
+    the batch (numpy slicing), so the exchanged payload is decoded
+    exactly once where it lands — the decode-where-the-bytes-are rule
+    that keeps a 100 TB video corpus off the driver."""
+    from ..kernels import media as km
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, scale, frames = km.decode_avi(bytes(payload))
+                n, h, w, _ = frames.shape
+                for f in range(0, n, stride):
+                    fr = frames[f].astype(np.float64)
+                    rows.append({
+                        "doc_id": did, "frame_idx": f,
+                        "ts_ms": f * 1000 * scale // rate,
+                        "width": w, "height": h,
+                        "mean_r": float(fr[:, :, 0].mean()),
+                        "mean_g": float(fr[:, :, 1].mean()),
+                        "mean_b": float(fr[:, :, 2].mean()),
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _sample,
+        "doc_id long, frame_idx int, ts_ms long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double")
+
+
+def synth_avi_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture builder for the AVI decode path: deterministic
+    uncompressed-DIB videos from pure doc_id formulas — frame count,
+    dims, and frame rate all vary per doc; pixel(f,r,c,ch) =
+    (doc_id*7 + f*19 + r*13 + c*3 + ch*11) % 256, so the oracle can
+    restate per-sampled-frame features in SQL."""
+    from ..kernels import media as km
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                nf = 4 + did % 9
+                w, h = 6 + did % 8, 5 + did % 6
+                ff, rr, cc, ch = np.mgrid[0:nf, 0:h, 0:w, 0:3]
+                a = ((did * 7 + ff * 19 + rr * 13 + cc * 3 + ch * 11)
+                     % 256).astype(np.uint8)
+                rows.append({"doc_id": did, "kind": "avi",
+                             "payload": km.encode_avi(
+                                 a, rate=10 + did % 10)})
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(

@@ -681,6 +681,60 @@ def media_decode_jpeg(spark, sf_dir):
 
 
 @register(
+    "media_decode_avi",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, 6 + doc_id % 8 AS w, 5 + doc_id % 6 AS h,
+             4 + doc_id % 9 AS nf, 10 + doc_id % 10 AS rate
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, rate,
+             unnest(generate_series(0, nf - 1, 2)) AS f
+      FROM d
+    ),
+    rws AS (
+      SELECT doc_id, w, h, rate, f,
+             unnest(generate_series(0, h - 1)) AS r
+      FROM fr
+    ),
+    cells AS (
+      SELECT doc_id, w, h, rate, f, r,
+             unnest(generate_series(0, w - 1)) AS c
+      FROM rws
+    ),
+    px AS (
+      SELECT doc_id, w, h, rate, f,
+             CAST((doc_id*7 + f*19 + r*13 + c*3) % 256 AS DOUBLE) AS v0,
+             CAST((doc_id*7 + f*19 + r*13 + c*3 + 11) % 256 AS DOUBLE) AS v1,
+             CAST((doc_id*7 + f*19 + r*13 + c*3 + 22) % 256 AS DOUBLE) AS v2
+      FROM cells
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(f * 1000 // MAX(rate) AS BIGINT) AS ts_ms,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           SUM(v0) / (MAX(w) * MAX(h)) AS mean_r,
+           SUM(v1) / (MAX(w) * MAX(h)) AS mean_g,
+           SUM(v2) / (MAX(w) * MAX(h)) AS mean_b
+    FROM px GROUP BY doc_id, f ORDER BY doc_id, f
+    """,
+    desc="REAL video decode + frame sampling: deterministic uncompressed "
+         "DIB AVIs (RIFF container written from the public AVI layout, "
+         "kernels/media.py) with per-doc frame counts/dims/rates are "
+         "decoded by the stdlib RIFF walk, every 2nd frame sampled with "
+         "its rate-derived timestamp and per-frame channel means; the "
+         "oracle re-derives every sampled frame's features from the "
+         "generating pixel formula — a wrong byte in any frame chunk, "
+         "header field, or row padding breaks the hash",
+)
+def media_decode_avi(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_avi_col_rows(docs)
+    return mm.frame_sample_real(media, stride=2).orderBy(
+        "doc_id", "frame_idx")
+
+
+@register(
     "frame_sample",
     sql="""
     WITH d AS (SELECT doc_id, 1 + (doc_id % 120) AS nf FROM documents)
