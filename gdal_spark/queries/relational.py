@@ -521,3 +521,56 @@ def events_sessionize(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "style_params",
+    sql="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 5 = 0 THEN NULL
+           ELSE '#' || lpad(CAST((doc_id * 2654435761) % 1000000
+                                 AS VARCHAR), 6, '0') END AS pen_c,
+      CASE WHEN doc_id % 5 = 0 THEN NULL
+           ELSE CAST(doc_id % 9 + 1 AS VARCHAR) || 'px' END AS pen_w,
+      CASE WHEN doc_id % 5 = 0 OR doc_id % 3 <> 0 THEN NULL
+           ELSE '#' || lpad(CAST((doc_id * 97) % 1000000 AS VARCHAR),
+                            6, '0') END AS brush_fc,
+      CASE WHEN doc_id % 5 = 0 THEN NULL
+           ELSE CAST(doc_id % 24 + 6 AS VARCHAR) || 'pt' END AS label_s,
+      CASE WHEN doc_id % 5 = 0 THEN NULL
+           ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS label_t
+    FROM documents ORDER BY doc_id
+    """,
+    desc="OGR feature-style surface (OGRStyleTool::GetParamStr role, "
+         "ogr/ogrfeaturestyle.cpp): deterministic PEN/BRUSH/LABEL style "
+         "strings are built per doc (every 5th feature unstyled -> NULL, "
+         "matching OGRFeature::GetStyleString for style-less features; "
+         "BRUSH present only on every 3rd), then each tool parameter is "
+         "read back via style_tool_param_col's pure-Column regexps; the "
+         "oracle re-derives every parameter from the generating formula "
+         "— a wrong split or capture anywhere breaks the hash",
+)
+def style_params(spark, sf_dir):
+    from ..sql.ogr_dialect import style_tool_param_col
+
+    d = F.col("doc_id")
+    style = F.when(d % 5 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.format_string("PEN(c:#%06d,w:%dpx)",
+                            (d * 2654435761) % 1000000, d % 9 + 1),
+            F.when(d % 3 == 0,
+                   F.format_string(";BRUSH(fc:#%06d)", (d * 97) % 1000000)
+                   ).otherwise(F.lit("")),
+            F.format_string(";LABEL(f:Arial,s:%dpt,t:doc-%d)",
+                            d % 24 + 6, d),
+        ))
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", style.alias("OGR_STYLE"))
+    return docs.select(
+        "doc_id",
+        style_tool_param_col("OGR_STYLE", "PEN", "c").alias("pen_c"),
+        style_tool_param_col("OGR_STYLE", "PEN", "w").alias("pen_w"),
+        style_tool_param_col("OGR_STYLE", "BRUSH", "fc").alias("brush_fc"),
+        style_tool_param_col("OGR_STYLE", "LABEL", "s").alias("label_s"),
+        style_tool_param_col("OGR_STYLE", "LABEL", "t").alias("label_t"),
+    ).orderBy("doc_id")
