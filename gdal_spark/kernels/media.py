@@ -8,7 +8,8 @@ zlib + numpy only, no PIL/ffmpeg.  PNG (spec-written inflate+filter
 pipeline), baseline JPEG (spec-written ITU-T T.81 codec) and AVI
 video (RIFF container, uncompressed DIB frames) are real too — every
 modality (audio/image/video) now has at least one fully decoded
-format; only externally-compressed containers (mp4) remain behind the
+format.  MP4/ISO-BMFF METADATA (box walk, below) is real too; only
+the codec sample payloads inside mdat (H.264/AAC) remain behind the
 stub (operators/multimodal.py), clearly flagged.
 
 Encoders exist so fixtures can synthesize deterministic media from
@@ -1072,4 +1073,115 @@ def avi_features(payload: bytes) -> dict:
         "mean_r": float(frames[:, :, :, 0].mean()),
         "mean_g": float(frames[:, :, :, 1].mean()),
         "mean_b": float(frames[:, :, :, 2].mean()),
+    }
+
+
+# ---- MP4 / ISO BMFF (metadata box walk; sample DECODE stays stubbed) ------
+# Spec-written from the public ISO/IEC 14496-12 box layout: size+type
+# box stream, ftyp major brand, moov/mvhd (timescale+duration, v0/v1),
+# trak/tkhd (track id, 16.16 fixed-point width/height), mdia/hdlr
+# (handler fourcc), stbl/stsz (sample count).  This makes MP4
+# METADATA a real decoded surface; the codec payloads inside mdat
+# (H.264/AAC) genuinely require external codecs and stay behind the
+# clearly-marked stub in operators/multimodal.py.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def encode_mp4_meta(tracks, timescale: int = 1000,
+                    duration: int = 0, brand: bytes = b"isom") -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov (mvhd + one trak per entry)
+    + empty mdat.  tracks = [(handler4cc, width, height, n_samples)];
+    width/height 0 for non-visual tracks.  Fixture writer only — real
+    MP4s from the wild parse through decode_mp4_meta the same way."""
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    mvhd = box(b"mvhd", struct.pack(">B3x", 0)
+               + struct.pack(">IIIII", 0, 0, timescale, duration, 0x10000)
+               + b"\x00" * 70)
+    moov_body = mvhd
+    for ti, (handler, w, h, n_samples) in enumerate(tracks):
+        tkhd = box(b"tkhd", struct.pack(">B3x", 0)
+                   + struct.pack(">IIIII", 0, 0, ti + 1, 0, duration)
+                   + b"\x00" * 52
+                   + struct.pack(">II", w << 16, h << 16))
+        stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n_samples))
+        stbl = box(b"stbl", stsz)
+        minf = box(b"minf", stbl)
+        hdlr = box(b"hdlr", struct.pack(">B3xI", 0, 0) + handler
+                   + b"\x00" * 12 + b"\x00")
+        mdia = box(b"mdia", hdlr + minf)
+        moov_body += box(b"trak", tkhd + mdia)
+    return ftyp + box(b"moov", moov_body) + box(b"mdat", b"")
+
+
+def decode_mp4_meta(payload: bytes) -> dict:
+    """ISO BMFF metadata: brand, movie duration (ms), per-track
+    handler/dims/sample counts.  Box walk only — no sample decode."""
+    brand = None
+    timescale = duration = None
+    tracks = []
+    cur: dict | None = None
+
+    def walk(pos: int, end: int, depth: int):
+        nonlocal brand, timescale, duration, cur
+        while pos + 8 <= end:
+            (sz,) = struct.unpack(">I", payload[pos:pos + 4])
+            tag = payload[pos + 4:pos + 8]
+            body = pos + 8
+            if sz == 1:                   # 64-bit largesize
+                (sz,) = struct.unpack(">Q", payload[pos + 8:pos + 16])
+                body = pos + 16
+            elif sz == 0:                 # to end of file
+                sz = end - pos
+            if sz < 8 or pos + sz > end:
+                raise ValueError(f"bad box size {sz} at {pos}")
+            if tag == b"ftyp":
+                brand = payload[body:body + 4].decode("latin-1")
+            elif tag == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", payload[body + 20:body + 32])
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[body + 12:body + 20])
+            elif tag == b"trak":
+                cur = {"track_id": None, "handler": None, "width": 0,
+                       "height": 0, "n_samples": 0}
+                walk(body, pos + sz, depth + 1)
+                tracks.append(cur)
+                cur = None
+                pos += sz
+                continue
+            elif tag == b"tkhd" and cur is not None:
+                ver = payload[body]
+                off = body + (12 if ver == 0 else 20)
+                (cur["track_id"],) = struct.unpack(
+                    ">I", payload[off:off + 4])
+                wh = payload[pos + sz - 8:pos + sz]
+                w16, h16 = struct.unpack(">II", wh)
+                cur["width"], cur["height"] = w16 >> 16, h16 >> 16
+            elif tag == b"hdlr" and cur is not None:
+                cur["handler"] = payload[body + 8:body + 12].decode(
+                    "latin-1")
+            elif tag == b"stsz" and cur is not None:
+                fixed, cnt = struct.unpack(
+                    ">II", payload[body + 4:body + 12])
+                cur["n_samples"] = cnt
+            elif tag in _MP4_CONTAINERS:
+                walk(body, pos + sz, depth + 1)
+            pos += sz
+
+    walk(0, len(payload), 0)
+    if brand is None or timescale is None:
+        raise ValueError("not an ISO BMFF payload (missing ftyp/mvhd)")
+    return {
+        "brand": brand,
+        "duration_ms": int(duration * 1000 // timescale) if timescale
+        else 0,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
     }

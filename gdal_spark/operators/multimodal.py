@@ -5,9 +5,10 @@ the Spark-side contract a 100 TB interleaved corpus needs: schema,
 partitioning, Arrow batch shape, and UDF signatures are real and
 tested.  Decode is REAL for every modality via the spec-written
 stdlib codecs in kernels/media.py (WAV audio; BMP/PNG/baseline-JPEG
-images; AVI video with per-frame sampling); only externally-
-compressed containers (mp4) stay behind the clearly-marked stub,
-since no codec library ships in this container.
+images; AVI video with per-frame sampling; MP4/ISO-BMFF metadata
+box walk); only the codec sample payloads inside MP4 mdat (H.264/
+AAC) stay behind the clearly-marked stub, since no codec library
+ships in this container.
 """
 
 from __future__ import annotations
@@ -236,6 +237,72 @@ def synth_avi_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append({"doc_id": did, "kind": "avi",
                              "payload": km.encode_avi(
                                  a, rate=10 + did % 10)})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        _mk, "doc_id long, kind string, payload binary")
+
+
+def mp4_meta(df: DataFrame, id_col: str = "doc_id",
+             payload_col: str = "payload") -> DataFrame:
+    """REAL ISO BMFF (MP4) metadata extraction: box walk over the
+    container bytes (kernels/media.py::decode_mp4_meta — ftyp brand,
+    mvhd duration, per-track tkhd dims / hdlr handler / stsz sample
+    counts).  One Arrow pass; codec payloads inside mdat are NOT
+    decoded (that genuinely needs external codecs and stays behind
+    decode_media_stub)."""
+    from ..kernels import media as km
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = km.decode_mp4_meta(bytes(payload))
+                vid = next((tr for tr in m["tracks"]
+                            if tr["handler"] == "vide"), None)
+                aud = next((tr for tr in m["tracks"]
+                            if tr["handler"] == "soun"), None)
+                rows.append({
+                    "doc_id": did, "brand": m["brand"],
+                    "duration_ms": m["duration_ms"],
+                    "n_tracks": m["n_tracks"],
+                    "width": vid["width"] if vid else 0,
+                    "height": vid["height"] if vid else 0,
+                    "n_samples_v": vid["n_samples"] if vid else 0,
+                    "n_samples_a": aud["n_samples"] if aud else 0,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _meta,
+        "doc_id long, brand string, duration_ms long, n_tracks int, "
+        "width int, height int, n_samples_v int, n_samples_a int")
+
+
+def synth_mp4_col_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture builder for the MP4 metadata path: minimal valid ISO
+    BMFF files from pure doc_id formulas — brand, duration, video
+    dims, and per-track sample counts all vary per doc; every 4th doc
+    is audio-only (no vide track)."""
+    from ..kernels import media as km
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                brand = b"mp42" if did % 2 == 0 else b"isom"
+                tracks = []
+                if did % 4 != 0:
+                    tracks.append((b"vide", 320 + (did % 64) * 2,
+                                   180 + (did % 36) * 2,
+                                   24 * (1 + did % 5)))
+                tracks.append((b"soun", 0, 0, 100 + did % 50))
+                rows.append({"doc_id": did, "kind": "mp4",
+                             "payload": km.encode_mp4_meta(
+                                 tracks, timescale=600,
+                                 duration=157 * (1 + did % 40),
+                                 brand=brand)})
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(

@@ -167,7 +167,7 @@ _PRIORITY = [
     # batching touches st_measures above; explode M/ZM variants,
     # PNG decode, DDL dialect, strip-split GeoTIFF scan).
     "media_decode_png", "media_decode_jpeg", "media_decode_avi",
-    "style_params", "explode_collections_zm",
+    "media_meta_mp4", "style_params", "explode_collections_zm",
     "geotiff_scan_split",
     "dialect_spatial_join", "grid_linear_tiled", "geotiff_sink_single",
     # changed this session: score_u scaled-integer convention (the

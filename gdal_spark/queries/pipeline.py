@@ -735,6 +735,39 @@ def media_decode_avi(spark, sf_dir):
 
 
 @register(
+    "media_meta_mp4",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mp42' ELSE 'isom' END AS brand,
+           CAST(157 * (1 + doc_id % 40) * 1000 // 600 AS BIGINT)
+             AS duration_ms,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS INT)
+             AS n_tracks,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+                     ELSE 320 + (doc_id % 64) * 2 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+                     ELSE 180 + (doc_id % 36) * 2 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+                     ELSE 24 * (1 + doc_id % 5) END AS INT) AS n_samples_v,
+           CAST(100 + doc_id % 50 AS INT) AS n_samples_a
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL ISO BMFF (MP4) metadata: minimal valid containers (ftyp/"
+         "moov/mvhd/trak/tkhd/hdlr/stbl/stsz boxes, public ISO 14496-12 "
+         "layout) are synthesized from doc_id formulas — every 4th doc "
+         "audio-only — and parsed back by the stdlib box walk "
+         "(kernels/media.py::decode_mp4_meta); the oracle re-derives "
+         "brand, floor-divided duration, track count, fixed-point video "
+         "dims, and per-track sample counts from the same formulas; "
+         "codec sample decode stays honestly stubbed",
+)
+def media_meta_mp4(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_mp4_col_rows(docs)
+    return mm.mp4_meta(media).orderBy("doc_id")
+
+
+@register(
     "frame_sample",
     sql="""
     WITH d AS (SELECT doc_id, 1 + (doc_id % 120) AS nf FROM documents)
