@@ -194,21 +194,37 @@ def frame_sample_real(df: DataFrame, id_col: str = "doc_id",
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar accumulators: the per-frame feature math is one
+            # vectorized mean over ALL sampled frames of a payload, and
+            # the batch is assembled from arrays, not per-row dicts —
+            # this loop is the hot path of a video-corpus scan
+            dids, idxs, tss, ws, hs = [], [], [], [], []
+            means = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 rate, scale, frames = km.decode_avi(bytes(payload))
                 n, h, w, _ = frames.shape
-                for f in range(0, n, stride):
-                    fr = frames[f].astype(np.float64)
-                    rows.append({
-                        "doc_id": did, "frame_idx": f,
-                        "ts_ms": f * 1000 * scale // rate,
-                        "width": w, "height": h,
-                        "mean_r": float(fr[:, :, 0].mean()),
-                        "mean_g": float(fr[:, :, 1].mean()),
-                        "mean_b": float(fr[:, :, 2].mean()),
-                    })
-            yield pd.DataFrame(rows)
+                sampled = frames[::stride]
+                k = sampled.shape[0]
+                means.append(
+                    sampled.reshape(k, -1, 3).mean(axis=1,
+                                                   dtype=np.float64))
+                fidx = np.arange(0, n, stride, dtype=np.int64)
+                idxs.append(fidx)
+                tss.append(fidx * (1000 * scale) // rate)
+                dids.append(np.full(k, did, dtype=np.int64))
+                ws.append(np.full(k, w, dtype=np.int32))
+                hs.append(np.full(k, h, dtype=np.int32))
+            if not dids:
+                continue
+            m = np.concatenate(means)
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(dids),
+                "frame_idx": np.concatenate(idxs).astype(np.int32),
+                "ts_ms": np.concatenate(tss),
+                "width": np.concatenate(ws),
+                "height": np.concatenate(hs),
+                "mean_r": m[:, 0], "mean_g": m[:, 1], "mean_b": m[:, 2],
+            })
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _sample,
