@@ -456,64 +456,6 @@ class _BitWriter:
             self.put(0x7F, 8 - self.nbits)   # 1-fill per spec
 
 
-class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self):
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:          # stuffed
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt - 0xD0)
-            else:                    # EOI or another marker: 1-fill
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_restart(self):
-        """Drop to a byte boundary and consume an RSTn marker."""
-        self.acc = 0
-        self.nbits = 0
-        while self.data[self.pos] != 0xFF:
-            self.pos += 1
-        while self.data[self.pos] == 0xFF and \
-                self.data[self.pos + 1] == 0xFF:
-            self.pos += 1
-        m = self.data[self.pos + 1]
-        if not (0xD0 <= m <= 0xD7):
-            raise ValueError(f"expected RSTn, found FF{m:02X}")
-        self.pos += 2
-
-
-class _RestartMarker(Exception):
-    def __init__(self, n):
-        self.n = n
-
-
 def _quality_tables(quality):
     """quality=None -> unit tables (numerically lossless for
     block-constant fixtures); else the public IJG scaling of the
@@ -735,57 +677,140 @@ def encode_jpeg(img: np.ndarray, quality=None, subsampling: str = "444",
     return bytes(out)
 
 
+_HUFF_LUT_CACHE: dict = {}
+
+
 def _huff_decode_table(bits, values):
-    """(length, code) -> value map — same Annex C canonical assignment
-    as _huff_codes, keyed for stream decoding."""
-    out = {}
+    """Table-driven Huffman decode: the Annex C canonical codes,
+    left-aligned into a 65536-entry (value, length) LUT so one 16-bit
+    peek resolves any code (max length 16) in O(1) instead of walking
+    the tree bit by bit.  Cached by table content — tiny fixtures
+    would otherwise pay the 64k build per image."""
+    key = (tuple(bits), tuple(values))
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    val = np.zeros(65536, dtype=np.int16)
+    lng = np.zeros(65536, dtype=np.uint8)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = values[k]
+            lo = code << (16 - ln)
+            val[lo:lo + (1 << (16 - ln))] = values[k]
+            lng[lo:lo + (1 << (16 - ln))] = ln
             code += 1
             k += 1
         code <<= 1
+    out = (val.tolist(), lng.tolist())   # list indexing beats np scalar
+    _HUFF_LUT_CACHE[key] = out
     return out
 
 
-def _read_huff(br: "_BitReader", tab: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.bit()
-        v = tab.get((ln, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid Huffman code in JPEG entropy stream")
+def _entropy_segments(payload: bytes, pos: int) -> list:
+    """Split the scan's entropy-coded data at RSTn markers with byte
+    stuffing removed — one linear pre-pass (bulk slice copies between
+    0xFF sightings), so the per-symbol decoder never touches markers."""
+    segs = []
+    cur = bytearray()
+    n = len(payload)
+    while pos < n - 1:
+        b = payload[pos]
+        if b != 0xFF:
+            nxt = payload.find(b"\xff", pos)
+            if nxt == -1:
+                nxt = n
+            cur += payload[pos:nxt]
+            pos = nxt
+            continue
+        m = payload[pos + 1]
+        if m == 0x00:                     # stuffed data 0xFF
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:           # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        elif m == 0xFF:                   # fill byte
+            pos += 1
+        else:                             # EOI / next marker: scan ends
+            break
+    segs.append(bytes(cur))
+    return segs
 
 
-def _extend(v: int, sz: int) -> int:
-    """T.81 F.2.2.1 EXTEND: sz-bit magnitude -> signed value."""
-    if sz == 0:
-        return 0
-    return v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+class _FastBits:
+    """MSB-first bit reader over unstuffed entropy bytes; 1-fills past
+    the end (the spec's pad rule), so a block whose final EOB abuts
+    the segment end decodes without bounds checks."""
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _need(self, n: int):
+        while self.nbits < n:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._need(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int):
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def take(self, n: int) -> int:
+        if self.nbits < n:
+            self._need(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
 
 
-def _decode_block(br: "_BitReader", dc_tab: dict, ac_tab: dict) -> np.ndarray:
-    """One 8x8 block's zigzag coefficients (DC as the DIFF value —
-    caller applies the predictor)."""
-    zz = np.zeros(64, dtype=np.int64)
-    sz = _read_huff(br, dc_tab)
-    zz[0] = _extend(br.bits(sz), sz) if sz else 0
+def _decode_block(fb: "_FastBits", dc_val, dc_len, ac_val, ac_len) -> list:
+    """One 8x8 block's zigzag coefficients as a 64-int list (DC is the
+    DIFF value — caller applies the predictor).  T.81 F.2.2.1 EXTEND
+    is inlined."""
+    v16 = fb.peek16()
+    ln = dc_len[v16]
+    if not ln:
+        raise ValueError("invalid Huffman code in JPEG entropy stream")
+    fb.skip(ln)
+    sz = dc_val[v16]
+    zz = [0] * 64
+    if sz:
+        d = fb.take(sz)
+        zz[0] = d if d >= (1 << (sz - 1)) else d - (1 << sz) + 1
     k = 1
     while k < 64:
-        rs = _read_huff(br, ac_tab)
-        r, s = rs >> 4, rs & 0x0F
+        v16 = fb.peek16()
+        ln = ac_len[v16]
+        if not ln:
+            raise ValueError("invalid Huffman code in JPEG entropy stream")
+        fb.skip(ln)
+        rs = ac_val[v16]
+        s = rs & 0x0F
         if s == 0:
-            if r == 15:          # ZRL: 16 zeros
+            if rs == 0xF0:       # ZRL: 16 zeros
                 k += 16
                 continue
             break                # EOB
-        k += r
+        k += rs >> 4
         if k > 63:
             raise ValueError("AC run overflows block")
-        zz[k] = _extend(br.bits(s), s)
+        v = fb.take(s)
+        zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         k += 1
     return zz
 
@@ -883,26 +908,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     by_id = {c[0]: c for c in comps}
-    order = []                            # (comp, dc_tab, ac_tab) per scan
+    order = []                 # (comp, dc_val, dc_len, ac_val, ac_len)
     for cs, td, ta in scomps:
-        order.append((by_id[cs], htabs[(0, td)], htabs[(1, ta)]))
+        dcv, dcl = htabs[(0, td)]
+        acv, acl = htabs[(1, ta)]
+        order.append((by_id[cs], dcv, dcl, acv, acl))
     coeff = {c[0]: np.zeros((mcus_y * c[2], mcus_x * c[1], 64),
                             dtype=np.int64) for c in comps}
-    br = _BitReader(payload, data_pos)
+    segs = _entropy_segments(payload, data_pos)
+    seg_i = 0
+    fb = _FastBits(segs[0])
     preds = {c[0]: 0 for c in comps}
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if dri and mcu_count and mcu_count % dri == 0:
-                br.align_restart()
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing RSTn restart segment")
+                fb = _FastBits(segs[seg_i])
                 preds = {c[0]: 0 for c in comps}
-            for comp, dct, act in order:
+            for comp, dcv, dcl, acv, acl in order:
                 cid, sh, sv = comp[0], comp[1], comp[2]
                 for by in range(sv):
                     for bx in range(sh):
-                        zz = _decode_block(br, dct, act)
+                        zz = _decode_block(fb, dcv, dcl, acv, acl)
                         zz[0] += preds[cid]
-                        preds[cid] = int(zz[0])
+                        preds[cid] = zz[0]
                         coeff[cid][my * sv + by, mx * sh + bx] = zz
             mcu_count += 1
     # dequantize + IDCT per component (batched einsum), then upsample
