@@ -68,21 +68,37 @@ def decode_wav(payload: bytes):
 
 
 # ---- BMP (BITMAPINFOHEADER, 24-bit, uncompressed) -------------------------
-def encode_bmp(rgb: np.ndarray) -> bytes:
-    """HxWx3 uint8 RGB -> 24-bit bottom-up BMP with row padding."""
+def _dib_pack(rgb: np.ndarray) -> bytes:
+    """HxWx3 RGB -> bottom-up BGR rows padded to 4 bytes — the DIB
+    pixel block shared by BMP and per-frame AVI video."""
     h, w, _ = rgb.shape
-    row = w * 3
-    pad = (-row) % 4
-    stride = row + pad
-    data_sz = stride * h
-    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + data_sz, 0, 0, 14 + 40)
-    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_sz,
-                       2835, 2835, 0, 0)
+    pad = (-(w * 3)) % 4
     body = bytearray()
     for r in range(h - 1, -1, -1):            # bottom-up rows
         body += rgb[r, :, ::-1].tobytes()     # BGR order
         body += b"\x00" * pad
-    return hdr + bytes(body)
+    return bytes(body)
+
+
+def _dib_unpack(arr: np.ndarray, w: int, h: int,
+                bottom_up: bool = True) -> np.ndarray:
+    """Flat uint8 DIB pixel block (stride*h bytes) -> HxWx3 RGB."""
+    stride = (w * 3 + 3) & ~3
+    a = arr.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if bottom_up:
+        a = a[::-1]
+    return a[:, :, ::-1].copy()               # BGR -> RGB
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 24-bit bottom-up BMP with row padding."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    data_sz = stride * h
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + data_sz, 0, 0, 14 + 40)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_sz,
+                       2835, 2835, 0, 0)
+    return hdr + _dib_pack(rgb)
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -99,10 +115,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     stride = (w * 3 + 3) & ~3
     arr = np.frombuffer(payload, dtype=np.uint8,
                         count=stride * h, offset=off)
-    arr = arr.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
-    if flip:
-        arr = arr[::-1]
-    return arr[:, :, ::-1].copy()             # BGR -> RGB
+    return _dib_unpack(arr, w, h, bottom_up=flip)
 
 
 # ---- features --------------------------------------------------------------
@@ -505,7 +518,6 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     if sz:
         bw.put(diff if diff >= 0 else diff + (1 << sz) - 1, sz)
     run = 0
-    last_nz = 0
     nz = np.nonzero(zz[1:])[0]
     last_nz = (nz[-1] + 1) if len(nz) else 0
     for k in range(1, last_nz + 1):
@@ -690,6 +702,10 @@ def _huff_decode_table(bits, values):
     hit = _HUFF_LUT_CACHE.get(key)
     if hit is not None:
         return hit
+    if len(_HUFF_LUT_CACHE) >= 64:
+        # bound executor memory: wild corpora carry per-image
+        # optimized tables (~1 MB of LUT each) — evict FIFO
+        _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
     val = np.zeros(65536, dtype=np.int16)
     lng = np.zeros(65536, dtype=np.uint8)
     code = 0
@@ -903,6 +919,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("missing SOF/SOS")
     h, w, comps = frame
     scomps, data_pos = scan
+    if len(scomps) != len(comps):
+        # T.81 allows baseline images split into per-component scans;
+        # this decoder handles the (ubiquitous) single interleaved
+        # scan only — raise rather than return color-shifted pixels
+        raise ValueError(
+            f"multi-scan baseline JPEG not supported (scan has "
+            f"{len(scomps)} of {len(comps)} components)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -984,17 +1007,6 @@ def jpeg_features(payload: bytes) -> dict:
 # GDAL has no video driver; parity anchor is the frmts/bmp DIB pixel
 # layout (frmts/bmpdataset.cpp:378-394) reused per frame.
 
-def _dib_frame(rgb: np.ndarray) -> bytes:
-    """HxWx3 RGB -> bottom-up BGR DIB pixel block, rows padded to 4."""
-    h, w, _ = rgb.shape
-    pad = (-(w * 3)) % 4
-    body = bytearray()
-    for r in range(h - 1, -1, -1):
-        body += rgb[r, :, ::-1].tobytes()
-        body += b"\x00" * pad
-    return bytes(body)
-
-
 def encode_avi(frames: np.ndarray, rate: int = 10, scale: int = 1) -> bytes:
     """(N,H,W,3) uint8 RGB frames -> uncompressed 24-bit DIB AVI.
 
@@ -1030,7 +1042,7 @@ def encode_avi(frames: np.ndarray, rate: int = 10, scale: int = 1) -> bytes:
         # old-style index offsets are relative to the 'movi' fourcc
         idx += b"00db" + struct.pack("<III", 0x10,
                                      len(movi_body), frame_sz)
-        movi_body += chunk(b"00db", _dib_frame(frames[fi]))
+        movi_body += chunk(b"00db", _dib_pack(frames[fi]))
     movi = chunk(b"LIST", bytes(movi_body))
     idx1 = chunk(b"idx1", bytes(idx))
     riff_body = b"AVI " + hdrl + movi + idx1
@@ -1049,9 +1061,10 @@ def decode_avi(payload: bytes):
     rate = scale = None
     n_declared = 0
     frames = []
+    cur_fcc = None                        # stream type of the last strh
 
     def walk(pos: int, end: int):
-        nonlocal w, h, rate, scale, n_declared
+        nonlocal w, h, rate, scale, n_declared, cur_fcc
         while pos + 8 <= end:
             tag = payload[pos:pos + 4]
             (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
@@ -1063,12 +1076,15 @@ def decode_avi(payload: bytes):
                                                      body_start + 40])
                 n_declared, w, h = flds[4], flds[8], flds[9]
             elif tag == b"strh":
-                fcc = payload[body_start:body_start + 4]
-                if fcc == b"vids":
+                cur_fcc = bytes(payload[body_start:body_start + 4])
+                if cur_fcc == b"vids":
                     flds = struct.unpack_from(
                         "<IHHIII", payload, body_start + 8)
                     scale, rate = flds[4], flds[5]
-            elif tag == b"strf":
+            elif tag == b"strf" and cur_fcc == b"vids":
+                # only the VIDEO stream's format block is a
+                # BITMAPINFOHEADER — an audio strf (WAVEFORMATEX)
+                # must not be validated against it
                 bits, comp = struct.unpack(
                     "<HI", payload[body_start + 14:body_start + 20])
                 if bits != 24 or comp != 0:
@@ -1082,15 +1098,15 @@ def decode_avi(payload: bytes):
     walk(12, 8 + struct.unpack("<I", payload[4:8])[0])
     if w is None or not frames:
         raise ValueError("missing avih header or frame chunks")
-    pad = (-(w * 3)) % 4
-    stride = w * 3 + pad
+    if rate is None or scale is None:
+        raise ValueError("no 'vids' stream header (strh) found")
+    stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for fi, (off, ln) in enumerate(frames):
         if ln != stride * h:
             raise ValueError(f"frame {fi} size {ln} != {stride * h}")
         a = np.frombuffer(payload, dtype=np.uint8, count=ln, offset=off)
-        a = a.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
-        out[fi] = a[::-1, :, ::-1]            # bottom-up BGR -> RGB
+        out[fi] = _dib_unpack(a, w, h)
     return int(rate), int(scale), out
 
 
@@ -1132,14 +1148,19 @@ def encode_mp4_meta(tracks, timescale: int = 1000,
     ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
     mvhd = box(b"mvhd", struct.pack(">B3x", 0)
                + struct.pack(">IIIII", 0, 0, timescale, duration, 0x10000)
-               + b"\x00" * 70)
+               # volume+reserved (12) + matrix (36) + pre_defined (24)
+               # + next_track_ID (4) = 76 -> v0 body is exactly 100
+               + b"\x00" * 76)
     moov_body = mvhd
     for ti, (handler, w, h, n_samples) in enumerate(tracks):
         tkhd = box(b"tkhd", struct.pack(">B3x", 0)
                    + struct.pack(">IIIII", 0, 0, ti + 1, 0, duration)
                    + b"\x00" * 52
                    + struct.pack(">II", w << 16, h << 16))
-        stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n_samples))
+        # constant sample_size (14496-12 8.7.3.2: non-zero means all
+        # samples share it and the per-sample table is absent) keeps
+        # the box structurally valid without a fixture entry table
+        stsz = box(b"stsz", struct.pack(">B3xII", 0, 128, n_samples))
         stbl = box(b"stbl", stsz)
         minf = box(b"minf", stbl)
         hdlr = box(b"hdlr", struct.pack(">B3xI", 0, 0) + handler

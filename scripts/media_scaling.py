@@ -52,8 +52,12 @@ def run_once(cores: int, n: int) -> dict:
         [sys.executable, "-c", _JOB.format(repo=REPO, cores=cores, n=n)],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"scaling job at {cores} cores printed no JSON line; "
+            f"stderr tail: {out.stderr[-500:]}")
+    return json.loads(lines[-1])
 
 
 def main():
@@ -90,7 +94,8 @@ def main():
                 f"{hi['docs_per_sec']:,} |\n\n"
                 f"speedup {result['speedup']}x over {ratio:.0f}x cores -> "
                 f"**scaling efficiency {result['scaling_efficiency']}** "
-                f"(north-rule target >= 0.8 N->4N).  Decode happens where "
+                f"(north-rule target >= 0.8, measured N->{ratio:.0f}N).  "
+                f"Decode happens where "
                 f"the container bytes land (mapInPandas, no shuffle after "
                 f"synthesis), so the job is embarrassingly parallel — "
                 f"reproduce: `python scripts/media_scaling.py --n "

@@ -74,3 +74,43 @@ def test_frame_sample_real_distributed(spark):
             exp = float(((did * 7 + f * 19 + rr * 13 + cc * 3) % 256).mean())
             assert r["mean_r"] == exp
     assert len(rows) == total
+
+
+def test_avi_with_audio_stream_decodes_video():
+    # A wild AVI carries an 'auds' strl whose strf is WAVEFORMATEX —
+    # it must NOT be validated as a BITMAPINFOHEADER (review finding).
+    import struct
+    fr = np.arange(2 * 4 * 5 * 3, dtype=np.uint8).reshape(2, 4, 5, 3)
+    raw = km.encode_avi(fr, rate=10)
+
+    def chunk(tag, body):
+        out = tag + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) % 2 else b"")
+
+    auds_strh = (b"auds" + b"\x00" * 4
+                 + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0,
+                               100, 0, 0, 0) + struct.pack("<4h", 0, 0, 0, 0))
+    # WAVEFORMATEX: PCM, mono, 8 kHz, 16-bit -> bytes 14:16 are NOT 24
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", auds_strh)
+                 + chunk(b"strf", auds_strf))
+    # splice the audio strl into hdrl: rebuild the file around it
+    i = raw.find(b"LIST", 12)          # hdrl LIST
+    (hdrl_len,) = struct.unpack("<I", raw[i + 4:i + 8])
+    hdrl_end = i + 8 + hdrl_len
+    new_hdrl_body = raw[i + 8:hdrl_end] + strl
+    rebuilt = (raw[:i] + chunk(b"LIST", new_hdrl_body) + raw[hdrl_end:])
+    rebuilt = rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    rate, scale, out = km.decode_avi(rebuilt)
+    assert rate == 10
+    np.testing.assert_array_equal(out, fr)
+
+
+def test_avi_without_vids_stream_raises_cleanly():
+    import struct
+    fr = np.zeros((1, 4, 4, 3), dtype=np.uint8)
+    raw = bytearray(km.encode_avi(fr))
+    i = raw.find(b"strh")
+    raw[i + 8:i + 12] = b"text"        # no vids stream any more
+    with pytest.raises(ValueError, match="vids"):
+        km.decode_avi(bytes(raw))

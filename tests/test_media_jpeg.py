@@ -165,3 +165,29 @@ def test_decode_media_real_jpeg_distributed(spark):
         r = feats[did]
         assert (r["width"], r["height"]) == (w, h)
         assert r["mean_r"] == pytest.approx(a.mean(), abs=0)
+
+
+def test_multi_scan_jpeg_raises_not_garbage():
+    # A baseline JPEG split into per-component scans is spec-valid but
+    # unsupported — must raise, not return color-shifted pixels
+    # (review finding).  Truncate the SOS component list to 1 of 3.
+    rr, cc, ch = np.mgrid[0:16, 0:16, 0:3]
+    img = (((rr // 8) * 13 + (cc // 8) * 3 + ch * 11) % 256).astype(np.uint8)
+    raw = bytearray(km.encode_jpeg(img))
+    i = raw.find(b"\xFF\xDA")
+    # SOS: len(2) ns(1) [cs tt]*ns ss se ah_al — rewrite ns=1, keep comp 1
+    comp1 = bytes(raw[i + 5:i + 7])
+    tail = bytes(raw[i + 5 + 6:])      # ss/se/ahal + entropy data
+    import struct
+    new_sos = b"\xFF\xDA" + struct.pack(">H", 2 + 1 + 2 + 3) + b"\x01" \
+        + comp1 + tail[:3]
+    with pytest.raises(ValueError, match="multi-scan"):
+        km.decode_jpeg(bytes(raw[:i]) + new_sos + tail[3:])
+
+
+def test_huff_lut_cache_bounded():
+    from gdal_spark.kernels.media import _HUFF_LUT_CACHE, _huff_decode_table
+    for v in range(80):
+        bits = [0, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+        _huff_decode_table(bits, [v % 256, (v + 1) % 256])
+    assert len(_HUFF_LUT_CACHE) <= 64

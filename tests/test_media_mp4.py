@@ -72,3 +72,18 @@ def test_mp4_meta_distributed(spark):
             assert r["height"] == 180 + (did % 36) * 2
             assert r["n_samples_v"] == 24 * (1 + did % 5)
         assert r["n_samples_a"] == 100 + did % 50
+
+
+def test_mp4_boxes_structurally_valid_sizes():
+    # mvhd v0 body must be exactly 100 bytes and stsz must carry a
+    # non-zero constant sample_size so the absent per-sample table is
+    # legal (review finding).
+    import struct
+    raw = km.encode_mp4_meta([(b"vide", 32, 16, 7)], timescale=600,
+                             duration=1200)
+    i = raw.find(b"mvhd")
+    (sz,) = struct.unpack(">I", raw[i - 4:i])
+    assert sz - 8 == 100
+    j = raw.find(b"stsz")
+    fixed, cnt = struct.unpack(">II", raw[j + 8:j + 16])
+    assert fixed != 0 and cnt == 7
