@@ -70,21 +70,34 @@ def decode_media_stub(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def decode_image_real(payload: bytes):
-    """Real image decode — NOT AVAILABLE in this container (STUB).
+def decode_image_real(payload: bytes) -> np.ndarray:
+    """Real image decode to an HxWx3 uint8 RGB array.
 
-    Gated behind an import-try so environments with PIL installed get
-    a real decoder without code changes.
+    Dispatches on magic bytes to the spec-written stdlib codecs in
+    kernels/media.py (PNG, baseline JPEG, BMP — the formats this
+    engine writes and reads from scratch).  Other container formats
+    (GIF, WebP, TIFF-as-image, ...) fall back to PIL when it is
+    installed; without PIL they raise ValueError naming the format,
+    so an unsupported payload fails loudly instead of silently.
     """
+    from gdal_spark.kernels import media as km
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return km.decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return km.decode_jpeg(payload)
+    if payload[:2] == b"BM":
+        return km.decode_bmp(payload)
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
         import io
 
-        return Image.open(io.BytesIO(payload))
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:
-        raise NotImplementedError(
-            "image codec not available in this environment; use "
-            "decode_media_stub for the deterministic fake path"
+        head = payload[:8].hex()
+        raise ValueError(
+            f"unrecognized image container (magic {head}); built-in "
+            "codecs cover PNG/JPEG/BMP and PIL is not installed"
         ) from exc
 
 
